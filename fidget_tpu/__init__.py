@@ -1,0 +1,38 @@
+"""fidget_tpu — a TPU-native framework for complex closed-form implicit
+surfaces, with the capabilities of mkeeter/fidget.
+
+Expression graphs are deduplicated and lowered to fidget's canonical
+bytecode tape format, then batch-evaluated in point / interval /
+forward-gradient modes across pixel/voxel lanes on the TPU VPU.
+Interval evaluation over screen tiles and octree cells drives tape
+simplification and subdivision (the MPR algorithm), feeding 2D
+rendering, 3D heightmap+normal rendering, and Manifold Dual Contouring
+meshing — all expressed in JAX so pixel gradients with respect to shape
+parameters flow through the evaluator via autodiff.
+"""
+
+from .core.context import Context
+from .core.ops import BinaryOp, UnaryOp
+from .core.tree import Tree, tree_max, tree_min
+from .core.var import Var, VarMap
+from .compiler.lower import lower
+from .compiler.simplify import simplify
+from .compiler.tape import Tape, TapeOp
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BinaryOp",
+    "Context",
+    "Tape",
+    "TapeOp",
+    "Tree",
+    "UnaryOp",
+    "Var",
+    "VarMap",
+    "lower",
+    "simplify",
+    "tree_max",
+    "tree_min",
+    "__version__",
+]

@@ -1,0 +1,211 @@
+"""Canonical packed-u32 bytecode (interop format).
+
+Implements fidget's canonical tape serialization
+(fidget-bytecode/src/lib.rs:10-42): little-endian u32 pairs, where
+word0 packs [opcode, out, lhs, rhs] bytes and word1 is the immediate.
+A register byte of 0xFF marks "use the immediate"; LOAD/STORE share the
+`Mem` opcode with the 0xFF flag indicating direction; the tape begins
+with `0xFFFF_FFFF 0x0000_0000` and ends with `0xFFFF_FFFF 0xFFFF_FFFF`
+(jump markers enabling forward+backward iteration). Registers are
+repacked by frequency of use, most frequent first
+(fidget-core/src/compiler/reg_tape.rs:46-61).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+
+from ..core.var import VarMap
+from .tape import (
+    IMM,
+    BINARY_TAPE_OPS,
+    CHOICE_TAPE_OPS,
+    UNARY_TAPE_OPS,
+    Tape,
+    TapeOp,
+)
+
+JUMP = 0xFFFF_FFFF
+HEADER = (JUMP, 0x0000_0000)
+TRAILER = (JUMP, JUMP)
+_UNUSED_IMM = 0xFF00_0000
+
+
+def iter_ops():
+    """Yields (name, value) for each canonical opcode, mirroring
+    `fidget_bytecode::iter_ops` (fidget-bytecode/src/lib.rs:328-335)."""
+    names = [
+        "Output", "Input", "Copy", "Neg", "Abs", "Recip", "Sqrt", "Square",
+        "Floor", "Ceil", "Round", "Not", "Sin", "Cos", "Tan", "Asin",
+        "Acos", "Atan", "Exp", "Ln", "Add", "Sub", "Mul", "Div", "Atan2",
+        "Compare", "Mod", "Min", "Max", "And", "Or", "Mem",
+    ]
+    for i, n in enumerate(names):
+        yield (n, i)
+
+
+def _f32_bits(x: float) -> int:
+    return int(np.float32(x).view(np.uint32))
+
+
+def repack_map(tape: Tape) -> dict[int, int]:
+    """Register renumbering by frequency of use (most frequent -> 0)."""
+    counts: Counter[int] = Counter()
+    first: dict[int, int] = {}
+    for i in range(len(tape)):
+        op = TapeOp(int(tape.op[i]))
+        regs = []
+        if op in (TapeOp.INPUT, TapeOp.OUTPUT, TapeOp.LOAD, TapeOp.STORE):
+            regs = [int(tape.out[i])]
+        elif op == TapeOp.COPY:
+            regs = [int(tape.out[i])]
+            if int(tape.a[i]) != IMM:
+                regs.append(int(tape.a[i]))
+        elif op in UNARY_TAPE_OPS:
+            regs = [int(tape.out[i]), int(tape.a[i])]
+        elif op in BINARY_TAPE_OPS:
+            regs = [int(tape.out[i])]
+            if int(tape.a[i]) != IMM:
+                regs.append(int(tape.a[i]))
+            if int(tape.b[i]) != IMM:
+                regs.append(int(tape.b[i]))
+        for r in regs:
+            counts[r] += 1
+            first.setdefault(r, i)
+    ordered = sorted(counts, key=lambda r: (-counts[r], first[r]))
+    return {r: i for i, r in enumerate(ordered)}
+
+
+def encode(tape: Tape) -> np.ndarray:
+    """Packs a `Tape` into canonical bytecode words (uint32 array)."""
+    m = repack_map(tape)
+
+    def reg(r: int) -> int:
+        rr = m[r]
+        if rr >= 0xFF:
+            raise ValueError("register 255 is reserved")
+        return rr
+
+    words: list[int] = list(HEADER)
+    for i in range(len(tape)):
+        op = TapeOp(int(tape.op[i]))
+        out, a, b = int(tape.out[i]), int(tape.a[i]), int(tape.b[i])
+        imm_f, aux = float(tape.imm[i]), int(tape.aux[i])
+        w = [0xFF, 0xFF, 0xFF, 0xFF]
+        imm = _UNUSED_IMM
+        if op in (TapeOp.INPUT, TapeOp.OUTPUT):
+            w[0] = int(op)
+            w[1] = reg(out)
+            imm = aux
+        elif op == TapeOp.LOAD:
+            w[0] = int(TapeOp.MEM)
+            w[1] = reg(out)
+            w[2] = 0xFF
+            imm = aux
+        elif op == TapeOp.STORE:
+            w[0] = int(TapeOp.MEM)
+            w[1] = 0xFF
+            w[2] = reg(out)
+            imm = aux
+        elif op == TapeOp.COPY:
+            w[0] = int(op)
+            w[1] = reg(out)
+            if a == IMM:
+                imm = _f32_bits(imm_f)
+            else:
+                w[2] = reg(a)
+        elif op in UNARY_TAPE_OPS:
+            w[0] = int(op)
+            w[1] = reg(out)
+            w[2] = reg(a)
+        elif op in BINARY_TAPE_OPS:
+            w[0] = int(op)
+            w[1] = reg(out)
+            if a == IMM:
+                w[3] = reg(b)
+                imm = _f32_bits(imm_f)
+            elif b == IMM:
+                w[2] = reg(a)
+                imm = _f32_bits(imm_f)
+            else:
+                w[2] = reg(a)
+                w[3] = reg(b)
+        else:
+            raise ValueError(f"cannot encode {op!r}")
+        words.append(w[0] | (w[1] << 8) | (w[2] << 16) | (w[3] << 24))
+        words.append(imm & 0xFFFF_FFFF)
+    words.extend(TRAILER)
+    return np.array(words, dtype=np.uint32)
+
+
+def decode(words: np.ndarray, var_map: VarMap | None = None) -> Tape:
+    """Unpacks canonical bytecode back into a `Tape` (round-trip tested)."""
+    words = np.asarray(words, dtype=np.uint32)
+    assert words[0] == JUMP and words[1] == 0, "missing bytecode header"
+    assert words[-2] == JUMP and words[-1] == JUMP, "missing trailer"
+    rows: list[tuple] = []
+    reg_count = 0
+    mem_count = 0
+    choice_count = 0
+    output_count = 0
+    for k in range(2, len(words) - 2, 2):
+        w0 = int(words[k])
+        imm_u = int(words[k + 1])
+        opc = w0 & 0xFF
+        o = (w0 >> 8) & 0xFF
+        a = (w0 >> 16) & 0xFF
+        b = (w0 >> 24) & 0xFF
+        imm_f = float(np.uint32(imm_u).view(np.float32))
+        if opc == int(TapeOp.MEM):
+            if a == 0xFF and o != 0xFF:  # Load
+                rows.append((TapeOp.LOAD, o, 0, 0, 0.0, imm_u))
+            else:  # Store
+                rows.append((TapeOp.STORE, a, 0, 0, 0.0, imm_u))
+                o = a
+            mem_count = max(mem_count, imm_u + 1)
+            reg_count = max(reg_count, o + 1)
+            continue
+        op = TapeOp(opc)
+        if op in (TapeOp.INPUT, TapeOp.OUTPUT):
+            rows.append((op, o, 0, 0, 0.0, imm_u))
+            if op == TapeOp.OUTPUT:
+                output_count += 1
+        elif op == TapeOp.COPY:
+            if a == 0xFF:
+                rows.append((op, o, IMM, 0, imm_f, 0))
+            else:
+                rows.append((op, o, a, 0, 0.0, 0))
+                reg_count = max(reg_count, a + 1)
+        elif op in UNARY_TAPE_OPS:
+            rows.append((op, o, a, 0, 0.0, 0))
+            reg_count = max(reg_count, a + 1)
+        elif op in BINARY_TAPE_OPS:
+            if op in CHOICE_TAPE_OPS:
+                choice_count += 1
+            if a == 0xFF:
+                rows.append((op, o, IMM, b, imm_f, 0))
+                reg_count = max(reg_count, b + 1)
+            elif b == 0xFF:
+                rows.append((op, o, a, IMM, imm_f, 0))
+                reg_count = max(reg_count, a + 1)
+            else:
+                rows.append((op, o, a, b, 0.0, 0))
+                reg_count = max(reg_count, a + 1, b + 1)
+        else:
+            raise ValueError(f"cannot decode opcode {opc}")
+        reg_count = max(reg_count, o + 1)
+    return Tape.from_rows(
+        rows,
+        reg_count=reg_count,
+        mem_count=mem_count,
+        choice_count=choice_count,
+        output_count=output_count,
+        var_map=var_map or VarMap(),
+    )
+
+
+def as_bytes(tape: Tape) -> bytes:
+    """Serializes to little-endian bytes (the stable interop surface)."""
+    return encode(tape).astype("<u4").tobytes()

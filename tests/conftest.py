@@ -1,0 +1,27 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip sharding logic is validated on emulated host devices
+(the standard XLA_FLAGS=--xla_force_host_platform_device_count trick);
+real-TPU kernels are exercised separately by bench.py / the driver.
+
+Note: the environment may pre-register a TPU plugin and pin
+`jax_platforms` via its own config update, so an env-var override is
+not enough — we must call `jax.config.update` before any backend use.
+"""
+
+import os
+import pathlib
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))

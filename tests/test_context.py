@@ -1,0 +1,152 @@
+"""Expression-layer tests: dedup, folding, identities, .vm, deriv."""
+
+import math
+
+import numpy as np
+import pytest
+
+from fidget_tpu import Context, Tree, Var
+from fidget_tpu.io.models import has_model, load_vm
+
+
+def test_dedup_and_folding():
+    ctx = Context()
+    x = ctx.x()
+    a = ctx.add(x, 1.0)
+    b = ctx.add(x, 1.0)
+    assert a == b
+    # commutative sorting dedups flipped args
+    y = ctx.y()
+    assert ctx.add(x, y) == ctx.add(y, x)
+    assert ctx.mul(x, y) == ctx.mul(y, x)
+    # constant folding
+    c = ctx.add(ctx.constant(1.0), ctx.constant(2.0))
+    assert ctx.get_const(c) == 3.0
+
+
+def test_identity_simplifications():
+    ctx = Context()
+    x = ctx.x()
+    zero = ctx.constant(0.0)
+    one = ctx.constant(1.0)
+    assert ctx.add(x, zero) == x
+    assert ctx.add(zero, x) == x
+    assert ctx.sub(x, zero) == x
+    assert ctx.mul(x, one) == x
+    assert ctx.div(x, one) == x
+    assert ctx.min(x, x) == x
+    assert ctx.max(x, x) == x
+    # x + x -> 2 * x -> stored as mul
+    assert ctx.add(x, x) == ctx.mul(x, ctx.constant(2.0))
+    # x * x -> square
+    assert ctx.mul(x, x) == ctx.square(x)
+    # 0 - x -> neg
+    assert ctx.sub(zero, x) == ctx.neg(x)
+
+
+def test_eval_circle():
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    r = ctx.sqrt(ctx.add(ctx.square(x), ctx.square(y)))
+    circle = ctx.sub(r, 1.0)
+    assert ctx.eval_xyz(circle, 0.0, 0.0, 0.0) == -1.0
+    assert ctx.eval_xyz(circle, 1.0, 0.0, 0.0) == 0.0
+    assert abs(ctx.eval_xyz(circle, 3.0, 4.0, 0.0) - 4.0) < 1e-12
+
+
+def test_from_text_doc_example():
+    txt = """
+# This is a comment!
+0x600000b90000 var-x
+0x600000b900a0 square 0x600000b90000
+0x600000b90050 var-y
+0x600000b900f0 square 0x600000b90050
+0x600000b90140 add 0x600000b900a0 0x600000b900f0
+0x600000b90190 sqrt 0x600000b90140
+0x600000b901e0 const 1
+"""
+    ctx, _node = Context.from_text(txt)
+    assert len(ctx) == 7
+
+
+def test_export_roundtrip():
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    f = ctx.max(ctx.min(x, y), ctx.sub(ctx.square(x), 0.5))
+    txt = ctx.export(f)
+    ctx2, root2 = Context.from_text(txt)
+    for px, py in [(0.3, -0.2), (1.5, 2.0), (-1.0, 0.5)]:
+        assert ctx.eval_xyz(f, px, py, 0.0) == ctx2.eval_xyz(root2, px, py, 0.0)
+
+
+@pytest.mark.skipif(not has_model("hi.vm"), reason="model assets unavailable")
+def test_load_bundled_models():
+    for name, approx_len in [("hi.vm", 57), ("quarter.vm", 13)]:
+        ctx, root = load_vm(name)
+        # dedup may shrink below source line count, never grow
+        assert len(ctx) <= approx_len + 5
+        v = ctx.eval_xyz(root, 0.0, 0.0, 0.0)
+        assert math.isfinite(v)
+
+
+def test_deriv_smooth_ops():
+    ctx = Context()
+    x = ctx.x()
+    y = ctx.y()
+    f = ctx.add(ctx.mul(ctx.sin(x), y), ctx.square(x))
+    dfdx = ctx.deriv(f, Var.X)
+    dfdy = ctx.deriv(f, Var.Y)
+    for px, py in [(0.5, 2.0), (-1.2, 0.3)]:
+        expect_dx = math.cos(px) * py + 2 * px
+        expect_dy = math.sin(px)
+        assert abs(ctx.eval_xyz(dfdx, px, py, 0.0) - expect_dx) < 1e-9
+        assert abs(ctx.eval_xyz(dfdy, px, py, 0.0) - expect_dy) < 1e-9
+
+
+def test_deriv_discontinuous_ops():
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    # abs: subgradient picks sign
+    dabs = ctx.deriv(ctx.abs(x), Var.X)
+    assert ctx.eval_xyz(dabs, 2.0, 0.0, 0.0) == 1.0
+    assert ctx.eval_xyz(dabs, -2.0, 0.0, 0.0) == -1.0
+    # min/max pick a side
+    dmin = ctx.deriv(ctx.min(x, y), Var.X)
+    assert ctx.eval_xyz(dmin, 1.0, 2.0, 0.0) == 1.0
+    assert ctx.eval_xyz(dmin, 2.0, 1.0, 0.0) == 0.0
+    # floor has zero derivative
+    dfl = ctx.deriv(ctx.floor(x), Var.X)
+    assert ctx.eval_xyz(dfl, 1.5, 0.0, 0.0) == 0.0
+    # mod derivative matches finite differences away from seams
+    dm = ctx.deriv(ctx.modulo(x, ctx.constant(1.5)), Var.X)
+    assert ctx.eval_xyz(dm, 0.7, 0.0, 0.0) == 1.0
+
+
+def test_tree_remap_and_affine():
+    t = (Tree.x().square() + Tree.y().square()).sqrt() - 1.0
+    assert t.eval(1.0, 0.0) == 0.0
+    swapped = t.remap_xyz(Tree.y(), Tree.x(), Tree.z())
+    assert swapped.eval(0.0, 1.0) == 0.0
+    m = np.eye(4)
+    m[0, 3] = 2.0
+    assert t.remap_affine(m).eval(-1.0, 0.0) == 0.0
+    # chained affines compose
+    s = np.diag([2.0, 2.0, 2.0, 1.0])
+    chained = t.remap_affine(m).remap_affine(s)
+    # x -> 2x then +2: point (-0.5, 0) maps to (1, 0)
+    assert chained.eval(-0.5, 0.0) == 0.0
+
+
+def test_tree_var_and_operators():
+    v = Var.new()
+    t = Tree.var(v) * 2.0 + Tree.x()
+    ctx = Context()
+    node = ctx.import_tree(t)
+    assert ctx.eval(node, {Var.X: 1.0, v: 3.0}) == 7.0
+
+
+def test_dot_export():
+    ctx = Context()
+    f = ctx.min(ctx.x(), ctx.y())
+    dot = ctx.dot([f])
+    assert "digraph" in dot and "goldenrod" in dot
