@@ -281,20 +281,35 @@ class IntervalMode:
             return q.astype(np.int32)
 
         lq, uq = quadrant(al), quadrant(au)
-        idx = lq * 4 + uq
         d = au - al
 
         # Case kinds: 0=INC(full if d>=pi), 1=DEC(full if d>=pi),
-        # 2=[min(f_l,f_u), 1], 3=[-1, max(f_l,f_u)], 4=full
+        # 2=[min(f_l,f_u), 1], 3=[-1, max(f_l,f_u)], 4=full.
+        # Derived from the quadrant case table (interval.rs:109-204):
+        # sin increases in quadrants {Q3, Q0}, cos in {Q2, Q3}; crossing
+        # from an increasing to a decreasing quadrant caps the max at 1,
+        # the reverse caps the min at -1; wrapping all the way around
+        # ((Q0,Q3) / (Q2,Q1) for sin) loses all information.
         if is_sin:
-            kinds = np.array(
-                [0, 2, 2, 4, 3, 1, 1, 3, 3, 4, 1, 3, 0, 2, 2, 0], dtype=np.int32
-            )
+            a_inc = (lq == 0) | (lq == 3)
+            b_inc = (uq == 0) | (uq == 3)
+            full_ii = (lq == 0) & (uq == 3)
+            full_dd = (lq == 2) & (uq == 1)
         else:
-            kinds = np.array(
-                [1, 1, 3, 3, 4, 1, 3, 3, 2, 2, 0, 0, 2, 2, 4, 0], dtype=np.int32
-            )
-        kind = xp.asarray(kinds)[idx]
+            a_inc = lq >= 2
+            b_inc = uq >= 2
+            full_ii = (lq == 3) & (uq == 2)
+            full_dd = (lq == 1) & (uq == 0)
+        i32 = lambda v: np.int32(v)
+        kind = xp.where(
+            a_inc & b_inc,
+            xp.where(full_ii, i32(4), i32(0)),
+            xp.where(
+                ~a_inc & ~b_inc,
+                xp.where(full_dd, i32(4), i32(1)),
+                xp.where(a_inc, i32(2), i32(3)),
+            ),
+        )
 
         one = xp.ones_like(al)
         wide = d >= F32PI

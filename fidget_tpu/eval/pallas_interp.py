@@ -1,0 +1,372 @@
+"""Pallas TPU tape-interpreter kernels.
+
+The TPU-native replacement for both the reference's machine-code JIT
+(fidget-jit) and its WGSL interpreter
+(fidget-wgpu/src/voxel/shaders/tape_interpreter.wgsl:33-137): a generic
+kernel, compiled ONCE per (mode, register-file, capacity) bucket, that
+evaluates *any* packed tape. Tapes are data, so per-region simplified
+tapes cost no recompilation — the property the whole MPR pipeline
+rests on.
+
+Execution model (one grid instance per tile, mirroring one workgroup
+per tile on the GPU):
+
+- the tile's packed tape (compiler/pack.py layout) sits in SMEM;
+- the register file lives in VMEM as ``[NF, S0, 128]`` f32 planes
+  (NF = registers + spill slots unified; lanes = S0*128 points);
+- a `fori_loop` walks tape words: scalar decode, two dynamic
+  register-file reads, one `lax.switch` over the op vocabulary
+  (a single VPU op over all lanes), one dynamic write;
+- value modes share their arithmetic with the host evaluators — the
+  branch bodies call the same FloatMode/IntervalMode/GradMode methods
+  (eval/arith.py), so kernel semantics are identical by construction;
+- interval mode records 2-bit choices, 16 per int32 word, via
+  read-or-write into a packed [CW, S0, 128] plane (the TPU analog of
+  the wgpu choice stack, shaders/stack.wgsl).
+
+All kernels run in interpret mode off-TPU, which is how the unit tests
+exercise them on the CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..compiler.pack import IMM12
+from ..compiler.tape import TapeOp
+from .arith import FloatMode, GradMode, IntervalMode
+from .softmath import kernel_namespace
+
+#: ops 0..30 are kernel-dispatchable (MEM/LOAD/STORE are packed away)
+_N_OPS = 31
+
+_UNARY_OPS = [
+    TapeOp.NEG, TapeOp.ABS, TapeOp.RECIP, TapeOp.SQRT, TapeOp.SQUARE,
+    TapeOp.FLOOR, TapeOp.CEIL, TapeOp.ROUND, TapeOp.NOT, TapeOp.SIN,
+    TapeOp.COS, TapeOp.TAN, TapeOp.ASIN, TapeOp.ACOS, TapeOp.ATAN,
+    TapeOp.EXP, TapeOp.LN,
+]
+_PLAIN_BINARY_OPS = [
+    TapeOp.ADD, TapeOp.SUB, TapeOp.MUL, TapeOp.DIV, TapeOp.ATAN2,
+    TapeOp.COMPARE, TapeOp.MOD,
+]
+_CHOICE_OPS = [TapeOp.MIN, TapeOp.MAX, TapeOp.AND, TapeOp.OR]
+
+
+def _decode(w1, w2):
+    op = w1 & 127
+    out = (w1 >> 7) & 0xFFF
+    a = (w1 >> 19) & 0xFFF
+    b = w2 & 0xFFF
+    aux = w2 >> 12
+    return op, out, a, b, aux
+
+
+def _tape_specs(lcap: int):
+    """Block specs for (w1, w2, imm, lengths) arena inputs."""
+    return [
+        pl.BlockSpec((1, 1, lcap), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, lcap), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, lcap), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+    ]
+
+
+def _prep_tape_args(w1, w2, imm, lengths):
+    T = w1.shape[0]
+    return (
+        jnp.asarray(w1).reshape(T, 1, -1),
+        jnp.asarray(w2).reshape(T, 1, -1),
+        jnp.asarray(imm).reshape(T, 1, -1),
+        jnp.asarray(lengths).reshape(T, 1, 1),
+    )
+
+
+# ======================================================================
+# float mode
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nf", "n_inputs", "n_outputs", "s0", "interpret")
+)
+def interp_float(
+    w1, w2, imm, lengths, vars_, *, nf: int, n_inputs: int, n_outputs: int,
+    s0: int, interpret: bool = False,
+):
+    """Evaluates packed tapes in bulk float mode.
+
+    Args:
+      w1/w2/imm: [T, L] packed arena (compiler/pack.py).
+      lengths: [T] ops per tape.
+      vars_: [T, V, S0, 128] f32 input planes (V = n_inputs).
+    Returns:
+      [T, O, S0, 128] f32 outputs.
+    """
+    T, lcap = w1.shape
+    fm = FloatMode(kernel_namespace(jnp))
+
+    def kernel(w1_ref, w2_ref, imm_ref, len_ref, vars_ref, out_ref, regs):
+        n = len_ref[0, 0, 0]
+
+        def step(j, _):
+            op, out, a, b, aux = _decode(w1_ref[0, 0, j], w2_ref[0, 0, j])
+            immv = imm_ref[0, 0, j]
+            imm_plane = jnp.full((s0, 128), immv, jnp.float32)
+            va = jnp.where(a == IMM12, imm_plane, regs[jnp.minimum(a, nf - 1)])
+            vb = jnp.where(b == IMM12, imm_plane, regs[jnp.minimum(b, nf - 1)])
+            aux_in = jnp.minimum(aux, n_inputs - 1)
+
+            branches = [lambda: va] * _N_OPS
+            branches[TapeOp.INPUT] = lambda: vars_ref[0, aux_in]
+            branches[TapeOp.COPY] = lambda: va
+            for u in _UNARY_OPS:
+                branches[u] = (lambda u=u: fm.unary(u, va))
+            for bop in _PLAIN_BINARY_OPS:
+                branches[bop] = (lambda bop=bop: fm.binary(bop, va, vb))
+            for cop in _CHOICE_OPS:
+                branches[cop] = (lambda cop=cop: fm.choice_binary(cop, va, vb)[0])
+            res = lax.switch(op, branches)
+
+            @pl.when(op == TapeOp.OUTPUT)
+            def _():
+                out_ref[0, jnp.minimum(aux, n_outputs - 1)] = va
+
+            regs[out] = res
+            return 0
+
+        lax.fori_loop(0, jnp.minimum(n, lcap), step, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=_tape_specs(lcap)
+        + [pl.BlockSpec((1, n_inputs, s0, 128), lambda i: (i, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, n_outputs, s0, 128), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, n_outputs, s0, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nf, s0, 128), jnp.float32)],
+        interpret=interpret,
+    )(*_prep_tape_args(w1, w2, imm, lengths), vars_)
+
+
+# ======================================================================
+# interval mode (with packed 2-bit choice capture)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nf", "n_inputs", "n_outputs", "s0", "c_words", "interpret"),
+)
+def interp_interval(
+    w1, w2, imm, lengths, var_lo, var_hi, *, nf: int, n_inputs: int,
+    n_outputs: int, s0: int, c_words: int, interpret: bool = False,
+):
+    """Evaluates packed tapes in interval mode, capturing choices.
+
+    Args:
+      var_lo/var_hi: [T, V, S0, 128] f32 interval bounds per input.
+      c_words: choice words per lane (16 two-bit choices per int32).
+        Choice ops must carry their choice index in `aux`
+        (pack_tapes(index_choices=True)); indices >= 16*c_words wrap
+        into the last word OR-wise — over-approximate like the wgpu
+        lossy choice stack, never wrong.
+    Returns:
+      (out_lo [T,O,S0,128], out_hi [T,O,S0,128], choices [T,CW,S0,128] i32)
+    """
+    T, lcap = w1.shape
+    im = IntervalMode(kernel_namespace(jnp))
+
+    def kernel(
+        w1_ref, w2_ref, imm_ref, len_ref, lo_ref, hi_ref,
+        olo_ref, ohi_ref, ch_ref, rlo, rhi,
+    ):
+        n = len_ref[0, 0, 0]
+        ch_ref[0] = jnp.zeros((c_words, s0, 128), jnp.int32)
+
+        def step(j, _):
+            op, out, a, b, aux = _decode(w1_ref[0, 0, j], w2_ref[0, 0, j])
+            immv = imm_ref[0, 0, j]
+            imm_plane = jnp.full((s0, 128), immv, jnp.float32)
+            a_c = jnp.minimum(a, nf - 1)
+            b_c = jnp.minimum(b, nf - 1)
+            is_imm_a = a == IMM12
+            is_imm_b = b == IMM12
+            alo = jnp.where(is_imm_a, imm_plane, rlo[a_c])
+            ahi = jnp.where(is_imm_a, imm_plane, rhi[a_c])
+            blo = jnp.where(is_imm_b, imm_plane, rlo[b_c])
+            bhi = jnp.where(is_imm_b, imm_plane, rhi[b_c])
+            va = (alo, ahi)
+            vb = (blo, bhi)
+            aux_in = jnp.minimum(aux, n_inputs - 1)
+            zero_code = jnp.zeros((s0, 128), jnp.int32)
+
+            def mk_choice(cop):
+                def f():
+                    (lo, hi), code = im.choice_binary(cop, va, vb)
+                    return lo, hi, code.astype(jnp.int32)
+                return f
+
+            branches = [lambda: (alo, ahi, zero_code)] * _N_OPS
+            branches[TapeOp.INPUT] = lambda: (
+                lo_ref[0, aux_in], hi_ref[0, aux_in], zero_code,
+            )
+            for u in _UNARY_OPS:
+                branches[u] = (
+                    lambda u=u: (*im.unary(u, va), zero_code)
+                )
+            for bop in _PLAIN_BINARY_OPS:
+                branches[bop] = (
+                    lambda bop=bop: (*im.binary(bop, va, vb), zero_code)
+                )
+            for cop in _CHOICE_OPS:
+                branches[cop] = mk_choice(cop)
+            lo, hi, code = lax.switch(op, branches)
+
+            @pl.when(op == TapeOp.OUTPUT)
+            def _():
+                o = jnp.minimum(aux, n_outputs - 1)
+                olo_ref[0, o] = alo
+                ohi_ref[0, o] = ahi
+
+            is_choice = (
+                (op == TapeOp.MIN) | (op == TapeOp.MAX)
+                | (op == TapeOp.AND) | (op == TapeOp.OR)
+            )
+
+            @pl.when(is_choice)
+            def _():
+                word = jnp.minimum(aux // 16, c_words - 1)
+                shift = (aux % 16) * 2
+                ch_ref[0, word] = ch_ref[0, word] | (code << shift)
+
+            rlo[out] = lo
+            rhi[out] = hi
+            return 0
+
+        lax.fori_loop(0, jnp.minimum(n, lcap), step, 0)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((T, n_outputs, s0, 128), jnp.float32),
+        jax.ShapeDtypeStruct((T, n_outputs, s0, 128), jnp.float32),
+        jax.ShapeDtypeStruct((T, c_words, s0, 128), jnp.int32),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=_tape_specs(lcap)
+        + [
+            pl.BlockSpec((1, n_inputs, s0, 128), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, n_inputs, s0, 128), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n_outputs, s0, 128), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, n_outputs, s0, 128), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, c_words, s0, 128), lambda i: (i, 0, 0, 0)),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((nf, s0, 128), jnp.float32),
+            pltpu.VMEM((nf, s0, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*_prep_tape_args(w1, w2, imm, lengths), var_lo, var_hi)
+
+
+# ======================================================================
+# grad mode (forward duals: v, dx, dy, dz)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nf", "n_inputs", "n_outputs", "s0", "interpret")
+)
+def interp_grad(
+    w1, w2, imm, lengths, vars_, *, nf: int, n_inputs: int, n_outputs: int,
+    s0: int, interpret: bool = False,
+):
+    """Evaluates packed tapes with forward-mode duals.
+
+    Args:
+      vars_: [T, V, 4, S0, 128] f32 dual planes (v, dx, dy, dz).
+    Returns:
+      [T, O, 4, S0, 128] f32 dual outputs.
+    """
+    T, lcap = w1.shape
+    gm = GradMode(kernel_namespace(jnp))
+
+    def kernel(w1_ref, w2_ref, imm_ref, len_ref, vars_ref, out_ref, *regs):
+        n = len_ref[0, 0, 0]
+
+        def step(j, _):
+            op, out, a, b, aux = _decode(w1_ref[0, 0, j], w2_ref[0, 0, j])
+            immv = imm_ref[0, 0, j]
+            imm_plane = jnp.full((s0, 128), immv, jnp.float32)
+            zero = jnp.zeros((s0, 128), jnp.float32)
+            a_c = jnp.minimum(a, nf - 1)
+            b_c = jnp.minimum(b, nf - 1)
+            is_imm_a = a == IMM12
+            is_imm_b = b == IMM12
+            va = tuple(
+                jnp.where(is_imm_a, imm_plane if k == 0 else zero, regs[k][a_c])
+                for k in range(4)
+            )
+            vb = tuple(
+                jnp.where(is_imm_b, imm_plane if k == 0 else zero, regs[k][b_c])
+                for k in range(4)
+            )
+            aux_in = jnp.minimum(aux, n_inputs - 1)
+
+            branches = [lambda: va] * _N_OPS
+            branches[TapeOp.INPUT] = lambda: tuple(
+                vars_ref[0, aux_in, k] for k in range(4)
+            )
+            for u in _UNARY_OPS:
+                branches[u] = (lambda u=u: gm.unary(u, va))
+            for bop in _PLAIN_BINARY_OPS:
+                branches[bop] = (lambda bop=bop: gm.binary(bop, va, vb))
+            for cop in _CHOICE_OPS:
+                branches[cop] = (lambda cop=cop: gm.choice_binary(cop, va, vb)[0])
+            res = lax.switch(op, branches)
+
+            @pl.when(op == TapeOp.OUTPUT)
+            def _():
+                o = jnp.minimum(aux, n_outputs - 1)
+                for k in range(4):
+                    out_ref[0, o, k] = va[k]
+
+            for k in range(4):
+                regs[k][out] = res[k]
+            return 0
+
+        lax.fori_loop(0, jnp.minimum(n, lcap), step, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=_tape_specs(lcap)
+        + [pl.BlockSpec((1, n_inputs, 4, s0, 128), lambda i: (i, 0, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, n_outputs, 4, s0, 128), lambda i: (i, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, n_outputs, 4, s0, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nf, s0, 128), jnp.float32) for _ in range(4)],
+        interpret=interpret,
+    )(*_prep_tape_args(w1, w2, imm, lengths), vars_)
+
+
+def default_interpret() -> bool:
+    """True when no TPU is available (tests on the CPU mesh)."""
+    return jax.devices()[0].platform == "cpu"
+
+
+def unpack_choices(packed: np.ndarray, n_choices: int) -> np.ndarray:
+    """Unpacks [..., CW, S0, 128] int32 words into [..., C, S0, 128] u8."""
+    packed = np.asarray(packed)
+    cw = packed.shape[-3]
+    idx = np.arange(n_choices)
+    words = packed[..., np.minimum(idx // 16, cw - 1), :, :]
+    shifts = (idx % 16) * 2
+    return ((words >> shifts[..., None, None]) & 3).astype(np.uint8)

@@ -1,0 +1,124 @@
+"""Software implementations of transcendentals Mosaic doesn't lower.
+
+The TPU Pallas backend has no native arctan/arcsin/arccos/arctan2, so
+kernels use these polynomial versions (Cephes-style single-precision
+arctangent: two-stage argument reduction at tan(pi/8) and
+tan(3*pi/8), then a degree-9 odd minimax polynomial — ~1 ulp for f32).
+
+`kernel_namespace(xp)` wraps an array namespace so the shared
+arithmetic in eval/arith.py transparently picks these up inside
+kernels while using native ops everywhere else.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+_PI = math.pi
+_PI_2 = math.pi / 2
+_PI_4 = math.pi / 4
+_TAN_3PI_8 = 2.414213562373095
+_TAN_PI_8 = 0.4142135623730950
+
+
+def atan(xp, x):
+    """Single-precision arctangent via reduction + odd polynomial."""
+    ax = xp.abs(x)
+    big = ax > _TAN_3PI_8
+    mid = (ax > _TAN_PI_8) & ~big
+    # guard against 0/0 in the unused lanes of each reduction
+    safe_ax = xp.where(ax == 0, xp.ones_like(ax), ax)
+    xr = xp.where(
+        big,
+        -1.0 / safe_ax,
+        xp.where(mid, (ax - 1.0) / (ax + 1.0), ax),
+    )
+    base = xp.where(big, _PI_2, xp.where(mid, _PI_4, xp.zeros_like(ax)))
+    z = xr * xr
+    poly = (
+        ((8.05374449538e-2 * z - 1.38776856032e-1) * z + 1.99777106478e-1) * z
+        - 3.33329491539e-1
+    ) * z * xr + xr
+    res = base + poly
+    return xp.where(x < 0, -res, xp.where(x == 0, x, res))
+
+
+def atan2(xp, y, x):
+    """Four-quadrant arctangent built on `atan`.
+
+    Matches IEEE atan2 for finite inputs; the (0, 0), signed-zero and
+    double-infinity corner cases follow the sign conventions below
+    (negative-zero y collapses to +0, matching jnp.where semantics).
+    """
+    safe_x = xp.where(x == 0, xp.ones_like(x), x)
+    r = atan(xp, y / safe_x)
+    pi = xp.full_like(r, _PI)
+    at_x0 = xp.where(
+        y > 0,
+        xp.full_like(r, _PI_2),
+        xp.where(y < 0, xp.full_like(r, -_PI_2), xp.zeros_like(r)),
+    )
+    res = xp.where(
+        x > 0,
+        r,
+        xp.where(x < 0, xp.where(y < 0, r - pi, r + pi), at_x0),
+    )
+    # propagate NaN from either argument
+    nan = xp.isnan(x) | xp.isnan(y)
+    # infinities: atan2(+-inf, +-inf) has defined IEEE values
+    both_inf = xp.isinf(x) & xp.isinf(y)
+    inf_val = xp.where(
+        x > 0,
+        xp.where(y > 0, _PI_4, -_PI_4),
+        xp.where(y > 0, 3 * _PI_4, -3 * _PI_4),
+    ).astype(res.dtype)
+    res = xp.where(both_inf, inf_val, res)
+    return xp.where(nan, xp.full_like(res, math.nan), res)
+
+
+def asin(xp, x):
+    """arcsin via atan2(x, sqrt(1-x^2)); NaN outside [-1, 1]."""
+    r = xp.sqrt(xp.maximum(1.0 - x * x, 0.0))
+    res = atan2(xp, x, r)
+    bad = xp.abs(x) > 1.0
+    return xp.where(bad, xp.full_like(res, math.nan), res)
+
+
+def acos(xp, x):
+    """arccos via atan2(sqrt(1-x^2), x); NaN outside [-1, 1]."""
+    r = xp.sqrt(xp.maximum(1.0 - x * x, 0.0))
+    res = atan2(xp, r, x)
+    bad = xp.abs(x) > 1.0
+    return xp.where(bad, xp.full_like(res, math.nan), res)
+
+
+class KernelNamespace:
+    """Array-namespace proxy substituting kernel-safe transcendentals.
+
+    Everything else passes through to the wrapped namespace, so
+    FloatMode/IntervalMode/GradMode work unchanged inside Pallas.
+    """
+
+    def __init__(self, xp):
+        self._xp = xp
+
+    def __getattr__(self, name):
+        return getattr(self._xp, name)
+
+    def arctan(self, x):
+        return atan(self._xp, x)
+
+    def arctan2(self, y, x):
+        return atan2(self._xp, y, x)
+
+    def arcsin(self, x):
+        return asin(self._xp, x)
+
+    def arccos(self, x):
+        return acos(self._xp, x)
+
+
+def kernel_namespace(xp) -> KernelNamespace:
+    return KernelNamespace(xp)
