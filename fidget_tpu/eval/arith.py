@@ -50,8 +50,9 @@ class FloatMode:
 
     planes = 1
 
-    def __init__(self, xp):
+    def __init__(self, xp, choice_dtype=np.uint8):
         self.xp = xp
+        self.choice_dtype = choice_dtype
 
     def const(self, imm, like):
         return self.xp.full_like(like, imm)
@@ -137,23 +138,22 @@ class FloatMode:
             nan = xp.isnan(a) | xp.isnan(b)
             tie_val = xp.where(nan, _nan_like(xp, b), b)
             value = xp.where(left, a, xp.where(right, b, tie_val))
+            dt = self.choice_dtype
             choice = xp.where(
                 left,
-                np.uint8(CHOICE_LEFT),
-                xp.where(right, np.uint8(CHOICE_RIGHT), np.uint8(CHOICE_BOTH)),
-            ).astype(np.uint8)
+                dt(CHOICE_LEFT) if dt is np.uint8 else CHOICE_LEFT,
+                xp.where(right, CHOICE_RIGHT, CHOICE_BOTH),
+            ).astype(dt)
             return value, choice
         if op == B.AND:
             left = a == 0.0
-            value = xp.where(left, a, b)
-            choice = xp.where(left, np.uint8(CHOICE_LEFT), np.uint8(CHOICE_RIGHT))
-            return value, choice.astype(np.uint8)
-        if op == B.OR:
+        elif op == B.OR:
             left = a != 0.0
-            value = xp.where(left, a, b)
-            choice = xp.where(left, np.uint8(CHOICE_LEFT), np.uint8(CHOICE_RIGHT))
-            return value, choice.astype(np.uint8)
-        raise ValueError(op)
+        else:
+            raise ValueError(op)
+        value = xp.where(left, a, b)
+        choice = xp.where(left, CHOICE_LEFT, CHOICE_RIGHT)
+        return value, choice.astype(self.choice_dtype)
 
 
 def _dtype(xp, a, b):
@@ -172,8 +172,9 @@ class IntervalMode:
 
     planes = 2
 
-    def __init__(self, xp):
+    def __init__(self, xp, choice_dtype=np.uint8):
         self.xp = xp
+        self.choice_dtype = choice_dtype
 
     def const(self, imm, like):
         v = self.xp.full_like(like[0], imm)
@@ -424,7 +425,8 @@ class IntervalMode:
         bl, bu = b
         nan = self.has_nan(a) | self.has_nan(b)
         n = _nan_like(xp, al)
-        u8 = lambda v: np.uint8(v)
+        dt = self.choice_dtype
+        u8 = lambda v: v
         if op in (B.MIN, B.MAX):
             if op == B.MIN:
                 left = au < bl
@@ -438,7 +440,7 @@ class IntervalMode:
                 nan,
                 u8(CHOICE_BOTH),
                 xp.where(left, u8(CHOICE_LEFT), xp.where(right, u8(CHOICE_RIGHT), u8(CHOICE_BOTH))),
-            ).astype(np.uint8)
+            ).astype(dt)
             return (xp.where(nan, n, lo), xp.where(nan, n, hi)), choice
         if op == B.AND:
             # an unambiguous 0 in lhs selects itself; no 0 selects rhs
@@ -450,7 +452,7 @@ class IntervalMode:
                 nan,
                 u8(CHOICE_BOTH),
                 xp.where(zero, u8(CHOICE_LEFT), xp.where(nonzero, u8(CHOICE_RIGHT), u8(CHOICE_BOTH))),
-            ).astype(np.uint8)
+            ).astype(dt)
             return (xp.where(nan, n, lo), xp.where(nan, n, hi)), choice
         if op == B.OR:
             nonzero = ~((al <= 0.0) & (au >= 0.0))
@@ -461,7 +463,7 @@ class IntervalMode:
                 nan,
                 u8(CHOICE_BOTH),
                 xp.where(nonzero, u8(CHOICE_LEFT), xp.where(zero, u8(CHOICE_RIGHT), u8(CHOICE_BOTH))),
-            ).astype(np.uint8)
+            ).astype(dt)
             return (xp.where(nan, n, lo), xp.where(nan, n, hi)), choice
         raise ValueError(op)
 
@@ -475,8 +477,9 @@ class GradMode:
 
     planes = 4
 
-    def __init__(self, xp):
+    def __init__(self, xp, choice_dtype=np.uint8):
         self.xp = xp
+        self.choice_dtype = choice_dtype
 
     def const(self, imm, like):
         z = self.xp.zeros_like(like[0])
@@ -599,7 +602,5 @@ class GradMode:
         else:
             raise ValueError(op)
         value = tuple(xp.where(left, ac, bc) for ac, bc in zip(a, b))
-        choice = xp.where(
-            left, np.uint8(CHOICE_LEFT), np.uint8(CHOICE_RIGHT)
-        ).astype(np.uint8)
+        choice = xp.where(left, CHOICE_LEFT, CHOICE_RIGHT).astype(self.choice_dtype)
         return value, choice

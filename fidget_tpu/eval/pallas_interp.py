@@ -110,7 +110,7 @@ def interp_float(
       [T, O, S0, 128] f32 outputs.
     """
     T, lcap = w1.shape
-    fm = FloatMode(kernel_namespace(jnp))
+    fm = FloatMode(kernel_namespace(jnp), choice_dtype=jnp.int32)
 
     def kernel(w1_ref, w2_ref, imm_ref, len_ref, vars_ref, out_ref, regs):
         n = len_ref[0, 0, 0]
@@ -180,7 +180,7 @@ def interp_interval(
       (out_lo [T,O,S0,128], out_hi [T,O,S0,128], choices [T,CW,S0,128] i32)
     """
     T, lcap = w1.shape
-    im = IntervalMode(kernel_namespace(jnp))
+    im = IntervalMode(kernel_namespace(jnp), choice_dtype=jnp.int32)
 
     def kernel(
         w1_ref, w2_ref, imm_ref, len_ref, lo_ref, hi_ref,
@@ -209,7 +209,7 @@ def interp_interval(
             def mk_choice(cop):
                 def f():
                     (lo, hi), code = im.choice_binary(cop, va, vb)
-                    return lo, hi, code.astype(jnp.int32)
+                    return lo, hi, code
                 return f
 
             branches = [lambda: (alo, ahi, zero_code)] * _N_OPS
@@ -297,7 +297,7 @@ def interp_grad(
       [T, O, 4, S0, 128] f32 dual outputs.
     """
     T, lcap = w1.shape
-    gm = GradMode(kernel_namespace(jnp))
+    gm = GradMode(kernel_namespace(jnp), choice_dtype=jnp.int32)
 
     def kernel(w1_ref, w2_ref, imm_ref, len_ref, vars_ref, out_ref, *regs):
         n = len_ref[0, 0, 0]

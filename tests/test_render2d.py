@@ -1,0 +1,112 @@
+"""2D renderer golden tests: tiled MPR pipeline vs dense brute force.
+
+The brute-force unrolled evaluation is the ground-truth oracle for all
+culling/simplification paths (the reference validates against golden
+images the same way, fidget/tests/pixel_render.rs:40-107).
+"""
+
+import numpy as np
+import pytest
+
+from fidget_tpu import Context, lower
+from fidget_tpu.io.models import has_model, load_vm
+from fidget_tpu.render.region import ImageSize
+from fidget_tpu.render.render2d import FILL_NONE, PixelRenderer
+
+
+def _check_matches_brute(tape, n=128, tile_size=64, world_to_model=None, z=0.0):
+    r = PixelRenderer(
+        tape, ImageSize(n, n), tile_size=tile_size, interpret=True
+    )
+    img = r.render(world_to_model, z=z)
+    brute = r.render_brute(world_to_model, z=z)
+    evaluated = img.fill == FILL_NONE
+    # where evaluated, distances must match the oracle closely
+    np.testing.assert_allclose(
+        img.distance[evaluated], brute[evaluated], rtol=1e-5, atol=1e-6
+    )
+    # fills must be conservative truths
+    inside_fill = img.fill == 1
+    outside_fill = img.fill == 2
+    assert np.all(brute[inside_fill] < 0), "inside fill covers non-inside px"
+    assert np.all(brute[outside_fill] > 0), "outside fill covers inside px"
+    # final occupancy identical
+    np.testing.assert_array_equal(img.inside(), brute < 0)
+    return img
+
+
+def test_circle_tiled_matches_brute():
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    f = ctx.sub(ctx.sqrt(ctx.add(ctx.square(x), ctx.square(y))), 0.6)
+    tape = lower(ctx, [f])
+    _check_matches_brute(tape)
+    # with an 8x8 tile grid (tile = 0.25 world units), interior and
+    # exterior tiles are provable and must be filled, not evaluated
+    img = _check_matches_brute(tape, n=512)
+    assert (img.fill == 1).any() and (img.fill == 2).any()
+
+
+def test_spiky_tiled_matches_brute():
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    r = ctx.sqrt(ctx.add(ctx.square(x), ctx.square(y)))
+    f = ctx.min(
+        ctx.sub(r, 0.8),
+        ctx.max(ctx.sub(ctx.abs(x), 0.3), ctx.sub(ctx.abs(y), 0.9)),
+    )
+    tape = lower(ctx, [f])
+    _check_matches_brute(tape)
+
+
+def test_pixel_perfect_evaluates_everything():
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    f = ctx.sub(ctx.sqrt(ctx.add(ctx.square(x), ctx.square(y))), 0.6)
+    tape = lower(ctx, [f])
+    r = PixelRenderer(tape, ImageSize(128, 128), interpret=True)
+    img = r.render(pixel_perfect=True)
+    assert (img.fill == FILL_NONE).all()
+    brute = r.render_brute()
+    np.testing.assert_allclose(img.distance, brute, rtol=1e-5, atol=1e-6)
+
+
+def test_transform_and_z():
+    ctx = Context()
+    x, y, z = ctx.x(), ctx.y(), ctx.z()
+    # sphere: depends on z
+    f = ctx.sub(
+        ctx.sqrt(ctx.add(ctx.square(x), ctx.add(ctx.square(y), ctx.square(z)))),
+        0.9,
+    )
+    tape = lower(ctx, [f])
+    m = np.array([[2.0, 0, 0.1], [0, 2.0, -0.2], [0, 0, 1]])
+    _check_matches_brute(tape, world_to_model=m, z=0.5)
+
+
+def test_non_square_image():
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    f = ctx.sub(ctx.sqrt(ctx.add(ctx.square(x), ctx.square(y))), 0.6)
+    tape = lower(ctx, [f])
+    r = PixelRenderer(tape, ImageSize(192, 128), interpret=True)
+    img = r.render()
+    brute = r.render_brute()
+    assert img.distance.shape == (128, 192)
+    np.testing.assert_array_equal(img.inside(), brute < 0)
+
+
+@pytest.mark.skipif(not has_model("hi.vm"), reason="models unavailable")
+def test_hi_vm_matches_brute():
+    ctx, root = load_vm("hi.vm")
+    tape = lower(ctx, [root])
+    img = _check_matches_brute(tape, n=128)
+    ink = img.inside().mean()
+    assert 0.01 < ink < 0.5  # the 'hi' glyphs occupy a small fraction
+
+
+@pytest.mark.skipif(not has_model("quarter.vm"), reason="models unavailable")
+def test_quarter_vm_matches_brute():
+    ctx, root = load_vm("quarter.vm")
+    tape = lower(ctx, [root])
+    _check_matches_brute(tape, n=128)
