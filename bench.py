@@ -1,0 +1,94 @@
+"""Headline benchmark: prospero.vm 2D MPR render at 1024x1024.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The metric is steady-state render throughput in Mpix/s. The reference
+baseline is fidget's published number — 14.489 ms/frame at 512^2 with
+the multithreaded VM evaluator (demos/README.md:8-13) = 18.1 Mpix/s.
+
+Methodology: frames are rendered in batches of K inside one jitted
+fori_loop (one device dispatch per batch) to amortize the dev-tunnel's
+~30 ms dispatch latency, with the transform perturbed per frame so no
+loop-invariant work can be hoisted; the batch result is forced via a
+scalar checksum transfer. Wall time over the whole batch / K = frame
+time. Every frame performs the full pipeline: root interval pass,
+choice capture, batched tape simplification, compaction, leaf
+evaluation, image assembly.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MPIX_S = 18.1  # fidget demos/README.md: 14.489 ms @ 512^2
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from fidget_tpu import lower
+    from fidget_tpu.io.models import load_vm
+    from fidget_tpu.render.region import ImageSize
+    from fidget_tpu.render.render2d import PixelRenderer
+
+    N = 1024
+    ctx, root = load_vm("prospero.vm")
+    tape = lower(ctx, [root])
+    r = PixelRenderer(tape, ImageSize(N, N), tile_size=64)
+
+    # sanity: tiled pipeline must agree with dense brute force
+    img = r.render()
+    brute = r.render_brute()
+    agreement = float((img.inside() == (brute < 0)).mean())
+    if agreement < 0.9999:
+        print(
+            json.dumps(
+                {
+                    "metric": "FAILED occupancy agreement",
+                    "value": agreement,
+                    "unit": "fraction",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+        sys.exit(1)
+
+    K = 32
+
+    def many(mat, z):
+        def body(k, acc):
+            m = mat * (1.0 + 1e-7 * k)
+            dist, fill = r._frame_impl(m, z, pixel_perfect=False)
+            return acc + jnp.sum(dist) + jnp.sum(fill.astype(jnp.float32))
+
+        return lax.fori_loop(0, K, body, 0.0)
+
+    f = jax.jit(many)
+    mat = jnp.asarray(np.eye(3, dtype=np.float32))
+    z = jnp.float32(0.0)
+    _ = float(f(mat, z))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _ = float(f(mat, z))
+        best = min(best, (time.time() - t0) / K)
+
+    mpix_s = N * N / best / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "prospero.vm 1024^2 2D MPR render throughput",
+                "value": round(mpix_s, 2),
+                "unit": "Mpix/s",
+                "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

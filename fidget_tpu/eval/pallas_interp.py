@@ -156,6 +156,105 @@ def interp_float(
 
 
 # ======================================================================
+# float mode over a shared tape with per-tile action codes
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nf", "n_inputs", "n_outputs", "s0", "interpret")
+)
+def interp_float_coded(
+    w1, w2, imm, lengths, codes, vars_, *, nf: int, n_inputs: int,
+    n_outputs: int, s0: int, interpret: bool = False,
+):
+    """Bulk float evaluation of ONE shared tape, specialized per tile by
+    packed action codes instead of materialized child tapes.
+
+    The 2-bit codes from the liveness kernel (simplify_device.py)
+    annotate every parent op per tile: 0 = skip, 1 = execute, 2/3 =
+    execute as COPY from operand a/b. Skipping costs a couple of scalar
+    ops, so a tile whose trace kills 80% of the tape runs ~5x fewer
+    vector ops with zero compaction work — fixed shapes, no scatters.
+
+    Args:
+      w1/w2/imm: [1, L] packed parent tape.
+      lengths: [T] — 0 disables a tile entirely (culled).
+      codes: [T, LW] int32, 16 two-bit codes per word, op-major.
+      vars_: [T, V, S0, 128] f32 input planes.
+    Returns:
+      [T, O, S0, 128] f32 outputs.
+    """
+    T = vars_.shape[0]
+    lcap = w1.shape[1]
+    lw = codes.shape[1]
+    fm = FloatMode(kernel_namespace(jnp), choice_dtype=jnp.int32)
+
+    def kernel(w1_ref, w2_ref, imm_ref, len_ref, codes_ref, vars_ref, out_ref, regs):
+        n = len_ref[0, 0, 0]
+
+        def step(j, _):
+            cword = codes_ref[0, 0, j // 16]
+            code = (cword >> ((j % 16) * 2)) & 3
+
+            @pl.when(code > 0)
+            def _():
+                op, out, a, b, aux = _decode(w1_ref[0, 0, j], w2_ref[0, 0, j])
+                # code 2/3: execute as COPY from the chosen operand
+                a = jnp.where(code == 3, b, a)
+                op = jnp.where(code > 1, TapeOp.COPY, op)
+                immv = imm_ref[0, 0, j]
+                imm_plane = jnp.full((s0, 128), immv, jnp.float32)
+                va = jnp.where(a == IMM12, imm_plane, regs[jnp.minimum(a, nf - 1)])
+                vb = jnp.where(b == IMM12, imm_plane, regs[jnp.minimum(b, nf - 1)])
+                aux_in = jnp.minimum(aux, n_inputs - 1)
+
+                branches = [lambda: va] * _N_OPS
+                branches[TapeOp.INPUT] = lambda: vars_ref[0, aux_in]
+                for u in _UNARY_OPS:
+                    branches[u] = (lambda u=u: fm.unary(u, va))
+                for bop in _PLAIN_BINARY_OPS:
+                    branches[bop] = (lambda bop=bop: fm.binary(bop, va, vb))
+                for cop in _CHOICE_OPS:
+                    branches[cop] = (
+                        lambda cop=cop: fm.choice_binary(cop, va, vb)[0]
+                    )
+                res = lax.switch(op, branches)
+
+                @pl.when(op == TapeOp.OUTPUT)
+                def _():
+                    out_ref[0, jnp.minimum(aux, n_outputs - 1)] = va
+
+                regs[out] = res
+
+            return 0
+
+        lax.fori_loop(0, jnp.minimum(n, lcap), step, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, lcap), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, lcap), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, lcap), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, lw), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_inputs, s0, 128), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n_outputs, s0, 128), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, n_outputs, s0, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nf, s0, 128), jnp.float32)],
+        interpret=interpret,
+    )(
+        jnp.asarray(w1).reshape(1, 1, lcap),
+        jnp.asarray(w2).reshape(1, 1, lcap),
+        jnp.asarray(imm).reshape(1, 1, lcap),
+        jnp.asarray(lengths).reshape(T, 1, 1),
+        jnp.asarray(codes).reshape(T, 1, lw),
+        vars_,
+    )
+
+
+# ======================================================================
 # interval mode (with packed 2-bit choice capture)
 
 

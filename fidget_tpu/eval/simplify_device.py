@@ -27,6 +27,9 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..compiler.pack import IMM12, PackedTapes, pack_rows
 from ..compiler.tape import Tape, TapeOp
@@ -87,46 +90,44 @@ class DeviceSimplifier:
             w1_copy_b=(int(TapeOp.COPY) | (out << 7) | (b << 19)).astype(np.int32),
         )
 
+    # ------------------------------------------------------------------
+    # liveness -> per-(tile, op) action codes
+
     @functools.partial(jax.jit, static_argnums=0)
-    def __call__(self, choices: jax.Array):
-        """choices: [T, C] uint8 (2-bit codes) -> packed child arenas."""
+    def _codes_scan(self, choices: jax.Array):
+        """Reference path: lax.scan over the tape (CPU-friendly).
+
+        choices: [T, C] int codes. Returns codes [T, L] uint8.
+        """
         st = {k: jnp.asarray(v) for k, v in self._st.items()}
         T = choices.shape[0]
         nf = self.nf
-        L = self.L
-        # Row-major layouts for the scan: liveness is [NF, T] and the
-        # choice matrix [C, T], so every per-step dynamic index is a
-        # contiguous row slice (column gathers on [T, NF] were ~60x
-        # slower on TPU).
-        choices = choices.T.astype(jnp.int32)
+        choices = choices.astype(jnp.int32)
         if self.n_choices == 0:
-            # no choice ops: the gather below still needs one row
-            choices = jnp.zeros((1, T), jnp.int32)
+            choices = jnp.zeros((T, 1), jnp.int32)
         iota_nf = jnp.arange(nf, dtype=jnp.int32)
 
         def step(live, xs):
             (op, out, a, b, cidx, is_choice, is_output,
              a_is_reg, b_is_reg, elide_l, elide_r) = xs
-            executed = jnp.where(is_output, True, live[out])
-            c = choices[cidx]
+            executed = jnp.where(is_output, True, live[:, out])
+            c = choices[:, cidx]
             left = is_choice & (c == 1)
             right = is_choice & (c == 2)
             both = ~is_choice | (c == 3) | (c == 0)
             elide = executed & ((left & elide_l) | (right & elide_r))
             emit = executed & ~elide
             code = jnp.where(
-                ~emit,
-                0,
-                jnp.where(both, 1, jnp.where(left, 2, 3)),
+                ~emit, 0, jnp.where(both, 1, jnp.where(left, 2, 3))
             ).astype(jnp.uint8)
             use_a = emit & a_is_reg & (both | left)
             use_b = emit & b_is_reg & (both | right)
             onehot_out = iota_nf == out
             onehot_a = iota_nf == a
             onehot_b = iota_nf == b
-            live = live & ~(onehot_out[:, None] & emit[None, :])
-            live = live | (onehot_a[:, None] & use_a[None, :])
-            live = live | (onehot_b[:, None] & use_b[None, :])
+            live = live & ~(emit[:, None] & onehot_out[None, :])
+            live = live | (use_a[:, None] & onehot_a[None, :])
+            live = live | (use_b[:, None] & onehot_b[None, :])
             return live, code
 
         xs = (
@@ -134,10 +135,113 @@ class DeviceSimplifier:
             st["is_choice"], st["is_output"], st["a_is_reg"], st["b_is_reg"],
             st["elide_l"], st["elide_r"],
         )
-        live0 = jnp.zeros((nf, T), dtype=bool)
+        live0 = jnp.zeros((T, nf), dtype=bool)
         _, codes = jax.lax.scan(step, live0, xs, reverse=True)
-        codes = codes.T  # [T, L]
+        return codes.T  # [T, L]
 
+    @functools.partial(
+        jax.jit, static_argnums=0, static_argnames=("n_tiles", "s0", "interpret")
+    )
+    def _codes_pallas(
+        self, packed_choices: jax.Array, *, n_tiles: int, s0: int,
+        interpret: bool = False,
+    ):
+        """Fast path: Pallas liveness kernel, lanes = tiles.
+
+        packed_choices: [B, CW, S0, 128] int32, 16 two-bit choice codes
+        per word, exactly as produced by `interp_interval` (B lane
+        blocks of S0*128 tiles each). Returns packed per-tile code words [n_tiles, LW].
+        """
+        L = self.L
+        nf = self.nf
+        lw = -(-L // 16)
+        cw = packed_choices.shape[1]
+        B = packed_choices.shape[0]
+        w1, w2, imm = pack_rows(self.parent)
+        w1 = jnp.asarray(w1).reshape(1, 1, L)
+        w2 = jnp.asarray(w2).reshape(1, 1, L)
+        nsteps = jnp.full((1, 1, 1), L, jnp.int32)
+
+        def kernel(w1_ref, w2_ref, len_ref, ch_ref, codes_ref, live):
+            n = len_ref[0, 0, 0]
+            live[...] = jnp.zeros((nf, s0, 128), jnp.int32)
+            codes_ref[0] = jnp.zeros((lw, s0, 128), jnp.int32)
+
+            def step(k, _):
+                j = n - 1 - k
+                wa = w1_ref[0, 0, j]
+                wb = w2_ref[0, 0, j]
+                op = wa & 127
+                out = (wa >> 7) & 0xFFF
+                a = (wa >> 19) & 0xFFF
+                b = wb & 0xFFF
+                aux = wb >> 12
+                is_output = op == 0
+                is_choice = (op >= 27) & (op <= 30)
+                a_is_reg = (op != 1) & (a != IMM12)
+                b_is_reg = (op >= 20) & (b != IMM12)
+                ones = jnp.ones((s0, 128), jnp.int32)
+                executed = jnp.where(is_output, ones, live[out])
+                cword = ch_ref[0, jnp.minimum(aux // 16, cw - 1)]
+                c = (cword >> ((aux % 16) * 2)) & 3
+                left = jnp.where(is_choice, (c == 1).astype(jnp.int32), 0)
+                right = jnp.where(is_choice, (c == 2).astype(jnp.int32), 0)
+                both = jnp.where(
+                    is_choice, ((c == 3) | (c == 0)).astype(jnp.int32), 1
+                )
+                elide = executed & (
+                    jnp.where(a == out, left, 0) | jnp.where(b == out, right, 0)
+                )
+                emit = executed & (1 - elide)
+                code = emit * jnp.where(both == 1, 1, jnp.where(left == 1, 2, 3))
+                w_idx = j // 16
+                codes_ref[0, w_idx] = codes_ref[0, w_idx] | (
+                    code << ((j % 16) * 2)
+                )
+                use_a = jnp.where(a_is_reg, emit & (both | left), 0)
+                use_b = jnp.where(b_is_reg, emit & (both | right), 0)
+                live[out] = live[out] & (1 - emit)
+                live[a] = live[a] | use_a
+                live[b] = live[b] | use_b
+                return 0
+
+            lax.fori_loop(0, n, step, 0)
+
+        codes = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, 1, L), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, L), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, cw, s0, 128), lambda i: (i, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, lw, s0, 128), lambda i: (i, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, lw, s0, 128), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((nf, s0, 128), jnp.int32)],
+            interpret=interpret,
+        )(w1, w2, nsteps, packed_choices)
+
+        # word-major lanes -> per-tile packed rows [n_tiles, LW]
+        lanes = codes.reshape(B, lw, s0 * 128)
+        return jnp.moveaxis(lanes, 1, 2).reshape(B * s0 * 128, lw)[:n_tiles]
+
+    @staticmethod
+    def unpack_codes(per_tile: jax.Array, L: int) -> jax.Array:
+        """[T, LW] packed words -> [T, L] uint8 action codes."""
+        idx = jnp.arange(L)
+        words = per_tile[:, idx // 16]
+        return ((words >> ((idx % 16) * 2)[None, :]) & 3).astype(jnp.uint8)
+
+    # ------------------------------------------------------------------
+    # code reconstruction + compaction (shared by both paths)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _reconstruct(self, codes: jax.Array):
+        """codes: [T, L] uint8 action codes -> packed child arenas."""
+        st = {k: jnp.asarray(v) for k, v in self._st.items()}
+        T = codes.shape[0]
+        L = self.L
         keep = codes > 0
         w1_new = jnp.where(
             codes == 1,
@@ -153,18 +257,52 @@ class DeviceSimplifier:
         )
         n_choices_new = kept_choice.sum(axis=1).astype(jnp.int32)
 
-        # compact each row
-        pos = jnp.cumsum(keep, axis=1) - 1
-        lengths = (pos[:, -1] + 1).astype(jnp.int32)
-        pos = jnp.where(keep, pos, L)  # park dropped rows out of range
-        t_idx = jnp.broadcast_to(jnp.arange(T)[:, None], (T, L))
-        w1_out = jnp.zeros((T, L), jnp.int32).at[t_idx, pos].set(
-            w1_new, mode="drop"
+        lengths = keep.sum(axis=1).astype(jnp.int32)
+        # Compaction = stable partition: kept rows first, original order.
+        # A stable multi-operand sort is ~100x faster than scatter on TPU.
+        keys = (~keep).astype(jnp.int32)
+        imm_b = jnp.broadcast_to(st["imm"][None, :], (T, L))
+        _, w1_out, w2_out, imm_out = lax.sort(
+            (keys, w1_new, w2_new, imm_b), dimension=1, is_stable=True,
+            num_keys=1,
         )
-        w2_out = jnp.zeros((T, L), jnp.int32).at[t_idx, pos].set(
-            w2_new, mode="drop"
-        )
-        imm_out = jnp.zeros((T, L), jnp.float32).at[t_idx, pos].set(
-            jnp.broadcast_to(st["imm"][None, :], (T, L)), mode="drop"
-        )
+        # zero the tail beyond each tape's length (tidier arenas)
+        tail = jnp.arange(L)[None, :] >= lengths[:, None]
+        w1_out = jnp.where(tail, 0, w1_out)
+        w2_out = jnp.where(tail, 0, w2_out)
+        imm_out = jnp.where(tail, 0.0, imm_out)
         return w1_out, w2_out, imm_out, lengths, n_choices_new
+
+    # ------------------------------------------------------------------
+    # public entry points
+
+    def __call__(self, choices: jax.Array):
+        """choices: [T, C] uint8 codes -> packed child arenas (scan path)."""
+        return self._reconstruct(self._codes_scan(choices))
+
+    def codes_per_tile(
+        self, packed_choices: jax.Array, *, n_tiles: int,
+        interpret: bool = False,
+    ):
+        """Packed-choice fast path (Pallas liveness kernel).
+
+        packed_choices: [B, CW, S0, 128] int32 straight from
+        `interp_interval`; tiles are lanes in row-major order. Returns
+        [n_tiles, LW] packed action-code words, ready for
+        `interp_float_coded` (no tape materialization at all).
+        """
+        s0 = packed_choices.shape[2]
+        return self._codes_pallas(
+            packed_choices, n_tiles=n_tiles, s0=s0, interpret=interpret
+        )
+
+    def simplify_packed(
+        self, packed_choices: jax.Array, *, n_tiles: int,
+        interpret: bool = False,
+    ):
+        """Like `codes_per_tile` but materializes compacted child tapes
+        (needed when children feed further interval levels)."""
+        per_tile = self.codes_per_tile(
+            packed_choices, n_tiles=n_tiles, interpret=interpret
+        )
+        return self._reconstruct(self.unpack_codes(per_tile, self.L))

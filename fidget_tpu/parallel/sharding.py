@@ -1,0 +1,148 @@
+"""Multi-device rendering and parameter fitting.
+
+The reference is single-node (rayon work-stealing,
+fidget-core/src/render/config.rs:11-34); the TPU equivalent shards work
+over a `jax.sharding.Mesh`:
+
+- **rendering**: the tile/pixel grid is data-parallel — shard image
+  rows over the mesh, each device evaluates its slab, no communication
+  until assembly (`jax.lax.all_gather` only if a replicated image is
+  required).
+- **fitting** (the training-step analog): differentiable rendering of
+  shape parameters; per-device pixel losses are reduced with `psum`, so
+  parameter gradients are all-reduced over ICI exactly once per step —
+  the standard DP pattern.
+
+The differentiable path is the unrolled evaluator (eval/unrolled.py):
+interval culling is control flow and intentionally carries no gradient
+(SURVEY.md §3.5 — fills short-circuit gradients in the reference too).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..compiler.tape import Tape
+from ..core.var import Var
+from ..eval.arith import FloatMode
+from ..eval.unrolled import eval_tape
+from ..render.region import ImageSize, compose2
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "tiles") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _eval_rows(tape: Tape, mat, rows, W: int, z, params: dict):
+    """Evaluates a slab of image rows (differentiably)."""
+    cols = jnp.arange(W, dtype=jnp.float32)
+    px, py = jnp.meshgrid(cols, rows)
+    mx = mat[0, 0] * px + mat[0, 1] * py + mat[0, 2]
+    my = mat[1, 0] * px + mat[1, 1] * py + mat[1, 2]
+    fm = FloatMode(jnp)
+    inputs = [None] * len(tape.var_map)
+    for v, i in tape.var_map.items():
+        if v == Var.X:
+            inputs[i] = mx
+        elif v == Var.Y:
+            inputs[i] = my
+        elif v == Var.Z:
+            inputs[i] = jnp.full_like(mx, z)
+        else:
+            inputs[i] = jnp.full_like(mx, params[v])
+    (d,), _ = eval_tape(tape, fm, inputs)
+    return d
+
+
+def render_sharded(
+    tape: Tape,
+    size: ImageSize,
+    mesh: Mesh,
+    *,
+    world_to_model: np.ndarray | None = None,
+    z: float = 0.0,
+    params: dict | None = None,
+):
+    """Dense differentiable render with rows sharded over the mesh."""
+    axis = mesh.axis_names[0]
+    H, W = size.height, size.width
+    assert H % mesh.devices.size == 0
+    mat = jnp.asarray(compose2(world_to_model, size), jnp.float32)
+    rows = jnp.arange(H, dtype=jnp.float32)
+    rows = jax.device_put(rows, NamedSharding(mesh, P(axis)))
+
+    @functools.partial(
+        jax.jit,
+        out_shardings=NamedSharding(mesh, P(axis, None)),
+    )
+    def run(rows):
+        return _eval_rows(tape, mat, rows, W, jnp.float32(z), params or {})
+
+    return run(rows)
+
+
+def fit_step(
+    tape: Tape,
+    size: ImageSize,
+    mesh: Mesh,
+    params: dict,
+    target,
+    *,
+    lr: float = 0.5,
+    z: float = 0.0,
+):
+    """One data-parallel gradient-descent step on shape parameters.
+
+    The image-row axis is sharded over the mesh; the scalar loss (and
+    therefore every parameter gradient) is all-reduced with `psum`
+    inside `shard_map`, overlapping reduction with the backward pass as
+    XLA schedules it.
+
+    Returns (new_params, loss).
+    """
+    axis = mesh.axis_names[0]
+    H, W = size.height, size.width
+    n_dev = mesh.devices.size
+    assert H % n_dev == 0
+    mat = jnp.asarray(compose2(None, size), jnp.float32)
+
+    param_vars = sorted(params.keys(), key=lambda v: (v.kind, v.ident))
+    theta = jnp.asarray([float(params[v]) for v in param_vars], jnp.float32)
+
+    rows_all = jnp.arange(H, dtype=jnp.float32)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis, None)),
+        out_specs=(P(), P()),
+    )
+    def grad_shard(theta, rows, tgt):
+        def local_loss(theta):
+            p = {v: theta[i] for i, v in enumerate(param_vars)}
+            d = _eval_rows(tape, mat, rows, W, jnp.float32(z), p)
+            return jnp.sum((d - tgt) ** 2) / (H * W)
+
+        loss, g = jax.value_and_grad(local_loss)(theta)
+        # `theta` is replicated (P()), so shard_map's AD already
+        # all-reduces its cotangent across the mesh — `g` is the global
+        # gradient; only the (varying) loss needs an explicit psum.
+        return jax.lax.psum(loss, axis), g
+
+    @jax.jit
+    def step(theta, target):
+        loss, g = grad_shard(theta, rows_all, target)
+        return theta - lr * g, loss
+
+    new_theta, loss = step(theta, jnp.asarray(target, jnp.float32))
+    new_params = {v: new_theta[i] for i, v in enumerate(param_vars)}
+    return new_params, float(loss)

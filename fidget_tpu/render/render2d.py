@@ -42,6 +42,7 @@ from ..eval.arith import FloatMode, IntervalMode
 from ..eval.pallas_interp import (
     default_interpret,
     interp_float,
+    interp_float_coded,
     interp_interval,
 )
 from ..eval.simplify_device import DeviceSimplifier
@@ -196,16 +197,11 @@ class PixelRenderer:
             active = jnp.ones_like(active)
 
         # ---- stage 3: per-tile simplification ---------------------------
-        # unpack packed choices [CW, S0, 128] -> [T, C]
-        C = max(self.tape.choice_count, 1)
-        cw = packed_choices[0].reshape(self.c_words, -1)[:, :T]  # [CW, T]
-        idx = jnp.arange(C)
-        words = cw[jnp.minimum(idx // 16, self.c_words - 1)]  # [C, T]
-        shifts = (idx % 16) * 2
-        choices = ((words >> shifts[:, None]) & 3).astype(jnp.uint8).T  # [T, C]
-        if self.tape.choice_count == 0:
-            choices = jnp.zeros((T, 0), jnp.uint8)
-        w1, w2, imm, lengths, _ncho = self.simplifier(choices)
+        # packed choice words -> Pallas liveness kernel -> sort-compacted
+        # per-tile child tapes, all on device
+        w1, w2, imm, lengths, _ncho = self.simplifier.simplify_packed(
+            packed_choices, n_tiles=T, interpret=interpret
+        )
 
         # ---- stage 4: leaf pass (one instance per tile) -----------------
         # zero out culled tiles' tapes: their instances do no work
