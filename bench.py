@@ -60,15 +60,17 @@ def main() -> None:
     K = 32
 
     def many(mat, z):
+        vec = jnp.zeros(r.n_inputs, jnp.float32)
+
         def body(k, acc):
             m = mat * (1.0 + 1e-7 * k)
-            dist, fill = r._frame_impl(m, z, pixel_perfect=False)
+            dist, fill = r._frame_impl(m, z, vec, pixel_perfect=False)
             return acc + jnp.sum(dist) + jnp.sum(fill.astype(jnp.float32))
 
         return lax.fori_loop(0, K, body, 0.0)
 
     f = jax.jit(many)
-    mat = jnp.asarray(np.eye(3, dtype=np.float32))
+    mat = jnp.asarray(np.eye(4, dtype=np.float32))
     z = jnp.float32(0.0)
     _ = float(f(mat, z))  # compile + warm
     best = float("inf")

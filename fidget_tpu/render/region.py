@@ -56,6 +56,19 @@ class VoxelSize:
         return m
 
 
+def mat3_to_mat4(m3: np.ndarray) -> np.ndarray:
+    """Embeds a 2D homogeneous 3x3 (acting on (x, y, 1)) into a 4x4
+    acting on (x, y, z, 1), passing z through unchanged."""
+    m3 = np.asarray(m3, dtype=np.float64)
+    m4 = np.zeros((4, 4))
+    m4[:2, :2] = m3[:2, :2]
+    m4[:2, 3] = m3[:2, 2]
+    m4[2, 2] = 1.0
+    m4[3, :2] = m3[2, :2]
+    m4[3, 3] = m3[2, 2]
+    return m4
+
+
 def compose2(world_to_model: np.ndarray | None, size: ImageSize) -> np.ndarray:
     """Combined screen->model 3x3 for 2D rendering."""
     s2w = size.screen_to_world()

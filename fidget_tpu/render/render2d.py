@@ -47,7 +47,8 @@ from ..eval.pallas_interp import (
 )
 from ..eval.simplify_device import DeviceSimplifier
 from ..eval.unrolled import eval_tape
-from .region import ImageSize, compose2
+from ..shape import Shape, ShapeVars
+from .region import ImageSize, compose2, mat3_to_mat4
 
 #: fill codes in the `fill` channel of a rendered image
 FILL_NONE = 0
@@ -93,12 +94,16 @@ class PixelRenderer:
 
     def __init__(
         self,
-        tape: Tape,
+        tape: Tape | Shape,
         image_size: ImageSize,
         *,
         tile_size: int = 64,
         interpret: bool | None = None,
     ):
+        self.shape_transform = None
+        if isinstance(tape, Shape):
+            self.shape_transform = tape.transform
+            tape = tape.tape()
         assert tape.output_count == 1, "2D rendering expects a single output"
         self.tape = tape
         self.size = image_size
@@ -137,26 +142,35 @@ class PixelRenderer:
 
     # ------------------------------------------------------------------
 
-    def _transform_points(self, mat, xs, ys):
-        """Applies the homogeneous screen->model 3x3 to float planes."""
-        mx = mat[0, 0] * xs + mat[0, 1] * ys + mat[0, 2]
-        my = mat[1, 0] * xs + mat[1, 1] * ys + mat[1, 2]
-        w = mat[2, 0] * xs + mat[2, 1] * ys + mat[2, 2]
-        return mx / w, my / w
+    def _transform_points(self, mat, xs, ys, z):
+        """Applies the homogeneous (px, py, z, 1) -> model 4x4 to float
+        planes, returning model (x, y, z)."""
 
-    def _transform_intervals(self, im, mat, xi, yi):
-        """Interval version of the affine transform (no perspective)."""
+        def row(r):
+            return mat[r, 0] * xs + mat[r, 1] * ys + mat[r, 2] * z + mat[r, 3]
+
+        w = row(3)
+        return row(0) / w, row(1) / w, row(2) / w
+
+    def _transform_intervals(self, im, mat, xi, yi, z):
+        """Interval version of the homogeneous transform. The w row is
+        divided through interval division, which is exact for affine
+        matrices (w == [1, 1]) and correctly widens for perspective."""
         from ..compiler.tape import TapeOp
 
         def axis(r):
             mx = im.binary(TapeOp.MUL, xi, (mat[r, 0], mat[r, 0]))
             my = im.binary(TapeOp.MUL, yi, (mat[r, 1], mat[r, 1]))
             s = im.binary(TapeOp.ADD, mx, my)
-            return im.binary(TapeOp.ADD, s, (mat[r, 2], mat[r, 2]))
+            c = mat[r, 2] * z + mat[r, 3]
+            return im.binary(TapeOp.ADD, s, (c, c))
 
-        return axis(0), axis(1)
+        wr = axis(3)
+        return tuple(
+            im.binary(TapeOp.DIV, axis(r), wr) for r in range(3)
+        )
 
-    def _frame_impl(self, mat, z, *, pixel_perfect: bool):
+    def _frame_impl(self, mat, z, var_vec, *, pixel_perfect: bool):
         ts, W, H = self.ts, self.W, self.H
         T = self.n_tiles
         im = IntervalMode(jnp)
@@ -168,13 +182,14 @@ class PixelRenderer:
         y0 = jnp.zeros(lanes, jnp.float32).at[:T].set(self.tile_y0)
         xi = (x0, x0 + ts)
         yi = (y0, y0 + ts)
-        mxi, myi = self._transform_intervals(im, mat, xi, yi)
-        zi = (jnp.full(lanes, z, jnp.float32), jnp.full(lanes, z, jnp.float32))
+        mxi, myi, mzi = self._transform_intervals(im, mat, xi, yi, z)
 
         V = self.n_inputs
-        var_lo = jnp.zeros((1, V, self.root_s0, 128), jnp.float32)
-        var_hi = jnp.zeros_like(var_lo)
-        for kind, ivl in (("x", mxi), ("y", myi), ("z", zi)):
+        var_lo = jnp.broadcast_to(
+            var_vec[None, :, None, None], (1, V, self.root_s0, 128)
+        ).astype(jnp.float32)
+        var_hi = var_lo
+        for kind, ivl in (("x", mxi), ("y", myi), ("z", mzi)):
             idx = self.axis_of.get(kind)
             if idx is not None:
                 var_lo = var_lo.at[0, idx].set(ivl[0].reshape(self.root_s0, 128))
@@ -212,13 +227,13 @@ class PixelRenderer:
         py = self.tile_y0[:, None, None] + ii[None, :, None]
         px = jnp.broadcast_to(px, (T, ts, ts)).reshape(T, self.leaf_s0, 128)
         py = jnp.broadcast_to(py, (T, ts, ts)).reshape(T, self.leaf_s0, 128)
-        mx, my = self._transform_points(mat, px, py)
-        vars_ = jnp.zeros((T, V, self.leaf_s0, 128), jnp.float32)
-        for kind, plane in (("x", mx), ("y", my), ("z", None)):
+        mx, my, mz = self._transform_points(mat, px, py, z)
+        vars_ = jnp.broadcast_to(
+            var_vec[None, :, None, None], (T, V, self.leaf_s0, 128)
+        ).astype(jnp.float32)
+        for kind, plane in (("x", mx), ("y", my), ("z", mz)):
             idx2 = self.axis_of.get(kind)
             if idx2 is not None:
-                if plane is None:
-                    plane = jnp.full((T, self.leaf_s0, 128), z, jnp.float32)
                 vars_ = vars_.at[:, idx2].set(plane)
 
         dist = interp_float(
@@ -241,50 +256,92 @@ class PixelRenderer:
 
     # ------------------------------------------------------------------
 
+    def _mat4(self, world_to_model: np.ndarray | None) -> np.ndarray:
+        """Combined (px, py, z, 1) -> model 4x4: screen->world 3x3,
+        optional world->model view, then the shape's own transform."""
+        m = mat3_to_mat4(compose2(world_to_model, self.size))
+        if self.shape_transform is not None:
+            m = self.shape_transform @ m
+        return m.astype(np.float32)
+
+    def _var_vec(self, vars) -> np.ndarray:
+        """Dense per-input value vector from ShapeVars (axes are filled
+        by the transform stages and ignored here)."""
+        vec = np.zeros(self.n_inputs, np.float32)
+        if vars is not None:
+            for v, val in vars.items():
+                idx = self.tape.var_map.get(v)
+                if idx is not None:
+                    vec[idx] = np.float32(val)
+        missing = [
+            v
+            for v in self.tape.var_map
+            if v.kind == "v" and (vars is None or v not in vars)
+        ]
+        if missing:
+            raise ValueError(f"unbound shape variables: {missing}")
+        return vec
+
     def render(
         self,
         world_to_model: np.ndarray | None = None,
         *,
         z: float = 0.0,
+        vars: "ShapeVars | dict | None" = None,
         pixel_perfect: bool = False,
     ) -> Image2D:
         """Renders a frame; one device dispatch."""
-        mat = jnp.asarray(compose2(world_to_model, self.size), jnp.float32)
-        img, fill = self._frame(mat, jnp.float32(z), pixel_perfect=pixel_perfect)
+        mat = jnp.asarray(self._mat4(world_to_model))
+        vec = jnp.asarray(self._var_vec(vars))
+        img, fill = self._frame(
+            mat, jnp.float32(z), vec, pixel_perfect=pixel_perfect
+        )
         return Image2D(np.asarray(img), np.asarray(fill))
 
     def render_brute(
-        self, world_to_model: np.ndarray | None = None, *, z: float = 0.0
+        self,
+        world_to_model: np.ndarray | None = None,
+        *,
+        z: float = 0.0,
+        vars: "ShapeVars | dict | None" = None,
     ) -> np.ndarray:
         """Dense per-pixel evaluation via the unrolled evaluator — the
         ground-truth oracle for the tiled pipeline (and the reference's
         `RenderMode::Brute`)."""
-        mat = compose2(world_to_model, self.size).astype(np.float32)
+        mat = self._mat4(world_to_model)
+        vec = self._var_vec(vars)
         cols = np.arange(self.W, dtype=np.float32)
         rows = np.arange(self.H, dtype=np.float32)
         px, py = np.meshgrid(cols, rows)
-        mx, my = self._transform_points(mat, px, py)
+        mx, my, mz = self._transform_points(mat, px, py, np.float32(z))
         fm = FloatMode(np)
-        inputs = [None] * self.n_inputs
-        for kind, plane in (("x", mx), ("y", my), ("z", np.full_like(px, z))):
+        inputs = [
+            np.broadcast_to(v, px.shape).astype(np.float32) for v in vec
+        ]
+        for kind, plane in (("x", mx), ("y", my), ("z", mz)):
             idx = self.axis_of.get(kind)
             if idx is not None:
-                inputs[idx] = plane.astype(np.float32)
+                inputs[idx] = np.broadcast_to(plane, px.shape).astype(
+                    np.float32
+                )
         with np.errstate(all="ignore"):
             (d,), _ = eval_tape(self.tape, fm, inputs)
         return d
 
 
 def render(
-    tape: Tape,
+    tape: Tape | Shape,
     image_size: ImageSize,
     *,
     world_to_model: np.ndarray | None = None,
     z: float = 0.0,
+    vars: ShapeVars | dict | None = None,
     tile_size: int = 64,
     pixel_perfect: bool = False,
     interpret: bool | None = None,
 ) -> Image2D:
     """One-shot 2D render (mirrors fidget_raster::pixel::render)."""
     r = PixelRenderer(tape, image_size, tile_size=tile_size, interpret=interpret)
-    return r.render(world_to_model, z=z, pixel_perfect=pixel_perfect)
+    return r.render(
+        world_to_model, z=z, vars=vars, pixel_perfect=pixel_perfect
+    )

@@ -110,3 +110,36 @@ def test_quarter_vm_matches_brute():
     ctx, root = load_vm("quarter.vm")
     tape = lower(ctx, [root])
     _check_matches_brute(tape, n=128)
+
+
+def test_render_shape_with_transform_and_vars():
+    from fidget_tpu import Tree, Var
+    from fidget_tpu.shape import Shape
+
+    r_var = Var.new()
+    x, y, z = Tree.axes()
+    tree = (x.square() + y.square()).sqrt() - Tree.var(r_var)
+    # shrink model 2x: world-space radius doubles
+    shape = Shape.from_tree(tree).apply_transform(np.diag([0.5, 0.5, 0.5, 1.0]))
+    pr = PixelRenderer(shape, ImageSize(128, 128), interpret=True)
+    img = pr.render(vars={r_var: 0.4})
+    brute = pr.render_brute(vars={r_var: 0.4})
+    evaluated = img.fill == FILL_NONE
+    np.testing.assert_allclose(
+        img.distance[evaluated], brute[evaluated], rtol=1e-5, atol=1e-6
+    )
+    # radius 0.4 in model space = 0.8 world: check occupancy fraction
+    frac = img.inside().mean()
+    expect = np.pi * 0.8**2 / 4.0  # circle area / [-1,1]^2 area
+    assert abs(frac - expect) < 0.01
+
+
+def test_render_shape_unbound_var_raises():
+    from fidget_tpu import Tree, Var
+    from fidget_tpu.shape import Shape
+
+    x, y, _ = Tree.axes()
+    tree = (x.square() + y.square()).sqrt() - Tree.var(Var.new())
+    pr = PixelRenderer(Shape.from_tree(tree), ImageSize(64, 64), interpret=True)
+    with pytest.raises(ValueError):
+        pr.render()
