@@ -1,0 +1,530 @@
+"""Level-synchronous 3D voxel renderer (heightmap + normals).
+
+The TPU redesign of the reference's column-raymarch voxel renderer
+(fidget-raster/src/voxel.rs:244-483) using the wgpu MPR pipeline's
+execution model (fidget-wgpu/src/voxel/mod.rs:2557-2596) under XLA's
+static-shape rules:
+
+1. **Root interval pass** — every `ts`^3 root tile is an interval lane
+   of one Pallas launch; tiles prove full (emit their top z into the
+   heightmap), empty, or stay active; choices feed the batched device
+   simplifier, producing one specialized tape per root tile.
+2. **Subtile interval pass** — grid instance per root tile; lanes are
+   its `sub`^3 subtiles, evaluated with the *simplified* tape (culled
+   roots get zero-length tapes and cost nothing).
+3. **Occlusion cull + compaction** — full tiles/subtiles build a
+   conservative per-column depth floor; active subtiles whose top lies
+   at or below the floor are dropped (the analog of the wgpu zmin
+   tests, interval_tiles.wgsl:20-129). Survivors sort front-to-back
+   into a fixed-capacity worklist (overflow is detected and the host
+   retries with doubled capacity — the graceful-degradation pattern of
+   the wgpu tape arena, tape_simplify.wgsl:13-17).
+4. **Voxel pass** — grid instance per compacted subtile; lanes are its
+   voxels, point-evaluated with the root tile's simplified tape; each
+   pixel column's deepest interior voxel scatter-maxes into the
+   heightmap (depth = z + 1, 0 = empty; voxel.rs:443-445).
+5. **Normals pass** — per-pixel forward-gradient evaluation at the
+   surface voxel, seeded with the world-frame Jacobian, mirroring the
+   grad-slice normals pass (voxel.rs:447-482). Saturated pixels
+   (depth == D) get normal [0,0,1] (voxel.rs:534-546).
+
+Everything is traced into a single XLA computation per frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..compiler.pack import pack_tapes
+from ..compiler.tape import Tape
+from ..eval.arith import IntervalMode
+from ..eval.pallas_interp import (
+    default_interpret,
+    interp_float,
+    interp_grad,
+    interp_interval,
+)
+from ..eval.simplify_device import DeviceSimplifier
+from ..shape import Shape, ShapeVars
+from .region import VoxelSize
+from .transform import transform_duals, transform_intervals, transform_points
+
+
+@dataclass
+class Image3D:
+    """Output of the 3D renderer.
+
+    depth: int32 [H, W]; 0 = empty, else surface voxel z + 1
+      (== VoxelSize.depth means saturated).
+    normal: f32 [H, W, 3] unit world-frame normals (zero where empty,
+      [0, 0, 1] where saturated); None in heightmap-only mode.
+    """
+
+    depth: np.ndarray
+    normal: np.ndarray | None
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class VoxelRenderer:
+    """Compiled 3D renderer for one shape at one volume size.
+
+    Args:
+      tape: register tape or Shape (single output).
+      size: volume size in voxels; all extents must be multiples of
+        `tile_size`.
+      tile_size: root tile edge (voxels), default 64 (the JIT 3D root
+        hint, fidget-jit/src/lib.rs:959-965).
+      sub_size: leaf subtile edge; sub_size**3 voxels form the lanes of
+        one leaf grid instance (default 16 -> 4096 lanes).
+      cap: max active subtiles processed per frame (None = auto from
+        the screen area); overflow triggers a host-side retry at 2x.
+    """
+
+    def __init__(
+        self,
+        tape: Tape | Shape,
+        size: VoxelSize,
+        *,
+        tile_size: int = 64,
+        sub_size: int = 16,
+        cap: int | None = None,
+        interpret: bool | None = None,
+    ):
+        self.shape_transform = None
+        if isinstance(tape, Shape):
+            self.shape_transform = tape.transform
+            tape = tape.tape()
+        assert tape.output_count == 1, "3D rendering expects a single output"
+        self.tape = tape
+        self.size = size
+        self.ts = tile_size
+        self.sub = sub_size
+        assert tile_size % sub_size == 0
+        self.interpret = default_interpret() if interpret is None else interpret
+
+        W, H, D = size.width, size.height, size.depth
+        assert W % tile_size == 0 and H % tile_size == 0 and D % tile_size == 0, (
+            "volume extents must be multiples of tile_size"
+        )
+        self.W, self.H, self.D = W, H, D
+        self.ntx, self.nty, self.ntz = W // tile_size, H // tile_size, D // tile_size
+        self.nt = self.ntx * self.nty * self.ntz
+        self.nl = tile_size // sub_size            # subtiles per tile edge
+        self.m = self.nl**3                        # subtiles per root tile
+        self.nx2, self.ny2, self.nz2 = W // sub_size, H // sub_size, D // sub_size
+        self.nsub = self.nx2 * self.ny2 * self.nz2
+
+        # lane layouts
+        self.s0r = max(8, _ceil_to(-(-self.nt // 128), 8))     # root pass
+        self.s0s = max(1, -(-self.m // 128))                   # subtile pass
+        self.s0v = max(1, -(-sub_size**3 // 128))              # voxel pass
+        if cap is None:
+            cap = max(256, 4 * self.nx2 * self.ny2)
+        self.cap = cap
+
+        self.packed = pack_tapes([tape])
+        self.simplifier = DeviceSimplifier(tape)
+        self.nf = self.simplifier.nf
+        self.n_inputs = len(tape.var_map)
+        self.c_words = max(1, -(-tape.choice_count // 16))
+        self.axis_of = {v.kind: i for v, i in tape.var_map.items()}
+
+        # normals-pass lane block sized so 4 dual register scratches fit VMEM
+        budget = 8 * 2**20
+        s0n = budget // (max(1, self.nf) * 4 * 128 * 4)
+        self.s0n = int(max(8, min(64, 1 << max(3, s0n.bit_length() - 1))))
+
+        # static root-tile corner coordinates, (tz, ty, tx) row-major
+        tzz, tyy, txx = np.meshgrid(
+            np.arange(self.ntz), np.arange(self.nty), np.arange(self.ntx),
+            indexing="ij",
+        )
+        self.tile_x0 = (txx.reshape(-1) * tile_size).astype(np.float32)
+        self.tile_y0 = (tyy.reshape(-1) * tile_size).astype(np.float32)
+        self.tile_z0 = (tzz.reshape(-1) * tile_size).astype(np.float32)
+        # local subtile offsets within a root tile, (lz, ly, lx) row-major
+        lz, ly, lx = np.meshgrid(
+            np.arange(self.nl), np.arange(self.nl), np.arange(self.nl),
+            indexing="ij",
+        )
+        self.sub_dx = (lx.reshape(-1) * sub_size).astype(np.float32)
+        self.sub_dy = (ly.reshape(-1) * sub_size).astype(np.float32)
+        self.sub_dz = (lz.reshape(-1) * sub_size).astype(np.float32)
+        # voxel offsets within a subtile, (vz, vy, vx) row-major
+        vz, vy, vx = np.meshgrid(
+            np.arange(sub_size), np.arange(sub_size), np.arange(sub_size),
+            indexing="ij",
+        )
+        self.vox_dx = vx.reshape(-1).astype(np.float32)
+        self.vox_dy = vy.reshape(-1).astype(np.float32)
+        self.vox_dz = vz.reshape(-1).astype(np.float32)
+
+        self.s2w = size.screen_to_world()
+        self._frame = jax.jit(self._frame_impl, static_argnames=("mode",))
+
+    # ------------------------------------------------------------------
+
+    def _pad_plane(self, a, s0):
+        """[..., K] -> [..., s0, 128] zero-padded planes."""
+        K = a.shape[-1]
+        pad = s0 * 128 - K
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1
+            )
+        return a.reshape(a.shape[:-1] + (s0, 128))
+
+    def _interval_vars(self, im, mat, var_vec, xi, yi, zi, s0, lead):
+        """Builds [lead..., V, s0, 128] interval var planes from screen
+        interval triples of shape [lead..., K]."""
+        mxi, myi, mzi = transform_intervals(im, mat, xi, yi, zi)
+        V = self.n_inputs
+        shape = lead + (V, s0, 128)
+        var_lo = jnp.broadcast_to(
+            var_vec.reshape((1,) * len(lead) + (V, 1, 1)), shape
+        ).astype(jnp.float32)
+        var_hi = var_lo
+        for kind, ivl in (("x", mxi), ("y", myi), ("z", mzi)):
+            idx = self.axis_of.get(kind)
+            if idx is not None:
+                lo = self._pad_plane(ivl[0], s0)
+                hi = self._pad_plane(ivl[1], s0)
+                sel = (slice(None),) * len(lead) + (idx,)
+                var_lo = var_lo.at[sel].set(lo)
+                var_hi = var_hi.at[sel].set(hi)
+        return var_lo, var_hi
+
+    def _point_vars(self, mat, var_vec, px, py, pz, s0, lead):
+        mx, my, mz = transform_points(mat, px, py, pz)
+        V = self.n_inputs
+        shape = lead + (V, s0, 128)
+        vars_ = jnp.broadcast_to(
+            var_vec.reshape((1,) * len(lead) + (V, 1, 1)), shape
+        ).astype(jnp.float32)
+        for kind, plane in (("x", mx), ("y", my), ("z", mz)):
+            idx = self.axis_of.get(kind)
+            if idx is not None:
+                sel = (slice(None),) * len(lead) + (idx,)
+                vars_ = vars_.at[sel].set(self._pad_plane(plane, s0))
+        return vars_
+
+    # ------------------------------------------------------------------
+
+    def _frame_impl(self, matM, var_vec, *, mode: str):
+        """matM: traced world->model 4x4 (incl. shape transform);
+        var_vec: f32 [V] custom-variable values."""
+        ts, sub, nl = self.ts, self.sub, self.nl
+        W, H, D = self.W, self.H, self.D
+        nt, m = self.nt, self.m
+        interpret = self.interpret
+        im = IntervalMode(jnp)
+        mat = matM @ jnp.asarray(self.s2w, jnp.float32)  # screen -> model
+
+        # ---- stage 1: root interval pass (lanes = root tiles) ---------
+        x0 = jnp.asarray(self.tile_x0)
+        y0 = jnp.asarray(self.tile_y0)
+        z0 = jnp.asarray(self.tile_z0)
+        var_lo, var_hi = self._interval_vars(
+            im, mat, var_vec,
+            (x0, x0 + ts), (y0, y0 + ts), (z0, z0 + ts),
+            self.s0r, (1,),
+        )
+        olo, ohi, packed_choices = interp_interval(
+            self.packed.w1, self.packed.w2, self.packed.imm,
+            self.packed.lengths, var_lo, var_hi,
+            nf=self.nf, n_inputs=self.n_inputs, n_outputs=1, s0=self.s0r,
+            c_words=self.c_words, interpret=interpret,
+        )
+        rlo = olo[0, 0].reshape(-1)[:nt]
+        rhi = ohi[0, 0].reshape(-1)[:nt]
+        root_full = rhi < 0.0
+        root_empty = rlo > 0.0
+        root_active = ~(root_full | root_empty)
+
+        # full root tiles: column depth = tile top
+        fullv = jnp.where(root_full, z0 + ts, 0.0).reshape(
+            self.ntz, self.nty, self.ntx
+        )
+        depth_root = fullv.max(axis=0).astype(jnp.int32)  # [nty, ntx]
+
+        # ---- stage 2: per-root-tile simplification --------------------
+        w1s, w2s, imms, lens, _ncho = self.simplifier.simplify_packed(
+            packed_choices, n_tiles=nt, interpret=interpret
+        )
+
+        # ---- stage 3: subtile interval pass (instance per root tile) --
+        sx0 = x0[:, None] + jnp.asarray(self.sub_dx)[None, :]  # [nt, m]
+        sy0 = y0[:, None] + jnp.asarray(self.sub_dy)[None, :]
+        sz0 = z0[:, None] + jnp.asarray(self.sub_dz)[None, :]
+        var_lo1, var_hi1 = self._interval_vars(
+            im, mat, var_vec,
+            (sx0, sx0 + sub), (sy0, sy0 + sub), (sz0, sz0 + sub),
+            self.s0s, (nt,),
+        )
+        lens1 = jnp.where(root_active, lens, 0)
+        olo1, ohi1, _ = interp_interval(
+            w1s, w2s, imms, lens1, var_lo1, var_hi1,
+            nf=self.nf, n_inputs=self.n_inputs, n_outputs=1, s0=self.s0s,
+            c_words=1, interpret=interpret,
+        )
+        slo = olo1[:, 0].reshape(nt, -1)[:, :m]
+        shi = ohi1[:, 0].reshape(nt, -1)[:, :m]
+        act = root_active[:, None]
+        sub_full = act & (shi < 0.0)
+        sub_active = act & ~(shi < 0.0) & ~(slo > 0.0)
+
+        def to_dense(flags):
+            """[nt, m] -> [nz2, ny2, nx2] subtile-granularity grid."""
+            g = flags.reshape(self.ntz, self.nty, self.ntx, nl, nl, nl)
+            return g.transpose(0, 3, 1, 4, 2, 5).reshape(
+                self.nz2, self.ny2, self.nx2
+            )
+
+        full_d = to_dense(sub_full)
+        gz_col = jnp.arange(self.nz2, dtype=jnp.int32)[:, None, None]
+        depth_sub = (
+            jnp.where(full_d, gz_col * sub + sub, 0).max(axis=0)
+        )  # [ny2, nx2]
+
+        # conservative per-column depth floor at subtile granularity
+        coarse = jnp.maximum(
+            jnp.repeat(jnp.repeat(depth_root, nl, 0), nl, 1), depth_sub
+        )  # [ny2, nx2]
+
+        # ---- stage 4: occlusion cull + front-to-back compaction --------
+        active_d = to_dense(sub_active)
+        sub_top = gz_col * sub + sub
+        occluded = sub_top <= coarse[None, :, :]
+        active_d = active_d & ~occluded
+        act_flat = active_d.reshape(-1)
+        n_active = act_flat.sum()
+
+        gz_f = (
+            jnp.arange(self.nsub, dtype=jnp.int32) // (self.ny2 * self.nx2)
+        )
+        BIG = jnp.int32(1 << 30)
+        key = jnp.where(act_flat, (self.nz2 - gz_f).astype(jnp.int32), BIG)
+        order = jnp.argsort(key)[: self.cap]  # front-most first
+        valid = act_flat[order]
+
+        # decode compacted slots back to coordinates and parent tiles
+        gz = order // (self.ny2 * self.nx2)
+        rem = order % (self.ny2 * self.nx2)
+        gy = rem // self.nx2
+        gx = rem % self.nx2
+        t_idx = (
+            (gz // nl) * (self.nty * self.ntx)
+            + (gy // nl) * self.ntx
+            + (gx // nl)
+        )
+        w1_leaf = jnp.take(w1s, t_idx, axis=0)
+        w2_leaf = jnp.take(w2s, t_idx, axis=0)
+        imm_leaf = jnp.take(imms, t_idx, axis=0)
+        len_leaf = jnp.where(valid, jnp.take(lens, t_idx), 0)
+
+        # ---- stage 5: voxel point pass (instance per subtile) -----------
+        bx = (gx * sub).astype(jnp.float32)[:, None]
+        by = (gy * sub).astype(jnp.float32)[:, None]
+        bz = (gz * sub).astype(jnp.float32)[:, None]
+        px = bx + jnp.asarray(self.vox_dx)[None, :]  # [cap, sub^3]
+        py = by + jnp.asarray(self.vox_dy)[None, :]
+        pz = bz + jnp.asarray(self.vox_dz)[None, :]
+        vars_v = self._point_vars(
+            mat, var_vec, px, py, pz, self.s0v, (self.cap,)
+        )
+        dv = interp_float(
+            w1_leaf, w2_leaf, imm_leaf, len_leaf, vars_v,
+            nf=self.nf, n_inputs=self.n_inputs, n_outputs=1, s0=self.s0v,
+            interpret=interpret,
+        )[:, 0].reshape(self.cap, -1)[:, : sub**3]
+        inside = (dv < 0.0) & valid[:, None]
+        inside = inside.reshape(self.cap, sub, sub, sub)  # (vz, vy, vx)
+        vz_col = jnp.arange(sub, dtype=jnp.int32)[None, :, None, None]
+        dcand = (
+            jnp.where(inside, bz.astype(jnp.int32)[..., None, None] + vz_col + 1, 0)
+            .max(axis=1)
+        )  # [cap, sub(vy), sub(vx)]
+
+        # scatter-max voxel depths into the per-pixel heightmap
+        iy = jnp.arange(sub, dtype=jnp.int32)
+        rows = gy[:, None, None] * sub + iy[None, :, None]
+        cols = gx[:, None, None] * sub + iy[None, None, :]
+        flat = jnp.where(valid[:, None, None], rows * W + cols, 0)
+        vals = jnp.where(valid[:, None, None], dcand, 0)
+        depth = (
+            jnp.zeros(H * W, jnp.int32)
+            .at[flat.reshape(-1)]
+            .max(vals.reshape(-1))
+            .reshape(H, W)
+        )
+        coarse_px = jnp.repeat(jnp.repeat(coarse, sub, 0), sub, 1)
+        depth = jnp.maximum(depth, coarse_px).astype(jnp.int32)
+
+        if mode == "heightmap":
+            return depth, None, n_active
+
+        # ---- stage 6: normals pass (dense per-pixel gradients) ----------
+        s0n = self.s0n
+        npix = H * W
+        lanes = _ceil_to(npix, s0n * 128)
+        Tn = lanes // (s0n * 128)
+        cols_p = jnp.tile(jnp.arange(W, dtype=jnp.float32), (H,))
+        rows_p = jnp.repeat(jnp.arange(H, dtype=jnp.float32), W)
+        dflat = depth.reshape(-1)
+        pzf = (dflat - 1).astype(jnp.float32)
+
+        def padl(a):
+            return jnp.pad(a, (0, lanes - npix)).reshape(Tn, s0n * 128)
+
+        pxl, pyl, pzl = padl(cols_p), padl(rows_p), padl(pzf)
+        # world-frame coordinates (static affine screen->world)
+        s2w = jnp.asarray(self.s2w, jnp.float32)
+        wx = s2w[0, 0] * pxl + s2w[0, 3]
+        wy = s2w[1, 1] * pyl + s2w[1, 3]
+        wz = s2w[2, 2] * pzl + s2w[2, 3]
+        dx_, dy_, dz_ = transform_duals(matM, wx, wy, wz)
+        V = self.n_inputs
+        zero = jnp.zeros_like(pxl)
+        vars_n = jnp.zeros((Tn, V, 4, s0n, 128), jnp.float32)
+        for k in range(V):
+            vars_n = vars_n.at[:, k, 0].set(
+                jnp.broadcast_to(var_vec[k], (Tn, s0n, 128))
+            )
+        for kind, duals in (("x", dx_), ("y", dy_), ("z", dz_)):
+            idx = self.axis_of.get(kind)
+            if idx is not None:
+                for k in range(4):
+                    vars_n = vars_n.at[:, idx, k].set(
+                        duals[k].reshape(Tn, s0n, 128)
+                    )
+        w1f = jnp.broadcast_to(self.packed.w1, (Tn,) + self.packed.w1.shape[1:])
+        w2f = jnp.broadcast_to(self.packed.w2, (Tn,) + self.packed.w2.shape[1:])
+        immf = jnp.broadcast_to(
+            self.packed.imm, (Tn,) + self.packed.imm.shape[1:]
+        )
+        lensn = jnp.broadcast_to(self.packed.lengths, (Tn,))
+        g = interp_grad(
+            w1f, w2f, immf, lensn, vars_n,
+            nf=self.nf, n_inputs=V, n_outputs=1, s0=s0n, interpret=interpret,
+        )[:, 0]  # [Tn, 4, s0n, 128]
+        grads = g.reshape(Tn, 4, s0n * 128).transpose(0, 2, 1).reshape(-1, 4)
+        grads = grads[:npix, 1:4]
+        norm = jnp.linalg.norm(grads, axis=1, keepdims=True)
+        normal = jnp.where(norm > 0, grads / norm, 0.0)
+        normal = jnp.where(dflat[:, None] > 0, normal, 0.0)
+        saturated = dflat[:, None] >= D
+        normal = jnp.where(
+            saturated, jnp.asarray([0.0, 0.0, 1.0], jnp.float32), normal
+        )
+        return depth, normal.reshape(H, W, 3), n_active
+
+    # ------------------------------------------------------------------
+
+    def _mat4(self, world_to_model) -> np.ndarray:
+        m = np.eye(4) if world_to_model is None else np.asarray(
+            world_to_model, np.float64
+        )
+        assert m.shape == (4, 4)
+        if self.shape_transform is not None:
+            m = self.shape_transform @ m
+        return m.astype(np.float32)
+
+    def _var_vec(self, vars) -> np.ndarray:
+        vec = np.zeros(max(1, self.n_inputs), np.float32)
+        if vars is not None:
+            for v, val in vars.items():
+                idx = self.tape.var_map.get(v)
+                if idx is not None:
+                    vec[idx] = np.float32(val)
+        missing = [
+            v
+            for v in self.tape.var_map
+            if v.kind == "v" and (vars is None or v not in vars)
+        ]
+        if missing:
+            raise ValueError(f"unbound shape variables: {missing}")
+        return vec[: self.n_inputs] if self.n_inputs else vec[:1]
+
+    def render(
+        self,
+        world_to_model: np.ndarray | None = None,
+        *,
+        vars: ShapeVars | dict | None = None,
+        mode: str = "normals",
+        max_retries: int = 3,
+    ) -> Image3D:
+        """Renders a frame. On worklist overflow, retries with doubled
+        capacity (host-side recompile), the graceful-degradation analog
+        of the wgpu tape-arena fallback."""
+        assert mode in ("normals", "heightmap")
+        matM = jnp.asarray(self._mat4(world_to_model))
+        vec = jnp.asarray(self._var_vec(vars))
+        for _ in range(max_retries + 1):
+            depth, normal, n_active = self._frame(matM, vec, mode=mode)
+            if int(n_active) <= self.cap:
+                break
+            self.cap = int(self.cap) * 2
+            self._frame = jax.jit(self._frame_impl, static_argnames=("mode",))
+        return Image3D(
+            np.asarray(depth),
+            None if normal is None else np.asarray(normal),
+        )
+
+    # ------------------------------------------------------------------
+
+    def render_brute(
+        self,
+        world_to_model: np.ndarray | None = None,
+        *,
+        vars: ShapeVars | dict | None = None,
+    ) -> Image3D:
+        """Dense voxel-by-voxel oracle via the unrolled evaluator."""
+        from ..eval.arith import FloatMode
+        from ..eval.unrolled import eval_tape
+
+        mat = self._mat4(world_to_model) @ self.s2w.astype(np.float32)
+        vec = self._var_vec(vars)
+        W, H, D = self.W, self.H, self.D
+        pz, py, px = np.meshgrid(
+            np.arange(D, dtype=np.float32),
+            np.arange(H, dtype=np.float32),
+            np.arange(W, dtype=np.float32),
+            indexing="ij",
+        )
+        mx, my, mz = transform_points(mat, px, py, pz)
+        inputs = [np.broadcast_to(v, px.shape).astype(np.float32) for v in vec]
+        for kind, plane in (("x", mx), ("y", my), ("z", mz)):
+            idx = self.axis_of.get(kind)
+            if idx is not None:
+                inputs[idx] = np.asarray(plane, np.float32)
+        with np.errstate(all="ignore"):
+            (d,), _ = eval_tape(self.tape, FloatMode(np), inputs)
+        inside = d < 0  # [D, H, W]
+        zs = np.arange(D, dtype=np.int32)[:, None, None] + 1
+        depth = np.where(inside, zs, 0).max(axis=0).astype(np.int32)
+        return Image3D(depth, None)
+
+
+def render(
+    tape: Tape | Shape,
+    size: VoxelSize,
+    *,
+    world_to_model: np.ndarray | None = None,
+    vars: ShapeVars | dict | None = None,
+    mode: str = "normals",
+    tile_size: int = 64,
+    sub_size: int = 16,
+    interpret: bool | None = None,
+) -> Image3D:
+    """One-shot 3D render (mirrors fidget_raster::voxel::render)."""
+    r = VoxelRenderer(
+        tape, size, tile_size=tile_size, sub_size=sub_size, interpret=interpret
+    )
+    return r.render(world_to_model, vars=vars, mode=mode)

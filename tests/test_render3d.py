@@ -1,0 +1,148 @@
+"""3D voxel renderer tests: tiled MPR pipeline vs dense brute force,
+plus closed-form checks on an analytic sphere (the reference's
+voxel_render.rs:13-60 strategy)."""
+
+import numpy as np
+import pytest
+
+from fidget_tpu import Context, Tree, Var, lower
+from fidget_tpu.render.region import VoxelSize
+from fidget_tpu.render.render3d import VoxelRenderer
+from fidget_tpu.shape import Shape
+
+
+def sphere_tape(r=0.6):
+    ctx = Context()
+    x, y, z = ctx.x(), ctx.y(), ctx.z()
+    r2 = ctx.add(ctx.square(x), ctx.add(ctx.square(y), ctx.square(z)))
+    return lower(ctx, [ctx.sub(ctx.sqrt(r2), r)])
+
+
+def gyroid_sphere_tape(scale=4.0):
+    x, y, z = Tree.axes()
+    xs, ys, zs = x * scale, y * scale, z * scale
+    g = (
+        xs.sin() * ys.cos() + ys.sin() * zs.cos() + zs.sin() * xs.cos()
+    )
+    fill = abs(g) - 0.2
+    sphere = (xs.square() + ys.square() + zs.square()).sqrt() - scale * 0.8
+    return Shape.from_tree(sphere.max(fill)).tape()
+
+
+def _check_depth_matches_brute(tape, n=64, **kw):
+    r = VoxelRenderer(
+        tape, VoxelSize(n, n, n), tile_size=32, sub_size=8,
+        interpret=True, **kw,
+    )
+    img = r.render(mode="heightmap")
+    brute = r.render_brute()
+    np.testing.assert_array_equal(img.depth, brute.depth)
+    return r, img
+
+
+def test_sphere_depth_matches_brute():
+    _check_depth_matches_brute(sphere_tape())
+
+
+def test_gyroid_sphere_depth_matches_brute():
+    _check_depth_matches_brute(gyroid_sphere_tape())
+
+
+def test_sphere_depth_closed_form():
+    n = 64
+    r = VoxelRenderer(
+        sphere_tape(0.6), VoxelSize(n, n, n), tile_size=32, sub_size=8,
+        interpret=True,
+    )
+    img = r.render(mode="heightmap")
+    # closed form: depth = floor(z_surface in voxel coords) + 1
+    s2w = r.s2w
+    for py, px in [(32, 32), (28, 36), (20, 32)]:
+        wx = s2w[0, 0] * px + s2w[0, 3]
+        wy = s2w[1, 1] * py + s2w[1, 3]
+        rr = wx * wx + wy * wy
+        d = int(img.depth[py, px])
+        if rr > 0.6**2:
+            assert d == 0
+        else:
+            wz = np.sqrt(0.6**2 - rr)
+            pz = (wz - s2w[2, 3]) / s2w[2, 2]
+            assert abs(d - 1 - np.floor(pz)) <= 1.0, (py, px, d, pz)
+
+
+def test_sphere_normals_radial():
+    n = 64
+    r = VoxelRenderer(
+        sphere_tape(0.6), VoxelSize(n, n, n), tile_size=32, sub_size=8,
+        interpret=True,
+    )
+    img = r.render(mode="normals")
+    s2w = r.s2w
+    ys, xs = np.nonzero(img.depth)
+    sel = (np.arange(len(ys)) % 57) == 0
+    for py, px in zip(ys[sel], xs[sel]):
+        d = img.depth[py, px]
+        wx = s2w[0, 0] * px + s2w[0, 3]
+        wy = s2w[1, 1] * py + s2w[1, 3]
+        wz = s2w[2, 2] * (d - 1) + s2w[2, 3]
+        expect = np.array([wx, wy, wz])
+        expect /= np.linalg.norm(expect)
+        got = img.normal[py, px]
+        assert np.dot(got, expect) > 0.98, (py, px, got, expect)
+
+
+def test_empty_and_full_volumes():
+    ctx = Context()
+    # plane z - 10 < 0 everywhere in the ±1 cube: fully saturated
+    t_full = lower(ctx, [ctx.sub(ctx.z(), 10.0)])
+    r = VoxelRenderer(
+        t_full, VoxelSize(64, 64, 64), tile_size=32, sub_size=8,
+        interpret=True,
+    )
+    img = r.render(mode="normals")
+    assert (img.depth == 64).all()
+    np.testing.assert_allclose(
+        img.normal, np.broadcast_to([0.0, 0.0, 1.0], img.normal.shape)
+    )
+    ctx2 = Context()
+    t_empty = lower(ctx2, [ctx2.sub(10.0, ctx2.z())])
+    r2 = VoxelRenderer(
+        t_empty, VoxelSize(64, 64, 64), tile_size=32, sub_size=8,
+        interpret=True,
+    )
+    img2 = r2.render(mode="normals")
+    assert (img2.depth == 0).all()
+    np.testing.assert_allclose(img2.normal, 0.0)
+
+
+def test_overflow_retry():
+    # gyroid with tiny capacity: must auto-double and still be exact
+    tape = gyroid_sphere_tape()
+    r = VoxelRenderer(
+        tape, VoxelSize(64, 64, 64), tile_size=32, sub_size=8, cap=8,
+        interpret=True,
+    )
+    img = r.render(mode="heightmap", max_retries=8)
+    brute = r.render_brute()
+    np.testing.assert_array_equal(img.depth, brute.depth)
+    assert r.cap > 8
+
+
+def test_shape_var_and_transform():
+    rv = Var.new()
+    x, y, z = Tree.axes()
+    tree = (x.square() + y.square() + z.square()).sqrt() - Tree.var(rv)
+    shape = Shape.from_tree(tree).apply_transform(
+        np.diag([2.0, 2.0, 2.0, 1.0])  # model = 2 * world
+    )
+    n = 64
+    r = VoxelRenderer(
+        shape, VoxelSize(n, n, n), tile_size=32, sub_size=8, interpret=True
+    )
+    img = r.render(vars={rv: 0.8}, mode="heightmap")
+    brute = r.render_brute(vars={rv: 0.8})
+    np.testing.assert_array_equal(img.depth, brute.depth)
+    # world radius = 0.8 / 2 = 0.4: center column depth matches
+    s2w = r.s2w
+    pz = (0.4 - s2w[2, 3]) / s2w[2, 2]
+    assert abs(int(img.depth[32, 32]) - 1 - np.floor(pz)) <= 1.0
