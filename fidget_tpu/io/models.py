@@ -50,3 +50,11 @@ def load_vm(name: str) -> tuple[Context, int]:
     """Loads a `.vm` model by file name, returning (context, root node)."""
     path = find_model(name)
     return Context.from_text(path.read_text())
+
+
+def load_script(name: str):
+    """Loads a `.rhai` model by file name, returning the traced Tree."""
+    from ..script import eval_script
+
+    path = find_model(name)
+    return eval_script(path.read_text()).tree

@@ -1,0 +1,150 @@
+"""Script engine tests: the Rhai-subset language and shape bindings
+(behavior from fidget-rhai/src/lib.rs doctests and the bundled models)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from fidget_tpu import Tree
+from fidget_tpu.io.models import has_model, load_script
+from fidget_tpu.script import ScriptError, engine, eval_script
+
+
+def ev(src, x=0.0, y=0.0, z=0.0):
+    return eval_script(src).tree.eval(x, y, z)
+
+
+def test_axes_and_arithmetic():
+    assert ev("let xyz = axes(); xyz.x + xyz.y", 1.0, 2.0) == 3.0
+    assert ev("x + 2 * y", 1.0, 3.0) == 7.0
+    assert ev("draw(x - 1);", 4.0) == 3.0
+
+
+def test_constants_and_math():
+    assert ev("x + cos(PI)", 0.0) == pytest.approx(-1.0)
+    assert ev("let angle = PI / 4.0; x * cos(angle)", 2.0) == pytest.approx(
+        math.sqrt(2)
+    )
+
+
+def test_integer_semantics():
+    # rhai: int / int truncates; 1/3. is float
+    assert ev("x + 1/3", 0.0) == pytest.approx(0.0)
+    assert ev("x + 1/3.", 0.0) == pytest.approx(1 / 3)
+
+
+def test_shape_map_form():
+    v = ev("circle(#{ center: vec2(1.0, 2.0), radius: 3.0 })", 1.0, 2.0)
+    assert v == pytest.approx(-3.0)
+    # defaults may be omitted
+    assert ev("circle(#{ center: [1, 2] })", 1.0, 2.0) == pytest.approx(-1.0)
+    assert ev("sphere(#{ radius: 3 })", 0, 0, 0) == pytest.approx(-3.0)
+
+
+def test_positional_and_coercions():
+    # unique-typed positional, order doesn't matter
+    assert ev("circle([1, 2], 3)", 1, 2) == pytest.approx(-3.0)
+    assert ev("circle(3, [1, 2])", 1, 2) == pytest.approx(-3.0)
+    assert ev("circle()", 0, 0) == pytest.approx(-1.0)
+    # vec2 -> vec3 with default z
+    assert ev("sphere([1, 1], 4)", 1, 1, 0) == pytest.approx(-4.0)
+
+
+def test_transform_chaining():
+    src = "circle(#{ center: [1, 2], radius: 3 }).move(#{ offset: [1, 1] })"
+    assert ev(src, 2.0, 3.0) == pytest.approx(-3.0)
+    src2 = "circle(#{ center: [1, 2], radius: 3 }).move([1, 1])"
+    assert ev(src2, 2.0, 3.0) == pytest.approx(-3.0)
+
+
+def test_csg_and_reduction():
+    src = """
+    let a = circle(#{ center: [0, 0], radius: 1 });
+    let b = circle(#{ center: [1, 0], radius: 0.5 });
+    difference(a, b)
+    """
+    assert ev(src, 1.0, 0.0) == pytest.approx(0.5)
+    # union over arrays and varargs
+    assert ev("union([circle(), circle(3, [5, 0])])", 5, 0) < 0
+    assert ev("union(circle(), circle(3, [5, 0]))", 5, 0) < 0
+    # automatic tree reduction: array of shapes into a transform
+    v = ev("[circle(), circle(3, [5, 0])].move([1, 0])", 6, 0)
+    assert v < 0
+
+
+def test_fn_and_for_loop():
+    src = """
+    fn rings(n) {
+        let out = circle(#{ radius: 0.1 });
+        for i in 1..n {
+            out = union(out, circle(#{ center: [i * 1.0, 0], radius: 0.1 }));
+        }
+        out
+    }
+    draw(rings(4));
+    """
+    t = eval_script(src).tree
+    for cx in range(4):
+        assert t.eval(float(cx), 0.0, 0.0) == pytest.approx(-0.1)
+    assert t.eval(10.0, 0.0, 0.0) > 0
+
+
+def test_if_else_and_comparison():
+    src = """
+    let r = 1.0;
+    let big = if r > 0.5 { 2.0 } else { 0.5 };
+    circle(#{ radius: big })
+    """
+    assert ev(src, 0, 0) == pytest.approx(-2.0)
+
+
+def test_remap_and_modulo():
+    assert ev("x.remap(y, x, z)", 1.0, 5.0) == 5.0
+    # rem_euclid semantics on trees
+    assert ev("(x % 2) - 1", -0.5) == pytest.approx(0.5)
+
+
+def test_tree_comparison_rejected():
+    with pytest.raises(ScriptError):
+        eval_script("let a = x < 1.0; a")
+
+
+def test_missing_map_property_raises():
+    with pytest.raises(ScriptError):
+        eval_script("let m = #{ a: 1.0 }; m.b")
+
+
+def test_step_limit():
+    with pytest.raises(ScriptError):
+        eval_script("let i = 0; while true { i = i + 1; }")
+
+
+@pytest.mark.parametrize(
+    "name", ["gyroid-sphere.rhai", "sponge.rhai", "cabin.rhai"]
+)
+def test_bundled_models(name):
+    if not has_model(name):
+        pytest.skip("model assets unavailable")
+    t = load_script(name)
+    assert isinstance(t, Tree)
+    # spot value checked by hand for gyroid; others: finite + sign change
+    vals = [t.eval(x, 0.11, 0.23) for x in np.linspace(-1, 1, 9)]
+    assert all(np.isfinite(vals))
+
+
+def test_gyroid_value_matches_closed_form():
+    if not has_model("gyroid-sphere.rhai"):
+        pytest.skip("model assets unavailable")
+    t = load_script("gyroid-sphere.rhai")
+    x, y, z = 0.1, 0.2, 0.3
+    xs, ys, zs = 30 * x, 30 * y, 30 * z
+    g = (
+        math.sin(xs) * math.cos(ys)
+        + math.sin(ys) * math.cos(zs)
+        + math.sin(zs) * math.cos(xs)
+    )
+    expect = max(
+        math.sqrt(xs * xs + ys * ys + zs * zs) - 25, abs(g) - 0.2
+    )
+    assert t.eval(x, y, z) == pytest.approx(expect, rel=1e-5)
