@@ -1,0 +1,145 @@
+"""MDC meshing tests (strategy from fidget/tests/octree.rs and
+fidget-mesh unit tests)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from fidget_tpu import Context, Tree, Var, lower
+from fidget_tpu.mesh import Mesh, Settings, build_mesh, write_stl
+from fidget_tpu.mesh.tables import (
+    CELL_TO_EDGE_TO_VERT,
+    CELL_TO_VERT_TO_EDGES,
+    VERT_COUNT,
+)
+from fidget_tpu.shape import Shape
+
+
+def sphere_tape(r=0.6):
+    ctx = Context()
+    x, y, z = ctx.x(), ctx.y(), ctx.z()
+    r2 = ctx.add(ctx.square(x), ctx.add(ctx.square(y), ctx.square(z)))
+    return lower(ctx, [ctx.sub(ctx.sqrt(r2), r)])
+
+
+def _manifold_stats(mesh):
+    t = mesh.triangles
+    v = mesh.vertices
+    e = np.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]])
+    e.sort(axis=1)
+    _, counts = np.unique(
+        e[:, 0].astype(np.int64) * len(v) + e[:, 1], return_counts=True
+    )
+    return counts
+
+
+def test_tables():
+    assert len(CELL_TO_VERT_TO_EDGES) == 256
+    assert VERT_COUNT[0] == 0 and VERT_COUNT[255] == 0
+    # single inside corner: one vertex with 3 crossing edges
+    assert VERT_COUNT[1] == 1
+    assert len(CELL_TO_VERT_TO_EDGES[1][0]) == 3
+    # the classic 4-diagonal mask produces 4 vertices
+    assert VERT_COUNT[0b01101001] == 4
+    # every crossing edge belongs to exactly one vertex
+    for m in range(256):
+        owned = [e for vs in CELL_TO_VERT_TO_EDGES[m] for (_, _, e) in vs]
+        assert sorted(owned) == sorted(
+            np.nonzero(CELL_TO_EDGE_TO_VERT[m] >= 0)[0].tolist()
+        )
+        assert len(set(owned)) == len(owned)
+
+
+def test_sphere_mesh():
+    mesh = build_mesh(sphere_tape(0.6), Settings(depth=5, interpret=True))
+    assert len(mesh.triangles) > 1000
+    r = np.linalg.norm(mesh.vertices, axis=1)
+    assert r.min() > 0.58 and r.max() < 0.62
+    # closed 2-manifold: every edge used exactly twice
+    assert (_manifold_stats(mesh) == 2).all()
+    # consistent outward winding
+    v, t = mesh.vertices, mesh.triangles
+    n = np.cross(v[t[:, 1]] - v[t[:, 0]], v[t[:, 2]] - v[t[:, 0]])
+    c = (v[t[:, 0]] + v[t[:, 1]] + v[t[:, 2]]) / 3
+    assert ((n * c).sum(1) > 0).all()
+    # area close to the analytic sphere
+    area = 0.5 * np.linalg.norm(n, axis=1).sum()
+    assert area == pytest.approx(4 * np.pi * 0.36, rel=0.01)
+
+
+def test_sphere_mesh_with_camera_transform():
+    # mirror of fidget/tests/octree.rs:8-30: a scaled+offset camera
+    mat = np.eye(4)
+    mat[:3, :3] *= 2.0  # world [-1,1] views model [-2,2]
+    mat[0, 3] = 0.5
+    shape = Shape.from_tree(
+        (Tree.x().square() + Tree.y().square() + Tree.z().square()).sqrt()
+        - 1.5
+    )
+    mesh = build_mesh(
+        shape, Settings(depth=5, world_to_model=mat, interpret=True)
+    )
+    assert len(mesh.triangles) > 0
+    # model-space sphere radius 1.5 center 0 -> world center (-0.25, 0, 0),
+    # radius 0.75
+    c = np.array([-0.25, 0.0, 0.0])
+    r = np.linalg.norm(mesh.vertices - c, axis=1)
+    assert r.min() > 0.72 and r.max() < 0.78
+
+
+def test_mesh_with_var():
+    rv = Var.new()
+    t = (
+        Tree.x().square() + Tree.y().square() + Tree.z().square()
+    ).sqrt() - Tree.var(rv)
+    shape = Shape.from_tree(t)
+    mesh = build_mesh(
+        shape, Settings(depth=4, vars={rv: 0.5}, interpret=True)
+    )
+    r = np.linalg.norm(mesh.vertices, axis=1)
+    assert r.min() > 0.45 and r.max() < 0.55
+    with pytest.raises(ValueError):
+        build_mesh(shape, Settings(depth=3, interpret=True))
+
+
+def test_gyroid_mesh_manifold():
+    x, y, z = Tree.axes()
+    s = 4.0
+    g = (
+        (x * s).sin() * (y * s).cos()
+        + (y * s).sin() * (z * s).cos()
+        + (z * s).sin() * (x * s).cos()
+    )
+    shape = Shape.from_tree(
+        (abs(g) - 0.2).max(
+            (x.square() + y.square() + z.square()).sqrt() - 0.8
+        )
+    )
+    mesh = build_mesh(shape, Settings(depth=5, interpret=True))
+    assert len(mesh.triangles) > 2000
+    counts = _manifold_stats(mesh)
+    # closed surface away from clipping: nearly all edges shared twice
+    assert (counts == 2).mean() > 0.99
+
+
+def test_empty_mesh():
+    ctx = Context()
+    tape = lower(ctx, [ctx.add(ctx.square(ctx.x()), 1.0)])  # never < 0
+    mesh = build_mesh(tape, Settings(depth=4, interpret=True))
+    assert len(mesh.vertices) == 0 and len(mesh.triangles) == 0
+
+
+def test_stl_roundtrip():
+    mesh = build_mesh(sphere_tape(0.5), Settings(depth=4, interpret=True))
+    buf = io.BytesIO()
+    write_stl(mesh, buf)
+    data = buf.getvalue()
+    assert len(data) == 84 + 50 * len(mesh.triangles)
+    (n,) = np.frombuffer(data[80:84], "<u4")
+    assert n == len(mesh.triangles)
+    # first triangle vertices match
+    rec = np.frombuffer(data[84 : 84 + 48], "<f4")
+    np.testing.assert_allclose(
+        rec[3:6], mesh.vertices[mesh.triangles[0, 0]], rtol=1e-6
+    )
