@@ -1,0 +1,243 @@
+"""Command-line interface: render2d / render3d / mesh.
+
+Mirrors the reference CLI (demos/cli/src/main.rs): loads `.vm` models
+via Context.from_text or `.rhai` scripts via the script engine, renders
+2D bitmaps (debug / mono / sdf / brute modes), 3D heightmaps / normals
+/ shaded images (± SSAO), or MDC meshes to STL; `-N` repeats the render
+for benchmarking and reports the best frame time.
+
+Usage:
+  python -m fidget_tpu render2d model.vm -o out.png --mode sdf -s 512
+  python -m fidget_tpu render3d model.rhai -o out.png --mode shaded \
+      --ssao --scale 0.75 --pitch -25 --yaw -30
+  python -m fidget_tpu mesh model.vm -o out.stl --depth 6
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+
+def _load(path: str):
+    from .core.context import Context
+    from .script import eval_script
+
+    p = pathlib.Path(path)
+    text = p.read_text()
+    if p.suffix == ".rhai":
+        return eval_script(text).tree
+    ctx, root = Context.from_text(text)
+    return (ctx, root)
+
+
+def _tape(model):
+    from .compiler.lower import lower
+    from .core.context import Context
+    from .core.tree import Tree, import_tree
+
+    if isinstance(model, tuple):
+        ctx, root = model
+        return lower(ctx, [root])
+    ctx = Context()
+    return lower(ctx, [import_tree(ctx, model)])
+
+
+def _parse_vec(s: str, n: int):
+    parts = [float(v) for v in s.split(",")]
+    if len(parts) == 1:
+        parts = parts * n
+    if len(parts) != n:
+        raise argparse.ArgumentTypeError(f"expected {n} comma-separated values")
+    return parts
+
+
+def _view2(args):
+    from .gui import View2
+
+    return View2.from_center_and_scale(
+        _parse_vec(args.center, 2), args.scale
+    ).world_to_model()
+
+
+def _view3(args):
+    from .gui import View3
+
+    v = View3.from_center_and_scale(_parse_vec(args.center, 3), args.scale)
+    v.pitch = math.radians(args.pitch)
+    v.yaw = math.radians(args.yaw)
+    return v.world_to_model()
+
+
+def _write_image(path: str, rgb: np.ndarray):
+    from .io.image import write_png, write_ppm
+
+    if path.endswith(".ppm"):
+        write_ppm(path, rgb)
+    else:
+        write_png(path, rgb)
+
+
+def _colormap_sdf(d: np.ndarray) -> np.ndarray:
+    """Red outside / green inside with distance banding (the reference's
+    SdfRenderMode, demos/cli/src/main.rs sdf mode)."""
+    scale = max(1e-20, float(np.abs(d[np.isfinite(d)]).max() or 1.0))
+    r = 1.0 - 0.1 * np.cos(d * 128.0 / scale)
+    g = 1.0 - 0.1 * np.cos(d * 128.0 / scale)
+    rgb = np.zeros(d.shape + (3,), np.float32)
+    inside = d < 0
+    rgb[..., 0] = np.where(inside, 0.0, r * np.abs(d) / scale)
+    rgb[..., 1] = np.where(inside, g * np.abs(d) / scale, 0.0)
+    rgb[..., 0] = np.where(inside, 0.2, 0.4 + 0.6 * np.abs(d) / scale)
+    rgb[..., 1] = np.where(inside, 0.4 + 0.6 * np.abs(d) / scale, 0.2)
+    rgb[..., 2] = 0.2
+    band = 0.8 + 0.2 * np.cos(d * 64.0 * np.pi / scale)
+    rgb *= band[..., None]
+    return (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+
+
+def run2d(args) -> int:
+    from .render.region import ImageSize
+    from .render.render2d import PixelRenderer
+
+    tape = _tape(_load(args.input))
+    r = PixelRenderer(tape, ImageSize(args.size, args.size))
+    mat = _view2(args)
+    best = math.inf
+    for _ in range(max(1, args.repeat)):
+        t0 = time.perf_counter()
+        if args.mode == "brute":
+            d = r.render_brute(mat)
+            img = None
+        else:
+            img = r.render(mat, pixel_perfect=(args.mode == "sdf"))
+            d = img.distance
+        best = min(best, time.perf_counter() - t0)
+    print(f"rendered {args.size}x{args.size} in {best * 1e3:.2f}ms")
+    if args.out:
+        if args.mode == "mono" or args.mode == "brute":
+            inside = (d < 0) if img is None else img.inside()
+            rgb = np.where(inside[..., None], 255, 0).astype(np.uint8)
+            rgb = np.broadcast_to(rgb, inside.shape + (3,))
+        elif args.mode == "sdf":
+            rgb = _colormap_sdf(d)
+        else:  # debug: color by fill class
+            from .render.render2d import FILL_INSIDE, FILL_OUTSIDE
+
+            rgb = np.zeros(d.shape + (3,), np.uint8)
+            rgb[img.fill == FILL_INSIDE] = (0, 100, 200)
+            rgb[img.fill == FILL_OUTSIDE] = (50, 50, 50)
+            ev = img.fill == 0
+            rgb[ev & (d < 0)] = (255, 255, 255)
+            rgb[ev & (d >= 0)] = (20, 20, 20)
+        _write_image(args.out, rgb)
+        print(f"wrote {args.out}")
+    return 0
+
+
+def run3d(args) -> int:
+    from .render.effects import apply_shading, denoise_normals
+    from .render.region import VoxelSize
+    from .render.render3d import VoxelRenderer
+
+    tape = _tape(_load(args.input))
+    n = args.size
+    r = VoxelRenderer(tape, VoxelSize(n, n, n))
+    mat = _view3(args)
+    mode = "heightmap" if args.mode == "heightmap" else "normals"
+    best = math.inf
+    for _ in range(max(1, args.repeat)):
+        t0 = time.perf_counter()
+        img = r.render(mat, mode=mode)
+        best = min(best, time.perf_counter() - t0)
+    print(f"rendered {n}^3 in {best * 1e3:.2f}ms")
+    if args.out:
+        if args.mode == "heightmap":
+            g = (img.depth.astype(np.float32) / n * 255).astype(np.uint8)
+            rgb = np.stack([g, g, g], axis=-1)
+        elif args.mode == "normals":
+            rgb = ((img.normal * 0.5 + 0.5) * 255).astype(np.uint8)
+            rgb[img.depth == 0] = 0
+        else:  # shaded
+            normal = np.asarray(denoise_normals(img.depth, img.normal))
+            rgb = apply_shading(img.depth, normal, vdepth=n, ssao=args.ssao)
+        # flip vertically so +y is up in the written image
+        _write_image(args.out, rgb[::-1])
+        print(f"wrote {args.out}")
+    return 0
+
+
+def run_mesh(args) -> int:
+    from .mesh import Settings, build_mesh
+
+    tape = _tape(_load(args.input))
+    mat = _view3(args) if (args.scale != 1.0 or args.center != "0") else None
+    best = math.inf
+    mesh = None
+    for _ in range(max(1, args.repeat)):
+        t0 = time.perf_counter()
+        mesh = build_mesh(
+            tape, Settings(depth=args.depth, world_to_model=mat)
+        )
+        best = min(best, time.perf_counter() - t0)
+    print(
+        f"meshed depth {args.depth}: {len(mesh.vertices)} vertices, "
+        f"{len(mesh.triangles)} triangles in {best * 1e3:.2f}ms"
+    )
+    if args.out:
+        mesh.write_stl(args.out)
+        print(f"wrote {args.out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="fidget_tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p, three_d: bool):
+        p.add_argument("input", help=".vm or .rhai model file")
+        p.add_argument("-o", "--out", help="output file")
+        p.add_argument("-N", "--repeat", type=int, default=1,
+                       help="repeat for benchmarking; report best time")
+        p.add_argument("--scale", type=float, default=1.0)
+        p.add_argument("--center", default="0")
+        if three_d:
+            p.add_argument("--pitch", type=float, default=0.0,
+                           help="camera pitch (degrees)")
+            p.add_argument("--yaw", type=float, default=0.0,
+                           help="camera yaw (degrees)")
+
+    p2 = sub.add_parser("render2d", help="2D bitmap render")
+    common(p2, False)
+    p2.add_argument("-s", "--size", type=int, default=512)
+    p2.add_argument("--mode", default="mono",
+                    choices=["debug", "mono", "sdf", "brute"])
+    p2.set_defaults(fn=run2d)
+
+    p3 = sub.add_parser("render3d", help="3D heightmap/normals/shaded render")
+    common(p3, True)
+    p3.add_argument("-s", "--size", type=int, default=512)
+    p3.add_argument("--mode", default="shaded",
+                    choices=["heightmap", "normals", "shaded"])
+    p3.add_argument("--ssao", action="store_true")
+    p3.set_defaults(fn=run3d)
+
+    pm = sub.add_parser("mesh", help="MDC mesh to STL")
+    common(pm, True)
+    pm.add_argument("--depth", type=int, default=5)
+    pm.set_defaults(fn=run_mesh)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -127,7 +127,7 @@ class VoxelRenderer:
         self.s0v = max(1, -(-sub_size**3 // 128))              # voxel pass
         if cap is None:
             cap = max(256, 4 * self.nx2 * self.ny2)
-        self.cap = cap
+        self.cap = min(cap, self.nsub)
 
         self.packed = pack_tapes([tape])
         self.simplifier = DeviceSimplifier(tape)
@@ -468,9 +468,9 @@ class VoxelRenderer:
         vec = jnp.asarray(self._var_vec(vars))
         for _ in range(max_retries + 1):
             depth, normal, n_active = self._frame(matM, vec, mode=mode)
-            if int(n_active) <= self.cap:
+            if int(n_active) <= self.cap or self.cap >= self.nsub:
                 break
-            self.cap = int(self.cap) * 2
+            self.cap = min(int(self.cap) * 2, self.nsub)
             self._frame = jax.jit(self._frame_impl, static_argnames=("mode",))
         return Image3D(
             np.asarray(depth),

@@ -1,0 +1,145 @@
+"""Least-squares solver for systems of equations.
+
+The analog of `fidget-solver` (fidget-solver/src/lib.rs:191-288): a
+basic Levenberg-Marquardt minimizer over a set of scalar constraint
+functions of `Var`s. Where the reference packs three forward-mode
+gradients per Grad lane to assemble the Jacobian (lib.rs:107-146), the
+TPU version evaluates all constraints in one traced function and takes
+the whole Jacobian with `jax.jacfwd` — the evaluator itself is
+differentiable, so no per-variable packing is needed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..compiler.lower import lower
+from ..compiler.tape import Tape
+from ..core.context import Context
+from ..core.tree import Tree, import_tree
+from ..core.var import Var
+from ..eval.arith import FloatMode
+from ..eval.unrolled import eval_tape
+
+__all__ = ["Parameter", "SingularMatrix", "solve"]
+
+
+@dataclass(frozen=True)
+class Parameter:
+    """Free (optimized, with a starting position) or Fixed input."""
+
+    value: float
+    free: bool
+
+    @staticmethod
+    def Free(v: float) -> "Parameter":
+        return Parameter(float(v), True)
+
+    @staticmethod
+    def Fixed(v: float) -> "Parameter":
+        return Parameter(float(v), False)
+
+
+class SingularMatrix(RuntimeError):
+    pass
+
+
+def _as_tape(eq) -> Tape:
+    if isinstance(eq, Tape):
+        return eq
+    if isinstance(eq, Tree):
+        ctx = Context()
+        return lower(ctx, [import_tree(ctx, eq)])
+    raise TypeError(f"cannot solve over {type(eq).__name__}")
+
+
+def solve(
+    eqs: list,
+    vars: dict[Var, Parameter],
+    *,
+    max_iters: int = 100,
+) -> dict[Var, float]:
+    """Minimizes sum of squares of `eqs` over the free variables.
+
+    Levenberg-Marquardt with multiplicative damping adaptation, exit
+    criteria matching the reference (zero residual, no position change,
+    or a flat 4-sample error history; lib.rs:236-279).
+    """
+    tapes = [_as_tape(e) for e in eqs]
+    free = [v for v, p in vars.items() if p.free]
+    fixed = {v: p.value for v, p in vars.items() if not p.free}
+    idx = {v: i for i, v in enumerate(free)}
+    for t in tapes:
+        for v in t.var_map:
+            if v not in vars:
+                raise ValueError(f"equation uses unbound variable {v!r}")
+
+    def residuals(cur):
+        out = []
+        for t in tapes:
+            inputs = [None] * len(t.var_map)
+            for v, i in t.var_map.items():
+                if v in idx:
+                    inputs[i] = cur[idx[v]]
+                else:
+                    inputs[i] = jnp.float32(fixed[v])
+            (r,), _ = eval_tape(t, FloatMode(jnp), inputs)
+            out.append(r)
+        return jnp.stack(out)
+
+    res_f = jax.jit(residuals)
+    jac_f = jax.jit(jax.jacfwd(residuals))
+
+    cur = np.array([vars[v].value for v in free], np.float32)
+    if not free:
+        return {}
+
+    damping = 1.0
+    prev_err = np.inf
+    err_buf = np.full(4, np.nan, np.float64)
+    for it in range(max_iters):
+        r = np.asarray(res_f(jnp.asarray(cur)), np.float64)
+        if (r == 0.0).all():
+            break
+        J = np.asarray(jac_f(jnp.asarray(cur)), np.float64)
+        jt_j = J.T @ J
+        jt_r = J.T @ r
+        # inner loop: grow damping until the step reduces the error
+        while True:
+            adjusted = jt_j + damping * np.diag(np.diag(jt_j))
+            try:
+                delta, *_ = np.linalg.lstsq(adjusted, jt_r, rcond=None)
+            except np.linalg.LinAlgError as e:
+                raise SingularMatrix(str(e)) from e
+            if not np.isfinite(delta).all():
+                raise SingularMatrix("non-finite step")
+            err = float(
+                np.square(
+                    np.asarray(res_f(jnp.asarray(cur - delta)), np.float64)
+                ).sum()
+            )
+            if err > prev_err:
+                damping *= 1.5
+                if not np.isfinite(damping):
+                    break
+            else:
+                damping /= 3.0
+                break
+        new = (cur - delta).astype(np.float32)
+        changed = (new != cur).any()
+        cur = new
+        err_buf[it % 4] = err
+        if (
+            not changed
+            or err == 0.0
+            or damping == 0.0
+            or (np.isfinite(err_buf).all() and (err_buf == err_buf[0]).all())
+        ):
+            break
+        prev_err = err
+
+    return {v: float(cur[idx[v]]) for v in free}

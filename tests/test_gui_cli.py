@@ -1,0 +1,98 @@
+"""GUI camera math + CLI tests."""
+
+import math
+import pathlib
+
+import numpy as np
+import pytest
+
+from fidget_tpu.gui import Canvas2, Canvas3, DragMode, View2, View3
+from fidget_tpu.render.region import ImageSize, VoxelSize
+
+
+def test_view2_transform():
+    # mirror of the View2 doctest (fidget-gui/src/lib.rs:30-49)
+    v = View2.from_center_and_scale([5.0, 5.0], 1.0)
+    np.testing.assert_allclose(v.transform_point([-1.0, 0.0]), [4.0, 5.0])
+    np.testing.assert_allclose(v.transform_point([0.0, 1.0]), [5.0, 6.0])
+    np.testing.assert_allclose(v.transform_point([0.0, -1.0]), [5.0, 4.0])
+
+
+def test_view2_zoom_about_point():
+    v = View2.from_center_and_scale([0.0, 0.0], 1.0)
+    p = [0.5, 0.5]
+    before = v.transform_point(p)
+    assert v.zoom(2.0, p)
+    after = v.transform_point(p)
+    np.testing.assert_allclose(before, after, atol=1e-12)
+    assert v.scale == 2.0
+    assert not v.zoom(1.0)
+
+
+def test_view2_translate_roundtrip():
+    v = View2.from_center_and_scale([0.0, 0.0], 2.0)
+    h = v.begin_translate([0.0, 0.0])
+    assert v.translate(h, [1.0, 0.0])
+    # dragging by +1 world unit moves the center by -scale
+    np.testing.assert_allclose(v.center, [-2.0, 0.0])
+
+
+def test_view3_rotation_and_serde():
+    v = View3.from_center_and_scale([0.0, 0.0, 0.0], 1.0)
+    h = v.begin_rotate([0.0, 0.0, 0.0])
+    assert v.rotate(h, [0.1, 0.2, 0.0])
+    assert v.yaw != 0.0 and v.pitch != 0.0
+    assert 0.0 <= v.pitch <= math.pi
+    d = v.to_dict()
+    v2 = View3.from_dict(d)
+    np.testing.assert_allclose(v2.world_to_model(), v.world_to_model())
+
+
+def test_view3_world_to_model_composition():
+    v = View3.from_center_and_scale([1.0, 2.0, 3.0], 2.0)
+    # scale then translate: origin maps to center
+    np.testing.assert_allclose(
+        v.transform_point([0.0, 0.0, 0.0]), [1.0, 2.0, 3.0]
+    )
+    np.testing.assert_allclose(
+        v.transform_point([1.0, 0.0, 0.0]), [3.0, 2.0, 3.0]
+    )
+
+
+def test_canvas2_drag():
+    c = Canvas2(ImageSize(100, 100))
+    c.begin_drag([10, 50])
+    assert c.drag([20, 50])
+    c.end_drag()
+    assert not c.drag([30, 50])
+    assert c.view.center[0] != 0.0
+
+
+def test_canvas3_rotate_drag():
+    c = Canvas3(VoxelSize(100, 100, 100))
+    c.begin_drag([50, 50], DragMode.ROTATE)
+    assert c.drag([60, 40])
+    assert c.view.yaw != 0.0
+
+
+def test_cli_render2d_and_mesh(tmp_path):
+    from fidget_tpu.cli import main
+    from fidget_tpu.io.models import find_model, has_model
+
+    if not has_model("hi.vm"):
+        pytest.skip("model assets unavailable")
+    png = tmp_path / "out.png"
+    rc = main(
+        ["render2d", str(find_model("hi.vm")), "-s", "128",
+         "-o", str(png), "--mode", "mono"]
+    )
+    assert rc == 0
+    data = png.read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    stl = tmp_path / "out.stl"
+    rc = main(
+        ["mesh", str(find_model("quarter.vm")), "--depth", "4",
+         "-o", str(stl)]
+    )
+    assert rc == 0
+    assert stl.stat().st_size > 84
