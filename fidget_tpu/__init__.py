@@ -18,12 +18,16 @@ from .core.var import Var, VarMap
 from .compiler.lower import lower
 from .compiler.simplify import simplify
 from .compiler.tape import Tape, TapeOp
+from .shape import BoundShape, Shape, ShapeVars
 
 __version__ = "0.1.0"
 
 __all__ = [
     "BinaryOp",
+    "BoundShape",
     "Context",
+    "Shape",
+    "ShapeVars",
     "Tape",
     "TapeOp",
     "Tree",
