@@ -46,6 +46,13 @@ def iter_ops():
         yield (n, i)
 
 
+#: TapeOp <-> canonical wire opcode. The interchange format keeps the
+#: reference's numbering (fidget-bytecode/src/lib.rs:69-102) while the
+#: internal TapeOp order is tuned for interpreter dispatch.
+_CANONICAL = {TapeOp[name.upper()]: val for name, val in iter_ops()}
+_FROM_CANONICAL = {val: op for op, val in _CANONICAL.items()}
+
+
 def _f32_bits(x: float) -> int:
     return int(np.float32(x).view(np.uint32))
 
@@ -96,32 +103,32 @@ def encode(tape: Tape) -> np.ndarray:
         w = [0xFF, 0xFF, 0xFF, 0xFF]
         imm = _UNUSED_IMM
         if op in (TapeOp.INPUT, TapeOp.OUTPUT):
-            w[0] = int(op)
+            w[0] = _CANONICAL[op]
             w[1] = reg(out)
             imm = aux
         elif op == TapeOp.LOAD:
-            w[0] = int(TapeOp.MEM)
+            w[0] = _CANONICAL[TapeOp.MEM]
             w[1] = reg(out)
             w[2] = 0xFF
             imm = aux
         elif op == TapeOp.STORE:
-            w[0] = int(TapeOp.MEM)
+            w[0] = _CANONICAL[TapeOp.MEM]
             w[1] = 0xFF
             w[2] = reg(out)
             imm = aux
         elif op == TapeOp.COPY:
-            w[0] = int(op)
+            w[0] = _CANONICAL[op]
             w[1] = reg(out)
             if a == IMM:
                 imm = _f32_bits(imm_f)
             else:
                 w[2] = reg(a)
         elif op in UNARY_TAPE_OPS:
-            w[0] = int(op)
+            w[0] = _CANONICAL[op]
             w[1] = reg(out)
             w[2] = reg(a)
         elif op in BINARY_TAPE_OPS:
-            w[0] = int(op)
+            w[0] = _CANONICAL[op]
             w[1] = reg(out)
             if a == IMM:
                 w[3] = reg(b)
@@ -158,7 +165,7 @@ def decode(words: np.ndarray, var_map: VarMap | None = None) -> Tape:
         a = (w0 >> 16) & 0xFF
         b = (w0 >> 24) & 0xFF
         imm_f = float(np.uint32(imm_u).view(np.float32))
-        if opc == int(TapeOp.MEM):
+        if opc == _CANONICAL[TapeOp.MEM]:
             if a == 0xFF and o != 0xFF:  # Load
                 rows.append((TapeOp.LOAD, o, 0, 0, 0.0, imm_u))
             else:  # Store
@@ -167,7 +174,9 @@ def decode(words: np.ndarray, var_map: VarMap | None = None) -> Tape:
             mem_count = max(mem_count, imm_u + 1)
             reg_count = max(reg_count, o + 1)
             continue
-        op = TapeOp(opc)
+        if opc not in _FROM_CANONICAL:
+            raise ValueError(f"cannot decode opcode {opc}")
+        op = _FROM_CANONICAL[opc]
         if op in (TapeOp.INPUT, TapeOp.OUTPUT):
             rows.append((op, o, 0, 0, 0.0, imm_u))
             if op == TapeOp.OUTPUT:

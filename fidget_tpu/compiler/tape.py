@@ -7,9 +7,11 @@ evaluation order** as structure-of-arrays — the layout consumed directly
 by the JAX/Pallas interpreters and packable into fidget's canonical
 bytecode format (fidget-bytecode/src/lib.rs:10-42).
 
-Opcode numbering 0..31 matches the canonical `BytecodeOp` order
-(fidget-bytecode/src/lib.rs:69-102); LOAD/STORE are split out of `Mem`
-internally (32/33) and re-merged when packing.
+Internal opcode numbering is frequency-ordered for interpreter dispatch
+(see `TapeOp`); the canonical `BytecodeOp` wire numbering
+(fidget-bytecode/src/lib.rs:69-102) is restored by `compiler/bytecode`.
+LOAD/STORE are split out of `Mem` internally (32/33) and re-merged when
+packing.
 """
 
 from __future__ import annotations
@@ -26,37 +28,47 @@ IMM = 0xFF
 
 
 class TapeOp(enum.IntEnum):
+    """Internal opcode numbering, ordered by evaluation frequency.
+
+    The TPU interpreter dispatches with a linearly-scanned switch whose
+    cost grows ~10 ns per branch position, so hot SDF ops (min/max/
+    add/sub, measured over the bundled models) sit first. This order is
+    internal only — the canonical bytecode interchange format keeps the
+    reference's opcode numbering via the mapping in
+    `compiler/bytecode.py` (fidget-bytecode/src/lib.rs:69-102).
+    """
+
     OUTPUT = 0
     INPUT = 1
     COPY = 2
-    NEG = 3
-    ABS = 4
-    RECIP = 5
-    SQRT = 6
-    SQUARE = 7
-    FLOOR = 8
-    CEIL = 9
-    ROUND = 10
-    NOT = 11
-    SIN = 12
-    COS = 13
-    TAN = 14
-    ASIN = 15
-    ACOS = 16
-    ATAN = 17
-    EXP = 18
-    LN = 19
-    ADD = 20
-    SUB = 21
-    MUL = 22
-    DIV = 23
+    MAX = 3
+    SUB = 4
+    ADD = 5
+    MIN = 6
+    NEG = 7
+    SQUARE = 8
+    SQRT = 9
+    MUL = 10
+    DIV = 11
+    ABS = 12
+    EXP = 13
+    LN = 14
+    RECIP = 15
+    FLOOR = 16
+    CEIL = 17
+    ROUND = 18
+    NOT = 19
+    AND = 20
+    OR = 21
+    MOD = 22
+    COMPARE = 23
     ATAN2 = 24
-    COMPARE = 25
-    MOD = 26
-    MIN = 27
-    MAX = 28
-    AND = 29
-    OR = 30
+    SIN = 25
+    COS = 26
+    TAN = 27
+    ASIN = 28
+    ACOS = 29
+    ATAN = 30
     MEM = 31  # canonical packed form only
     LOAD = 32  # internal: register <- memory slot
     STORE = 33  # internal: memory slot <- register
@@ -104,6 +116,18 @@ BINARY_TAPE_OPS = frozenset(
 
 #: Tape ops that record a 2-bit Choice in interval (tracing) evaluation.
 CHOICE_TAPE_OPS = frozenset({TapeOp.MIN, TapeOp.MAX, TapeOp.AND, TapeOp.OR})
+
+#: Bitmask constants for branch-free opcode classification in kernels:
+#: bit op is set if op belongs to the class (all ops fit in 31 bits).
+CHOICE_MASK = 0
+for _op in CHOICE_TAPE_OPS:
+    CHOICE_MASK |= 1 << int(_op)
+BINARY_MASK = 0
+for _op in BINARY_TAPE_OPS:
+    BINARY_MASK |= 1 << int(_op)
+UNARY_MASK = 0
+for _op in UNARY_TAPE_OPS:
+    UNARY_MASK |= 1 << int(_op)
 
 # 2-bit choice codes (fidget-core/src/vm/choice.rs:15-29)
 CHOICE_NONE = 0

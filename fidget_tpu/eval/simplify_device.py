@@ -32,7 +32,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..compiler.pack import IMM12, PackedTapes, pack_rows
-from ..compiler.tape import Tape, TapeOp
+from ..compiler.tape import (
+    BINARY_MASK,
+    BINARY_TAPE_OPS,
+    CHOICE_MASK,
+    Tape,
+    TapeOp,
+    UNARY_TAPE_OPS,
+)
 
 _CHOICE_OP_VALUES = (int(TapeOp.MIN), int(TapeOp.MAX), int(TapeOp.AND), int(TapeOp.OR))
 
@@ -64,11 +71,9 @@ class DeviceSimplifier:
         is_choice = np.isin(op, _CHOICE_OP_VALUES)
         # operand-use flags (static): which packed fields are registers
         unary_like = np.isin(
-            op,
-            [int(TapeOp.COPY)]
-            + [int(u) for u in range(int(TapeOp.NEG), int(TapeOp.LN) + 1)],
+            op, [int(TapeOp.COPY)] + [int(u) for u in UNARY_TAPE_OPS]
         )
-        binary_like = op >= int(TapeOp.ADD)
+        binary_like = np.isin(op, [int(b) for b in BINARY_TAPE_OPS])
         is_output = op == int(TapeOp.OUTPUT)
         self._st = dict(
             w1=w1.astype(np.int32),
@@ -177,9 +182,9 @@ class DeviceSimplifier:
                 b = wb & 0xFFF
                 aux = wb >> 12
                 is_output = op == 0
-                is_choice = (op >= 27) & (op <= 30)
+                is_choice = ((CHOICE_MASK >> op) & 1) == 1
                 a_is_reg = (op != 1) & (a != IMM12)
-                b_is_reg = (op >= 20) & (b != IMM12)
+                b_is_reg = (((BINARY_MASK >> op) & 1) == 1) & (b != IMM12)
                 ones = jnp.ones((s0, 128), jnp.int32)
                 executed = jnp.where(is_output, ones, live[out])
                 cword = ch_ref[0, jnp.minimum(aux // 16, cw - 1)]
@@ -306,3 +311,145 @@ class DeviceSimplifier:
             packed_choices, n_tiles=n_tiles, interpret=interpret
         )
         return self._reconstruct(self.unpack_codes(per_tile, self.L))
+
+
+# ======================================================================
+# dynamic-tape simplification (second and later levels)
+
+
+class DynamicSimplifier:
+    """Simplifies *per-tile* packed tapes (e.g. DeviceSimplifier
+    outputs) against per-lane choice traces, producing one child tape
+    per (tile, lane).
+
+    This is the piece the wgpu pipeline runs at every level
+    (interval_tiles.wgsl -> tape_simplify.wgsl): tapes at level k+1 are
+    derived from the *dynamic* tapes of level k, not from the static
+    root tape. The liveness kernel is the same as DeviceSimplifier's,
+    with the tape block indexed per grid instance; reconstruction is
+    fully vectorized over (tile, row).
+    """
+
+    @staticmethod
+    @functools.partial(
+        jax.jit, static_argnames=("nf", "interpret")
+    )
+    def codes(w1s, w2s, lengths, packed_choices, *, nf: int,
+              interpret: bool = False):
+        """w1s/w2s: [T, L] i32 per-tile tapes; lengths: [T];
+        packed_choices: [T, CW, S0, 128] from interp_interval.
+        Returns per-lane packed action-code words [T, S0*128, LW]."""
+        T, L = w1s.shape
+        s0 = packed_choices.shape[2]
+        cw = packed_choices.shape[1]
+        lw = -(-L // 16)
+
+        def kernel(w1_ref, w2_ref, len_ref, ch_ref, codes_ref, live):
+            n = len_ref[0, 0, 0]
+            live[...] = jnp.zeros((nf, s0, 128), jnp.int32)
+            codes_ref[0] = jnp.zeros((lw, s0, 128), jnp.int32)
+
+            def step(k, _):
+                j = n - 1 - k
+                wa = w1_ref[0, 0, j]
+                wb = w2_ref[0, 0, j]
+                op = wa & 127
+                out = (wa >> 7) & 0xFFF
+                a = (wa >> 19) & 0xFFF
+                b = wb & 0xFFF
+                aux = wb >> 12
+                is_output = op == 0
+                is_choice = ((CHOICE_MASK >> op) & 1) == 1
+                a_is_reg = (op != 1) & (a != IMM12)
+                b_is_reg = (((BINARY_MASK >> op) & 1) == 1) & (b != IMM12)
+                ones = jnp.ones((s0, 128), jnp.int32)
+                executed = jnp.where(is_output, ones, live[out])
+                cword = ch_ref[0, jnp.minimum(aux // 16, cw - 1)]
+                c = (cword >> ((aux % 16) * 2)) & 3
+                left = jnp.where(is_choice, (c == 1).astype(jnp.int32), 0)
+                right = jnp.where(is_choice, (c == 2).astype(jnp.int32), 0)
+                both = jnp.where(
+                    is_choice, ((c == 3) | (c == 0)).astype(jnp.int32), 1
+                )
+                elide = executed & (
+                    jnp.where(a == out, left, 0) | jnp.where(b == out, right, 0)
+                )
+                emit = executed & (1 - elide)
+                code = emit * jnp.where(both == 1, 1, jnp.where(left == 1, 2, 3))
+                w_idx = j // 16
+                codes_ref[0, w_idx] = codes_ref[0, w_idx] | (
+                    code << ((j % 16) * 2)
+                )
+                use_a = jnp.where(a_is_reg, emit & (both | left), 0)
+                use_b = jnp.where(b_is_reg, emit & (both | right), 0)
+                live[out] = live[out] & (1 - emit)
+                live[a] = live[a] | use_a
+                live[b] = live[b] | use_b
+                return 0
+
+            lax.fori_loop(0, n, step, 0)
+
+        codes = pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, cw, s0, 128), lambda i: (i, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, lw, s0, 128), lambda i: (i, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((T, lw, s0, 128), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((nf, s0, 128), jnp.int32)],
+            interpret=interpret,
+        )(
+            w1s.reshape(T, 1, L).astype(jnp.int32),
+            w2s.reshape(T, 1, L).astype(jnp.int32),
+            lengths.reshape(T, 1, 1).astype(jnp.int32),
+            packed_choices,
+        )
+        # word-major lanes -> per-lane packed rows [T, S0*128, LW]
+        return jnp.moveaxis(codes.reshape(T, lw, s0 * 128), 1, 2)
+
+    @staticmethod
+    @jax.jit
+    def reconstruct(w1p, w2p, immp, codes):
+        """Builds child arenas from parent rows + per-child action codes.
+
+        w1p/w2p/immp: [TC, L] parent tape rows gathered per child;
+        codes: [TC, L] uint8 action codes. Returns
+        (w1, w2, imm, lengths, n_choices) with the same row layout and
+        re-indexed choice aux fields as DeviceSimplifier._reconstruct."""
+        TC, L = w1p.shape
+        w1p = w1p.astype(jnp.int32)
+        w2p = w2p.astype(jnp.int32)
+        op = w1p & 127
+        out = (w1p >> 7) & 0xFFF
+        a = (w1p >> 19) & 0xFFF
+        b = w2p & 0xFFF
+        keep = codes > 0
+        copy_a = int(TapeOp.COPY) | (out << 7) | (a << 19)
+        copy_b = int(TapeOp.COPY) | (out << 7) | (b << 19)
+        w1_new = jnp.where(
+            codes == 1, w1p, jnp.where(codes == 2, copy_a, copy_b)
+        )
+        w2_new = jnp.where(codes == 1, w2p, 0)
+        is_choice = ((CHOICE_MASK >> op) & 1) == 1
+        kept_choice = keep & (codes == 1) & is_choice
+        new_cidx = jnp.cumsum(kept_choice, axis=1) - 1
+        w2_new = jnp.where(kept_choice, b | (new_cidx << 12), w2_new)
+        n_choices = kept_choice.sum(axis=1).astype(jnp.int32)
+        lengths = keep.sum(axis=1).astype(jnp.int32)
+        keys = (~keep).astype(jnp.int32)
+        _, w1_out, w2_out, imm_out = lax.sort(
+            (keys, w1_new, w2_new, immp), dimension=1, is_stable=True,
+            num_keys=1,
+        )
+        tail = jnp.arange(L)[None, :] >= lengths[:, None]
+        w1_out = jnp.where(tail, 0, w1_out)
+        w2_out = jnp.where(tail, 0, w2_out)
+        imm_out = jnp.where(tail, 0.0, imm_out)
+        return w1_out, w2_out, imm_out, lengths, n_choices

@@ -9,20 +9,23 @@ batched levels — the execution model of the wgpu pipeline
 1. **Root interval pass** — one Pallas interval-kernel launch where the
    *lanes* are the root tiles; produces per-tile output intervals plus
    packed 2-bit choice traces.
-2. **Classification** — tiles prove inside / outside (fills) or stay
-   active; `pixel_perfect` mode skips fills entirely, which is the
-   differentiable path.
-3. **Batched simplification** — `DeviceSimplifier` specializes the
-   tape per tile in one `lax.scan` over the parent tape.
+2. **Batched simplification** — `DeviceSimplifier` specializes the
+   tape per root tile, entirely on device.
+3. **Subtile interval pass** (two-level mode) — grid instance per root
+   tile; lanes are its subtiles, evaluated with the root's specialized
+   tape; choices feed `DynamicSimplifier`, which re-specializes every
+   subtile's tape from its parent's *dynamic* tape — the wgpu
+   per-level tape_simplify loop (interval_tiles.wgsl:20-129).
 4. **Leaf pass** — one Pallas float-kernel launch, one grid instance
-   per tile, each evaluating its own simplified tape over the tile's
+   per (sub)tile, each evaluating its own simplified tape over its
    pixels. Culled tiles get their tape length zeroed, so their
    instances cost nothing — the static-shape analog of "skip the
    tile".
-5. **Assembly** — distances scatter into the image; fills overwrite.
+5. **Assembly** — distances and fills combine through dense reshapes.
 
 Everything from (1) to (5) is traced into a single XLA computation, so
-a frame is one device dispatch.
+a frame is one device dispatch. Default tile sizes (128, 32) follow
+the reference's JIT 2D hints (fidget-jit/src/lib.rs:967-971).
 """
 
 from __future__ import annotations
@@ -42,10 +45,9 @@ from ..eval.arith import FloatMode, IntervalMode
 from ..eval.pallas_interp import (
     default_interpret,
     interp_float,
-    interp_float_coded,
     interp_interval,
 )
-from ..eval.simplify_device import DeviceSimplifier
+from ..eval.simplify_device import DeviceSimplifier, DynamicSimplifier
 from ..eval.unrolled import eval_tape
 from ..shape import Shape, ShapeVars
 from .region import ImageSize, compose2, mat3_to_mat4
@@ -84,11 +86,12 @@ class PixelRenderer:
     """Compiled 2D renderer for one tape at one image size.
 
     Args:
-      tape: the shape's register tape (single output).
+      tape: the shape's register tape or a Shape (single output).
       image_size: output size in pixels.
-      tile_size: root tile edge (pixels); must divide 128*8 layouts
-        cleanly — 64 is the tuned default (two levels: 64 -> pixels,
-        matching the VM hints' spirit, fidget-core/src/vm/mod.rs:255).
+      tile_size: single-level mode: root tile edge; leaves evaluate at
+        this granularity with one simplification level.
+      tile_sizes: multi-level mode (default (128, 32)): root and leaf
+        tile edges; the leaf tapes are re-specialized per subtile.
       interpret: force Pallas interpret mode (None = auto by platform).
     """
 
@@ -97,7 +100,8 @@ class PixelRenderer:
         tape: Tape | Shape,
         image_size: ImageSize,
         *,
-        tile_size: int = 64,
+        tile_size: int | None = None,
+        tile_sizes: tuple | None = None,
         interpret: bool | None = None,
     ):
         self.shape_transform = None
@@ -107,37 +111,53 @@ class PixelRenderer:
         assert tape.output_count == 1, "2D rendering expects a single output"
         self.tape = tape
         self.size = image_size
-        self.ts = tile_size
+        if tile_size is not None and tile_sizes is not None:
+            raise ValueError("pass either tile_size or tile_sizes")
+        if tile_size is not None:
+            tile_sizes = (tile_size,)
+        if tile_sizes is None:
+            tile_sizes = (128, 32)
+        assert len(tile_sizes) in (1, 2)
+        self.tile_sizes = tuple(int(t) for t in tile_sizes)
+        self.two_level = len(self.tile_sizes) == 2
         self.interpret = default_interpret() if interpret is None else interpret
+
+        T0 = self.tile_sizes[0]
+        T1 = self.tile_sizes[-1]
+        assert T0 % T1 == 0
+        assert (T1 * T1) % 128 == 0, "leaf tile must fill 128-lane planes"
+        self.T0, self.T1 = T0, T1
+        self.r = T0 // T1
+        self.m = self.r * self.r
 
         self.W = image_size.width
         self.H = image_size.height
-        self.ntx = -(-self.W // tile_size)
-        self.nty = -(-self.H // tile_size)
-        self.n_tiles = self.ntx * self.nty
-        # root-pass lane layout: tiles padded to a full (S0, 128) plane
-        self.root_s0 = max(8, _ceil_to(-(-self.n_tiles // 128), 8))
-        # leaf lane layout: tile pixels as (ts*ts/128, 128)
-        assert (tile_size * tile_size) % 128 == 0
-        self.leaf_s0 = (tile_size * tile_size) // 128
+        self.n0x = -(-self.W // T0)
+        self.n0y = -(-self.H // T0)
+        self.n0 = self.n0x * self.n0y
+        self.nc = self.n0 * self.m
+        # lane layouts
+        self.s0r = max(8, _ceil_to(-(-self.n0 // 128), 8))
+        self.s0s = max(1, -(-self.m // 128))
+        self.s0l = (T1 * T1) // 128
 
         self.packed = pack_tapes([tape])
         self.simplifier = DeviceSimplifier(tape)
         self.nf = self.simplifier.nf
         self.n_inputs = len(tape.var_map)
         self.c_words = max(1, -(-tape.choice_count // 16))
+        self.axis_of = {v.kind: i for v, i in tape.var_map.items()}
 
-        # input index of each spatial axis (None if the tape ignores it)
-        self.axis_of = {}
-        for v, i in tape.var_map.items():
-            self.axis_of[v.kind] = i
-
-        # static screen coordinates
-        tx = np.arange(self.ntx) * tile_size
-        ty = np.arange(self.nty) * tile_size
-        self.tile_x0, self.tile_y0 = [
-            g.reshape(-1).astype(np.float32) for g in np.meshgrid(tx, ty)
-        ]
+        # static screen coordinates of root tiles (row-major)
+        tx = np.arange(self.n0x) * T0
+        ty = np.arange(self.n0y) * T0
+        gx, gy = np.meshgrid(tx, ty)
+        self.tile_x0 = gx.reshape(-1).astype(np.float32)
+        self.tile_y0 = gy.reshape(-1).astype(np.float32)
+        # subtile offsets within a root tile, (sy, sx) row-major
+        k = np.arange(self.m)
+        self.sub_dx = ((k % self.r) * T1).astype(np.float32)
+        self.sub_dy = ((k // self.r) * T1).astype(np.float32)
         self._frame = jax.jit(self._frame_impl, static_argnames=("pixel_perfect",))
 
     # ------------------------------------------------------------------
@@ -170,88 +190,170 @@ class PixelRenderer:
             im.binary(TapeOp.DIV, axis(r), wr) for r in range(3)
         )
 
-    def _frame_impl(self, mat, z, var_vec, *, pixel_perfect: bool):
-        ts, W, H = self.ts, self.W, self.H
-        T = self.n_tiles
-        im = IntervalMode(jnp)
-        interpret = self.interpret
-
-        # ---- stage 1: root interval pass (lanes = tiles) --------------
-        lanes = self.root_s0 * 128
-        x0 = jnp.zeros(lanes, jnp.float32).at[:T].set(self.tile_x0)
-        y0 = jnp.zeros(lanes, jnp.float32).at[:T].set(self.tile_y0)
-        xi = (x0, x0 + ts)
-        yi = (y0, y0 + ts)
+    def _interval_vars(self, im, mat, z, var_vec, xi, yi, s0, lead):
+        """Interval var planes [lead..., V, s0, 128] from screen
+        interval pairs of shape [lead..., K]."""
         mxi, myi, mzi = self._transform_intervals(im, mat, xi, yi, z)
-
         V = self.n_inputs
+        shape = lead + (V, s0, 128)
         var_lo = jnp.broadcast_to(
-            var_vec[None, :, None, None], (1, V, self.root_s0, 128)
+            var_vec.reshape((1,) * len(lead) + (V, 1, 1)), shape
         ).astype(jnp.float32)
         var_hi = var_lo
+
+        def pad_plane(a):
+            K = a.shape[-1]
+            pad = s0 * 128 - K
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1
+                )
+            return a.reshape(a.shape[:-1] + (s0, 128))
+
         for kind, ivl in (("x", mxi), ("y", myi), ("z", mzi)):
             idx = self.axis_of.get(kind)
             if idx is not None:
-                var_lo = var_lo.at[0, idx].set(ivl[0].reshape(self.root_s0, 128))
-                var_hi = var_hi.at[0, idx].set(ivl[1].reshape(self.root_s0, 128))
+                sel = (slice(None),) * len(lead) + (idx,)
+                lo = jnp.broadcast_to(ivl[0], xi[0].shape)
+                hi = jnp.broadcast_to(ivl[1], xi[0].shape)
+                var_lo = var_lo.at[sel].set(pad_plane(lo))
+                var_hi = var_hi.at[sel].set(pad_plane(hi))
+        return var_lo, var_hi
 
-        olo, ohi, packed_choices = interp_interval(
+    # ------------------------------------------------------------------
+
+    def _frame_impl(self, mat, z, var_vec, *, pixel_perfect: bool):
+        T0, T1, m = self.T0, self.T1, self.m
+        W, H = self.W, self.H
+        n0, nc = self.n0, self.nc
+        im = IntervalMode(jnp)
+        interpret = self.interpret
+        V = self.n_inputs
+
+        # ---- stage 1: root interval pass (lanes = root tiles) ---------
+        x0 = jnp.asarray(self.tile_x0)
+        y0 = jnp.asarray(self.tile_y0)
+        var_lo, var_hi = self._interval_vars(
+            im, mat, z, var_vec, (x0, x0 + T0), (y0, y0 + T0),
+            self.s0r, (1,),
+        )
+        olo, ohi, choices0 = interp_interval(
             self.packed.w1, self.packed.w2, self.packed.imm,
             self.packed.lengths, var_lo, var_hi,
-            nf=self.nf, n_inputs=V, n_outputs=1, s0=self.root_s0,
+            nf=self.nf, n_inputs=V, n_outputs=1, s0=self.s0r,
             c_words=self.c_words, interpret=interpret,
         )
-        tile_lo = olo[0, 0].reshape(-1)[:T]
-        tile_hi = ohi[0, 0].reshape(-1)[:T]
-
-        # ---- stage 2: classify ----------------------------------------
-        inside = tile_hi < 0.0
-        outside = tile_lo > 0.0
-        active = ~(inside | outside)
+        rlo = olo[0, 0].reshape(-1)[:n0]
+        rhi = ohi[0, 0].reshape(-1)[:n0]
+        root_in = rhi < 0.0
+        root_out = rlo > 0.0
+        root_active = ~(root_in | root_out)
         if pixel_perfect:
-            active = jnp.ones_like(active)
+            root_active = jnp.ones_like(root_active)
 
-        # ---- stage 3: per-tile simplification ---------------------------
-        # packed choice words -> Pallas liveness kernel -> sort-compacted
-        # per-tile child tapes, all on device
-        w1, w2, imm, lengths, _ncho = self.simplifier.simplify_packed(
-            packed_choices, n_tiles=T, interpret=interpret
+        # ---- stage 2: per-root-tile simplification ---------------------
+        w1s, w2s, imms, lens0, _ = self.simplifier.simplify_packed(
+            choices0, n_tiles=n0, interpret=interpret
         )
+        lens0a = jnp.where(root_active, lens0, 0)
 
-        # ---- stage 4: leaf pass (one instance per tile) -----------------
-        # zero out culled tiles' tapes: their instances do no work
-        lengths = jnp.where(active, lengths, 0)
-        # per-tile pixel coordinates (row-major within the tile)
-        ii = jnp.arange(ts, dtype=jnp.float32)
-        px = self.tile_x0[:, None, None] + ii[None, None, :]
-        py = self.tile_y0[:, None, None] + ii[None, :, None]
-        px = jnp.broadcast_to(px, (T, ts, ts)).reshape(T, self.leaf_s0, 128)
-        py = jnp.broadcast_to(py, (T, ts, ts)).reshape(T, self.leaf_s0, 128)
+        if not self.two_level:
+            w1c, w2c, immc, lensc = w1s, w2s, imms, lens0a
+            cx0, cy0 = x0, y0
+            leaf_active = root_active
+            fill_child = jnp.where(
+                root_active,
+                np.int8(FILL_NONE),
+                jnp.where(root_in, np.int8(FILL_INSIDE),
+                          np.int8(FILL_OUTSIDE)),
+            ).astype(jnp.int8)
+        else:
+            # ---- stage 3: subtile interval pass ------------------------
+            sx0 = x0[:, None] + jnp.asarray(self.sub_dx)[None, :]  # [n0, m]
+            sy0 = y0[:, None] + jnp.asarray(self.sub_dy)[None, :]
+            var_lo1, var_hi1 = self._interval_vars(
+                im, mat, z, var_vec, (sx0, sx0 + T1), (sy0, sy0 + T1),
+                self.s0s, (n0,),
+            )
+            olo1, ohi1, choices1 = interp_interval(
+                w1s, w2s, imms, lens0a, var_lo1, var_hi1,
+                nf=self.nf, n_inputs=V, n_outputs=1, s0=self.s0s,
+                c_words=self.c_words, interpret=interpret,
+            )
+            slo = olo1[:, 0].reshape(n0, -1)[:, :m]
+            shi = ohi1[:, 0].reshape(n0, -1)[:, :m]
+            act = root_active[:, None]
+            sub_in = act & (shi < 0.0)
+            sub_out = act & (slo > 0.0)
+            sub_active = act & ~sub_in & ~sub_out
+            if pixel_perfect:
+                sub_active = jnp.ones_like(sub_active)
+
+            # ---- stage 4: per-subtile re-simplification ----------------
+            perlane = DynamicSimplifier.codes(
+                w1s, w2s, lens0a, choices1, nf=self.nf, interpret=interpret
+            )  # [n0, s0s*128, lw]
+            per_child = perlane[:, :m].reshape(nc, -1)
+            codes_u8 = DeviceSimplifier.unpack_codes(per_child, w1s.shape[1])
+            parent = jnp.arange(nc) // m
+            w1p = jnp.take(w1s, parent, axis=0)
+            w2p = jnp.take(w2s, parent, axis=0)
+            immp = jnp.take(imms, parent, axis=0)
+            w1c, w2c, immc, lensc, _ = DynamicSimplifier.reconstruct(
+                w1p, w2p, immp, codes_u8
+            )
+            leaf_active = sub_active.reshape(-1)
+            cx0 = sx0.reshape(-1)
+            cy0 = sy0.reshape(-1)
+            fill_child = jnp.where(
+                sub_active,
+                np.int8(FILL_NONE),
+                jnp.where(
+                    jnp.where(act, sub_in, root_in[:, None]),
+                    np.int8(FILL_INSIDE),
+                    np.int8(FILL_OUTSIDE),
+                ),
+            ).astype(jnp.int8).reshape(-1)
+
+        # ---- stage 5: leaf pass (one instance per leaf tile) ------------
+        lensc = jnp.where(leaf_active, lensc, 0)
+        ii = jnp.arange(T1, dtype=jnp.float32)
+        px = cx0[:, None, None] + ii[None, None, :]
+        py = cy0[:, None, None] + ii[None, :, None]
+        TC = cx0.shape[0]
+        px = jnp.broadcast_to(px, (TC, T1, T1)).reshape(TC, self.s0l, 128)
+        py = jnp.broadcast_to(py, (TC, T1, T1)).reshape(TC, self.s0l, 128)
         mx, my, mz = self._transform_points(mat, px, py, z)
         vars_ = jnp.broadcast_to(
-            var_vec[None, :, None, None], (T, V, self.leaf_s0, 128)
+            var_vec[None, :, None, None], (TC, V, self.s0l, 128)
         ).astype(jnp.float32)
         for kind, plane in (("x", mx), ("y", my), ("z", mz)):
             idx2 = self.axis_of.get(kind)
             if idx2 is not None:
-                vars_ = vars_.at[:, idx2].set(plane)
+                vars_ = vars_.at[:, idx2].set(
+                    jnp.broadcast_to(plane, (TC, self.s0l, 128))
+                )
 
         dist = interp_float(
-            w1, w2, imm, lengths, vars_,
-            nf=self.nf, n_inputs=V, n_outputs=1, s0=self.leaf_s0,
+            w1c, w2c, immc, lensc, vars_,
+            nf=self.nf, n_inputs=V, n_outputs=1, s0=self.s0l,
             interpret=interpret,
-        )[:, 0]  # [T, leaf_s0, 128]
+        )[:, 0]  # [TC, s0l, 128]
 
-        # ---- stage 5: assemble ------------------------------------------
-        dist = dist.reshape(self.nty, self.ntx, ts, ts)
-        img = dist.transpose(0, 2, 1, 3).reshape(self.nty * ts, self.ntx * ts)
-        fill_tile = jnp.where(
-            active,
-            np.int8(FILL_NONE),
-            jnp.where(inside, np.int8(FILL_INSIDE), np.int8(FILL_OUTSIDE)),
-        ).astype(jnp.int8)
-        fill = jnp.repeat(jnp.repeat(
-            fill_tile.reshape(self.nty, self.ntx), ts, axis=0), ts, axis=1)
+        # ---- stage 6: assemble -------------------------------------------
+        r = self.r
+        n0y, n0x = self.n0y, self.n0x
+        dist = dist.reshape(n0y, n0x, r, r, T1, T1)
+        img = dist.transpose(0, 2, 4, 1, 3, 5).reshape(
+            n0y * T0, n0x * T0
+        )
+        fg = fill_child.reshape(n0y, n0x, r, r)
+        fill = jnp.repeat(
+            jnp.repeat(
+                fg.transpose(0, 2, 1, 3).reshape(n0y * r, n0x * r), T1, 0
+            ),
+            T1, 1,
+        )
         return img[:H, :W], fill[:H, :W]
 
     # ------------------------------------------------------------------
@@ -336,12 +438,16 @@ def render(
     world_to_model: np.ndarray | None = None,
     z: float = 0.0,
     vars: ShapeVars | dict | None = None,
-    tile_size: int = 64,
+    tile_size: int | None = None,
+    tile_sizes: tuple | None = None,
     pixel_perfect: bool = False,
     interpret: bool | None = None,
 ) -> Image2D:
     """One-shot 2D render (mirrors fidget_raster::pixel::render)."""
-    r = PixelRenderer(tape, image_size, tile_size=tile_size, interpret=interpret)
+    r = PixelRenderer(
+        tape, image_size, tile_size=tile_size, tile_sizes=tile_sizes,
+        interpret=interpret,
+    )
     return r.render(
         world_to_model, z=z, vars=vars, pixel_perfect=pixel_perfect
     )

@@ -143,3 +143,43 @@ def test_render_shape_unbound_var_raises():
     pr = PixelRenderer(Shape.from_tree(tree), ImageSize(64, 64), interpret=True)
     with pytest.raises(ValueError):
         pr.render()
+
+
+def test_two_level_matches_brute():
+    if not has_model("hi.vm"):
+        pytest.skip("model assets unavailable")
+    ctx, root = load_vm("hi.vm")
+    tape = lower(ctx, [root])
+    r = PixelRenderer(
+        tape, ImageSize(256, 256), tile_sizes=(128, 32), interpret=True
+    )
+    img = r.render()
+    brute = r.render_brute()
+    evaluated = img.fill == FILL_NONE
+    np.testing.assert_allclose(
+        img.distance[evaluated], brute[evaluated], rtol=1e-5, atol=1e-6
+    )
+    assert (img.inside() == (brute < 0)).all()
+    # pixel_perfect: every pixel evaluated, still exact
+    img2 = r.render(pixel_perfect=True)
+    assert (img2.fill == FILL_NONE).all()
+    np.testing.assert_allclose(img2.distance, brute, rtol=1e-5, atol=1e-6)
+
+
+def test_two_level_spiky():
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    r2 = ctx.add(ctx.square(x), ctx.square(y))
+    wave = ctx.mul(0.3, ctx.sin(ctx.mul(10.0, ctx.atan2(y, x))))
+    tape = lower(ctx, [ctx.sub(ctx.sqrt(r2), ctx.add(0.6, wave))])
+    r = PixelRenderer(
+        tape, ImageSize(256, 256), tile_sizes=(64, 16), interpret=True
+    )
+    img = r.render()
+    brute = r.render_brute()
+    evaluated = img.fill == FILL_NONE
+    # atol covers XLA-vs-numpy transcendental ULP differences
+    np.testing.assert_allclose(
+        img.distance[evaluated], brute[evaluated], rtol=1e-5, atol=5e-6
+    )
+    assert (img.inside() == (brute < 0)).all()
