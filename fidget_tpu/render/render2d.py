@@ -223,24 +223,38 @@ class PixelRenderer:
     # ------------------------------------------------------------------
 
     def _frame_impl(self, mat, z, var_vec, *, pixel_perfect: bool):
+        img, fill = self._frame_tiles(
+            mat, z, var_vec,
+            jnp.asarray(self.tile_x0), jnp.asarray(self.tile_y0),
+            pixel_perfect=pixel_perfect,
+        )
+        return img[: self.H, : self.W], fill[: self.H, : self.W]
+
+    def _frame_tiles(self, mat, z, var_vec, x0, y0, *, pixel_perfect: bool):
+        """Runs the pipeline over an arbitrary set of root tiles whose
+        corner coordinates are *traced* inputs — the shardable core:
+        `parallel.sharding` maps this over tile-row slabs of a device
+        mesh with zero cross-device communication. Tiles are row-major
+        with `n0x` columns; returns the uncropped (img, fill) slab."""
         T0, T1, m = self.T0, self.T1, self.m
-        W, H = self.W, self.H
-        n0, nc = self.n0, self.nc
+        n0 = x0.shape[0]
+        n0x = self.n0x
+        n0y = n0 // n0x
+        nc = n0 * m
+        s0r = max(8, _ceil_to(-(-n0 // 128), 8))
         im = IntervalMode(jnp)
         interpret = self.interpret
         V = self.n_inputs
 
         # ---- stage 1: root interval pass (lanes = root tiles) ---------
-        x0 = jnp.asarray(self.tile_x0)
-        y0 = jnp.asarray(self.tile_y0)
         var_lo, var_hi = self._interval_vars(
             im, mat, z, var_vec, (x0, x0 + T0), (y0, y0 + T0),
-            self.s0r, (1,),
+            s0r, (1,),
         )
         olo, ohi, choices0 = interp_interval(
             self.packed.w1, self.packed.w2, self.packed.imm,
             self.packed.lengths, var_lo, var_hi,
-            nf=self.nf, n_inputs=V, n_outputs=1, s0=self.s0r,
+            nf=self.nf, n_inputs=V, n_outputs=1, s0=s0r,
             c_words=self.c_words, interpret=interpret,
         )
         rlo = olo[0, 0].reshape(-1)[:n0]
@@ -342,7 +356,6 @@ class PixelRenderer:
 
         # ---- stage 6: assemble -------------------------------------------
         r = self.r
-        n0y, n0x = self.n0y, self.n0x
         dist = dist.reshape(n0y, n0x, r, r, T1, T1)
         img = dist.transpose(0, 2, 4, 1, 3, 5).reshape(
             n0y * T0, n0x * T0
@@ -354,7 +367,7 @@ class PixelRenderer:
             ),
             T1, 1,
         )
-        return img[:H, :W], fill[:H, :W]
+        return img, fill
 
     # ------------------------------------------------------------------
 

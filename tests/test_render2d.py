@@ -183,3 +183,30 @@ def test_two_level_spiky():
         img.distance[evaluated], brute[evaluated], rtol=1e-5, atol=5e-6
     )
     assert (img.inside() == (brute < 0)).all()
+
+
+def test_sharded_tiles_matches_brute():
+    import jax
+
+    from fidget_tpu.parallel.sharding import make_mesh, render_tiles_sharded
+
+    n_dev = min(4, jax.device_count())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = make_mesh(n_dev)
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    tape = lower(
+        ctx, [ctx.sub(ctx.sqrt(ctx.add(ctx.square(x), ctx.square(y))), 0.7)]
+    )
+    size = ImageSize(256, 128 * n_dev)
+    img = render_tiles_sharded(
+        tape, size, mesh, tile_sizes=(128, 32), interpret=True
+    )
+    r = PixelRenderer(tape, size, interpret=True)
+    brute = r.render_brute()
+    evaluated = img.fill == FILL_NONE
+    np.testing.assert_allclose(
+        img.distance[evaluated], brute[evaluated], rtol=1e-5, atol=1e-6
+    )
+    assert (img.inside() == (brute < 0)).all()
