@@ -30,14 +30,12 @@ def main() -> None:
     import jax.numpy as jnp
     from jax import lax
 
-    from fidget_tpu import lower
-    from fidget_tpu.io.models import load_vm
+    from fidget_tpu.io.models import load_vm_tape
     from fidget_tpu.render.region import ImageSize
     from fidget_tpu.render.render2d import PixelRenderer
 
     N = 1024
-    ctx, root = load_vm("prospero.vm")
-    tape = lower(ctx, [root])
+    tape = load_vm_tape("prospero.vm")
     r = PixelRenderer(tape, ImageSize(N, N), tile_size=64)
 
     # sanity: tiled pipeline must agree with dense brute force

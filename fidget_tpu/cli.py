@@ -26,21 +26,28 @@ import numpy as np
 
 def _load(path: str):
     from .core.context import Context
+    from .native import compile_vm
     from .script import eval_script
 
     p = pathlib.Path(path)
     text = p.read_text()
     if p.suffix == ".rhai":
         return eval_script(text).tree
+    tape = compile_vm(text)  # native fast path, None w/o a toolchain
+    if tape is not None:
+        return tape
     ctx, root = Context.from_text(text)
     return (ctx, root)
 
 
 def _tape(model):
     from .compiler.lower import lower
+    from .compiler.tape import Tape
     from .core.context import Context
     from .core.tree import Tree, import_tree
 
+    if isinstance(model, Tape):
+        return model
     if isinstance(model, tuple):
         ctx, root = model
         return lower(ctx, [root])

@@ -58,3 +58,17 @@ def load_script(name: str):
 
     path = find_model(name)
     return eval_script(path.read_text()).tree
+
+
+def load_vm_tape(name: str, reg_limit: int = 255):
+    """Loads and lowers a `.vm` model straight to a register `Tape`,
+    preferring the native (C++) tape compiler when available."""
+    from ..compiler.lower import lower
+    from ..native import compile_vm
+
+    text = find_model(name).read_text()
+    tape = compile_vm(text, reg_limit)
+    if tape is not None:
+        return tape
+    ctx, root = Context.from_text(text)
+    return lower(ctx, [root])
