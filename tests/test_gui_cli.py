@@ -96,3 +96,25 @@ def test_cli_render2d_and_mesh(tmp_path):
     )
     assert rc == 0
     assert stl.stat().st_size > 84
+
+
+def test_pipeline_stats():
+    from fidget_tpu import Context, lower
+    from fidget_tpu.render.render2d import PixelRenderer
+    from fidget_tpu.utils import pipeline_stats, timed
+
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    tape = lower(
+        ctx, [ctx.sub(ctx.sqrt(ctx.add(ctx.square(x), ctx.square(y))), 0.6)]
+    )
+    r = PixelRenderer(tape, ImageSize(512, 512), tile_size=64, interpret=True)
+    stats = pipeline_stats(r)
+    assert stats.n_root == 64
+    assert stats.root_inside > 0 and stats.root_outside > 0
+    assert stats.root_active + stats.root_inside + stats.root_outside == 64
+    assert stats.simplified_max <= len(tape)
+    assert "active" in str(stats)
+    with timed("x") as t:
+        pass
+    assert t["seconds"] >= 0
