@@ -48,7 +48,7 @@ from ..eval.pallas_interp import (
     interp_grad,
     interp_interval,
 )
-from ..eval.simplify_device import DeviceSimplifier
+from ..eval.simplify_device import DeviceSimplifier, DynamicSimplifier
 from ..shape import Shape, ShapeVars
 from .region import VoxelSize
 from .transform import transform_duals, transform_intervals, transform_points
@@ -126,7 +126,10 @@ class VoxelRenderer:
         self.s0s = max(1, -(-self.m // 128))                   # subtile pass
         self.s0v = max(1, -(-sub_size**3 // 128))              # voxel pass
         if cap is None:
-            cap = max(256, 4 * self.nx2 * self.ny2)
+            # generous default: surface ~ O(columns), slack 8x, rounded
+            # to a power of two so capacity retries hit few variants
+            cap = max(256, 8 * self.nx2 * self.ny2)
+        cap = 1 << (int(cap) - 1).bit_length()
         self.cap = min(cap, self.nsub)
 
         self.packed = pack_tapes([tape])
@@ -167,7 +170,9 @@ class VoxelRenderer:
         self.vox_dz = vz.reshape(-1).astype(np.float32)
 
         self.s2w = size.screen_to_world()
-        self._frame = jax.jit(self._frame_impl, static_argnames=("mode",))
+        self._frame = jax.jit(
+            self._frame_impl, static_argnames=("mode", "cap")
+        )
 
     # ------------------------------------------------------------------
 
@@ -217,9 +222,11 @@ class VoxelRenderer:
 
     # ------------------------------------------------------------------
 
-    def _frame_impl(self, matM, var_vec, *, mode: str):
+    def _frame_impl(self, matM, var_vec, *, mode: str, cap: int):
         """matM: traced world->model 4x4 (incl. shape transform);
-        var_vec: f32 [V] custom-variable values."""
+        var_vec: f32 [V] custom-variable values; cap: static worklist
+        capacity (a jit cache key, so capacity retries only compile the
+        new variant)."""
         ts, sub, nl = self.ts, self.sub, self.nl
         W, H, D = self.W, self.H, self.D
         nt, m = self.nt, self.m
@@ -269,10 +276,10 @@ class VoxelRenderer:
             self.s0s, (nt,),
         )
         lens1 = jnp.where(root_active, lens, 0)
-        olo1, ohi1, _ = interp_interval(
+        olo1, ohi1, choices1 = interp_interval(
             w1s, w2s, imms, lens1, var_lo1, var_hi1,
             nf=self.nf, n_inputs=self.n_inputs, n_outputs=1, s0=self.s0s,
-            c_words=1, interpret=interpret,
+            c_words=self.c_words, interpret=interpret,
         )
         slo = olo1[:, 0].reshape(nt, -1)[:, :m]
         shi = ohi1[:, 0].reshape(nt, -1)[:, :m]
@@ -311,7 +318,7 @@ class VoxelRenderer:
         )
         BIG = jnp.int32(1 << 30)
         key = jnp.where(act_flat, (self.nz2 - gz_f).astype(jnp.int32), BIG)
-        order = jnp.argsort(key)[: self.cap]  # front-most first
+        order = jnp.argsort(key)[:cap]  # front-most first
         valid = act_flat[order]
 
         # decode compacted slots back to coordinates and parent tiles
@@ -324,10 +331,26 @@ class VoxelRenderer:
             + (gy // nl) * self.ntx
             + (gx // nl)
         )
-        w1_leaf = jnp.take(w1s, t_idx, axis=0)
-        w2_leaf = jnp.take(w2s, t_idx, axis=0)
-        imm_leaf = jnp.take(imms, t_idx, axis=0)
-        len_leaf = jnp.where(valid, jnp.take(lens, t_idx), 0)
+        w1p = jnp.take(w1s, t_idx, axis=0)
+        w2p = jnp.take(w2s, t_idx, axis=0)
+        immp = jnp.take(imms, t_idx, axis=0)
+
+        # second-level simplification: every compacted subtile's tape
+        # is re-specialized from its root's *dynamic* tape using the
+        # subtile interval pass's choice trace (the wgpu per-level
+        # tape_simplify loop, interval_tiles.wgsl:20-129)
+        perlane = DynamicSimplifier.codes(
+            w1s, w2s, lens1, choices1, nf=self.nf, interpret=interpret
+        )  # [nt, s0s*128, lw]
+        k_local = (
+            ((gz % nl) * nl + (gy % nl)) * nl + (gx % nl)
+        )  # (lz, ly, lx) row-major, matching sub_d* ordering
+        per_sub = perlane[t_idx, k_local]  # [cap, lw]
+        codes_u8 = DeviceSimplifier.unpack_codes(per_sub, w1s.shape[1])
+        w1_leaf, w2_leaf, imm_leaf, len_leaf, _ = (
+            DynamicSimplifier.reconstruct(w1p, w2p, immp, codes_u8)
+        )
+        len_leaf = jnp.where(valid, len_leaf, 0)
 
         # ---- stage 5: voxel point pass (instance per subtile) -----------
         bx = (gx * sub).astype(jnp.float32)[:, None]
@@ -337,15 +360,15 @@ class VoxelRenderer:
         py = by + jnp.asarray(self.vox_dy)[None, :]
         pz = bz + jnp.asarray(self.vox_dz)[None, :]
         vars_v = self._point_vars(
-            mat, var_vec, px, py, pz, self.s0v, (self.cap,)
+            mat, var_vec, px, py, pz, self.s0v, (cap,)
         )
         dv = interp_float(
             w1_leaf, w2_leaf, imm_leaf, len_leaf, vars_v,
             nf=self.nf, n_inputs=self.n_inputs, n_outputs=1, s0=self.s0v,
             interpret=interpret,
-        )[:, 0].reshape(self.cap, -1)[:, : sub**3]
+        )[:, 0].reshape(cap, -1)[:, : sub**3]
         inside = (dv < 0.0) & valid[:, None]
-        inside = inside.reshape(self.cap, sub, sub, sub)  # (vz, vy, vx)
+        inside = inside.reshape(cap, sub, sub, sub)  # (vz, vy, vx)
         vz_col = jnp.arange(sub, dtype=jnp.int32)[None, :, None, None]
         dcand = (
             jnp.where(inside, bz.astype(jnp.int32)[..., None, None] + vz_col + 1, 0)
@@ -467,11 +490,12 @@ class VoxelRenderer:
         matM = jnp.asarray(self._mat4(world_to_model))
         vec = jnp.asarray(self._var_vec(vars))
         for _ in range(max_retries + 1):
-            depth, normal, n_active = self._frame(matM, vec, mode=mode)
+            depth, normal, n_active = self._frame(
+                matM, vec, mode=mode, cap=self.cap
+            )
             if int(n_active) <= self.cap or self.cap >= self.nsub:
                 break
             self.cap = min(int(self.cap) * 2, self.nsub)
-            self._frame = jax.jit(self._frame_impl, static_argnames=("mode",))
         return Image3D(
             np.asarray(depth),
             None if normal is None else np.asarray(normal),
