@@ -57,13 +57,20 @@ class BulkEvaluator:
 
     def _planes(self, arrays, s0, planes_per_var=None):
         """arrays: dict input_index -> [N] (or [P, N] for dual planes).
-        Returns ([T, V, (P,) s0, 128], T, N)."""
+        Returns ([T, V, (P,) s0, 128], T, N).
+
+        The instance count T is rounded up to a power of two: callers
+        (octree levels, edge-search rounds) arrive with data-dependent
+        sizes, and bucketing makes the jit cache hit across them at the
+        cost of <2x padded lanes (zero-length work per padded block)."""
         n = None
         for a in arrays.values():
             n = a.shape[-1]
             break
         lanes = _ceil_to(max(1, n), s0 * 128)
         T = lanes // (s0 * 128)
+        T = 1 << (T - 1).bit_length()
+        lanes = T * s0 * 128
         V = self.n_inputs
         P = planes_per_var
         shape = (T, V, s0, 128) if P is None else (T, V, P, s0, 128)
@@ -95,13 +102,20 @@ class BulkEvaluator:
             arrays.setdefault(i, jnp.zeros_like(x))
         return arrays
 
-    def _bcast_tape(self, T):
+    def _bcast_tape(self, T, s0=None, n=None):
+        """Tape broadcast over T instances; instances whose lane block
+        lies entirely in the power-of-two padding get zero lengths so
+        they cost nothing."""
         p = self.packed
+        lens = jnp.broadcast_to(p.lengths, (T,))
+        if s0 is not None and n is not None:
+            used = -(-max(1, n) // (s0 * 128))
+            lens = jnp.where(jnp.arange(T) < used, lens, 0)
         return (
             jnp.broadcast_to(p.w1, (T,) + p.w1.shape[1:]),
             jnp.broadcast_to(p.w2, (T,) + p.w2.shape[1:]),
             jnp.broadcast_to(p.imm, (T,) + p.imm.shape[1:]),
-            jnp.broadcast_to(p.lengths, (T,)),
+            lens,
         )
 
     # ------------------------------------------------------------------
@@ -111,7 +125,7 @@ class BulkEvaluator:
         s0 = _lane_block(self.nf, 1)
         arrays = self._inputs_flat(x, y, z, var_vec)
         vars_, T, n = self._planes(arrays, s0)
-        w1, w2, imm, lens = self._bcast_tape(T)
+        w1, w2, imm, lens = self._bcast_tape(T, s0, n)
         out = interp_float(
             w1, w2, imm, lens, vars_,
             nf=self.nf, n_inputs=self.n_inputs, n_outputs=self.n_outputs,
@@ -131,7 +145,7 @@ class BulkEvaluator:
         his = self._inputs_flat(xi[1], yi[1], zi[1], var_vec)
         lo_p, T, n = self._planes(los, s0)
         hi_p, _, _ = self._planes(his, s0)
-        w1, w2, imm, lens = self._bcast_tape(T)
+        w1, w2, imm, lens = self._bcast_tape(T, s0, n)
         olo, ohi, choices = interp_interval(
             w1, w2, imm, lens, lo_p, hi_p,
             nf=self.nf, n_inputs=self.n_inputs, n_outputs=self.n_outputs,
@@ -170,7 +184,7 @@ class BulkEvaluator:
             if i not in arrays:
                 arrays[i] = jnp.stack((zero, zero, zero, zero))
         vars_, T, n = self._planes(arrays, s0, planes_per_var=4)
-        w1, w2, imm, lens = self._bcast_tape(T)
+        w1, w2, imm, lens = self._bcast_tape(T, s0, n)
         g = interp_grad(
             w1, w2, imm, lens, vars_,
             nf=self.nf, n_inputs=self.n_inputs, n_outputs=self.n_outputs,
