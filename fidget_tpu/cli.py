@@ -202,6 +202,15 @@ def run_mesh(args) -> int:
     return 0
 
 
+def run_view(args) -> int:
+    from .viewer import watch
+
+    return watch(
+        args.input, size=args.size, mode3d=args.mode3d, out=args.out,
+        once=args.once,
+    )
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="fidget_tpu", description=__doc__,
@@ -241,6 +250,15 @@ def main(argv=None) -> int:
     common(pm, True)
     pm.add_argument("--depth", type=int, default=5)
     pm.set_defaults(fn=run_mesh)
+
+    pv = sub.add_parser("view", help="live-reload viewer (terminal)")
+    pv.add_argument("input", help=".vm or .rhai model file")
+    pv.add_argument("-o", "--out", help="PNG updated on each reload")
+    pv.add_argument("-s", "--size", type=int, default=256)
+    pv.add_argument("--mode3d", action="store_true")
+    pv.add_argument("--once", action="store_true",
+                    help="render once and exit (no watching)")
+    pv.set_defaults(fn=run_view)
 
     args = ap.parse_args(argv)
     return args.fn(args)
