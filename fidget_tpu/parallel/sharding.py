@@ -210,3 +210,84 @@ def render_tiles_sharded(
     return Image2D(
         np.asarray(img)[:H, :W], np.asarray(fill)[:H, :W]
     )
+
+
+def render_voxels_sharded(
+    tape,
+    size,
+    mesh: Mesh,
+    *,
+    world_to_model: np.ndarray | None = None,
+    vars: dict | None = None,
+    mode: str = "normals",
+    tile_size: int = 64,
+    sub_size: int = 16,
+    interpret: bool | None = None,
+    max_retries: int = 3,
+):
+    """Full 3D voxel pipeline sharded over the mesh.
+
+    Root-tile *rows* (the image Y axis) distribute across devices; each
+    device runs its complete slab — interval culls, per-level tape
+    re-specialization, occlusion floor, voxel and normals passes — with
+    zero cross-device communication (occlusion is per pixel column, so
+    Y-slab sharding keeps it exact). Worklist capacity is per device;
+    overflow retries recompile only the new capacity variant.
+    """
+    from ..render.render3d import Image3D, VoxelRenderer
+
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    r = VoxelRenderer(
+        tape, size, tile_size=tile_size, sub_size=sub_size,
+        interpret=interpret,
+    )
+    if r.nty % D != 0:
+        raise ValueError(
+            f"tile rows ({r.nty}) must divide over {D} devices; pick an "
+            f"image height that is a multiple of {tile_size * D}"
+        )
+    matM = jnp.asarray(r._mat4(world_to_model))
+    vec = jnp.asarray(r._var_vec(vars))
+    # (ty, tz, tx) major so y-slabs are contiguous for sharding
+    shape3 = (r.ntz, r.nty, r.ntx)
+    x0 = jnp.asarray(r.tile_x0.reshape(shape3).transpose(1, 0, 2))
+    y0 = jnp.asarray(r.tile_y0.reshape(shape3).transpose(1, 0, 2))
+    z0 = jnp.asarray(r.tile_z0.reshape(shape3).transpose(1, 0, 2))
+    cap = max(256, r.cap // D)
+
+    def make(cap):
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P()) + (P(axis, None, None),) * 3,
+            out_specs=(
+                (P(axis, None), P(axis, None, None), P(axis))
+                if mode == "normals"
+                else (P(axis, None), None, P(axis))
+            ),
+            check_vma=False,
+        )
+        def run(matM, vec, x0s, y0s, z0s):
+            # back to the core's (tz, ty_local, tx) row-major order
+            def flat(a):
+                return a.transpose(1, 0, 2).reshape(-1)
+
+            depth, normal, n_active = r._frame_tiles(
+                matM, vec, flat(x0s), flat(y0s), flat(z0s),
+                mode=mode, cap=cap,
+            )
+            return depth, normal, n_active.reshape(1)
+
+        return jax.jit(run)
+
+    for _ in range(max_retries + 1):
+        depth, normal, n_active = make(cap)(matM, vec, x0, y0, z0)
+        worst = int(np.max(np.asarray(n_active)))
+        if worst <= cap:
+            break
+        cap = min(1 << (worst - 1).bit_length(), r.nsub // D)
+    return Image3D(
+        np.asarray(depth),
+        None if normal is None else np.asarray(normal),
+    )

@@ -227,26 +227,43 @@ class VoxelRenderer:
         var_vec: f32 [V] custom-variable values; cap: static worklist
         capacity (a jit cache key, so capacity retries only compile the
         new variant)."""
+        return self._frame_tiles(
+            matM, var_vec,
+            jnp.asarray(self.tile_x0), jnp.asarray(self.tile_y0),
+            jnp.asarray(self.tile_z0),
+            mode=mode, cap=cap,
+        )
+
+    def _frame_tiles(self, matM, var_vec, x0, y0, z0, *, mode: str, cap: int):
+        """The shardable pipeline core over an arbitrary y-slab of root
+        tiles: x0/y0/z0 are traced *global* tile corners in
+        (tz, ty_local, tx) row-major order covering all of Z and X but
+        only `nty_local = nt / (ntz * ntx)` tile rows. Returns the
+        slab's (depth, normal, n_active); image rows are slab-local."""
         ts, sub, nl = self.ts, self.sub, self.nl
-        W, H, D = self.W, self.H, self.D
-        nt, m = self.nt, self.m
+        W, D = self.W, self.D
+        m = self.m
+        nt = x0.shape[0]
+        nty = nt // (self.ntz * self.ntx)
+        H = nty * ts                       # slab height in pixels
+        ny2 = nty * nl
+        nsub = self.nz2 * ny2 * self.nx2
+        s0r = max(8, _ceil_to(-(-nt // 128), 8))
+        y_base = jnp.min(y0)               # slab's first global pixel row
         interpret = self.interpret
         im = IntervalMode(jnp)
         mat = matM @ jnp.asarray(self.s2w, jnp.float32)  # screen -> model
 
         # ---- stage 1: root interval pass (lanes = root tiles) ---------
-        x0 = jnp.asarray(self.tile_x0)
-        y0 = jnp.asarray(self.tile_y0)
-        z0 = jnp.asarray(self.tile_z0)
         var_lo, var_hi = self._interval_vars(
             im, mat, var_vec,
             (x0, x0 + ts), (y0, y0 + ts), (z0, z0 + ts),
-            self.s0r, (1,),
+            s0r, (1,),
         )
         olo, ohi, packed_choices = interp_interval(
             self.packed.w1, self.packed.w2, self.packed.imm,
             self.packed.lengths, var_lo, var_hi,
-            nf=self.nf, n_inputs=self.n_inputs, n_outputs=1, s0=self.s0r,
+            nf=self.nf, n_inputs=self.n_inputs, n_outputs=1, s0=s0r,
             c_words=self.c_words, interpret=interpret,
         )
         rlo = olo[0, 0].reshape(-1)[:nt]
@@ -257,7 +274,7 @@ class VoxelRenderer:
 
         # full root tiles: column depth = tile top
         fullv = jnp.where(root_full, z0 + ts, 0.0).reshape(
-            self.ntz, self.nty, self.ntx
+            self.ntz, nty, self.ntx
         )
         depth_root = fullv.max(axis=0).astype(jnp.int32)  # [nty, ntx]
 
@@ -289,9 +306,9 @@ class VoxelRenderer:
 
         def to_dense(flags):
             """[nt, m] -> [nz2, ny2, nx2] subtile-granularity grid."""
-            g = flags.reshape(self.ntz, self.nty, self.ntx, nl, nl, nl)
+            g = flags.reshape(self.ntz, nty, self.ntx, nl, nl, nl)
             return g.transpose(0, 3, 1, 4, 2, 5).reshape(
-                self.nz2, self.ny2, self.nx2
+                self.nz2, ny2, self.nx2
             )
 
         full_d = to_dense(sub_full)
@@ -314,7 +331,7 @@ class VoxelRenderer:
         n_active = act_flat.sum()
 
         gz_f = (
-            jnp.arange(self.nsub, dtype=jnp.int32) // (self.ny2 * self.nx2)
+            jnp.arange(nsub, dtype=jnp.int32) // (ny2 * self.nx2)
         )
         BIG = jnp.int32(1 << 30)
         key = jnp.where(act_flat, (self.nz2 - gz_f).astype(jnp.int32), BIG)
@@ -322,12 +339,12 @@ class VoxelRenderer:
         valid = act_flat[order]
 
         # decode compacted slots back to coordinates and parent tiles
-        gz = order // (self.ny2 * self.nx2)
-        rem = order % (self.ny2 * self.nx2)
+        gz = order // (ny2 * self.nx2)
+        rem = order % (ny2 * self.nx2)
         gy = rem // self.nx2
         gx = rem % self.nx2
         t_idx = (
-            (gz // nl) * (self.nty * self.ntx)
+            (gz // nl) * (nty * self.ntx)
             + (gy // nl) * self.ntx
             + (gx // nl)
         )
@@ -354,7 +371,7 @@ class VoxelRenderer:
 
         # ---- stage 5: voxel point pass (instance per subtile) -----------
         bx = (gx * sub).astype(jnp.float32)[:, None]
-        by = (gy * sub).astype(jnp.float32)[:, None]
+        by = (gy * sub).astype(jnp.float32)[:, None] + y_base
         bz = (gz * sub).astype(jnp.float32)[:, None]
         px = bx + jnp.asarray(self.vox_dx)[None, :]  # [cap, sub^3]
         py = by + jnp.asarray(self.vox_dy)[None, :]
@@ -399,7 +416,9 @@ class VoxelRenderer:
         lanes = _ceil_to(npix, s0n * 128)
         Tn = lanes // (s0n * 128)
         cols_p = jnp.tile(jnp.arange(W, dtype=jnp.float32), (H,))
-        rows_p = jnp.repeat(jnp.arange(H, dtype=jnp.float32), W)
+        rows_p = jnp.repeat(
+            jnp.arange(H, dtype=jnp.float32), W
+        ) + y_base  # global image rows for the world transform
         dflat = depth.reshape(-1)
         pzf = (dflat - 1).astype(jnp.float32)
 

@@ -146,3 +146,26 @@ def test_shape_var_and_transform():
     s2w = r.s2w
     pz = (0.4 - s2w[2, 3]) / s2w[2, 2]
     assert abs(int(img.depth[32, 32]) - 1 - np.floor(pz)) <= 1.0
+
+
+def test_sharded_voxels_matches_single_device():
+    import jax
+
+    from fidget_tpu.parallel.sharding import make_mesh, render_voxels_sharded
+
+    n_dev = min(4, jax.device_count())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = make_mesh(n_dev)
+    tape = gyroid_sphere_tape()
+    size = VoxelSize(64, 32 * n_dev, 64)
+    img = render_voxels_sharded(
+        tape, size, mesh, tile_size=32, sub_size=8, mode="normals",
+        interpret=True,
+    )
+    single = VoxelRenderer(
+        tape, size, tile_size=32, sub_size=8, interpret=True
+    )
+    ref = single.render(mode="normals")
+    np.testing.assert_array_equal(img.depth, ref.depth)
+    np.testing.assert_allclose(img.normal, ref.normal, rtol=1e-5, atol=1e-5)
