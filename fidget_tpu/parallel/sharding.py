@@ -236,6 +236,7 @@ def render_voxels_sharded(
     """
     from ..render.render3d import Image3D, VoxelRenderer
 
+    assert mode in ("normals", "heightmap")
     axis = mesh.axis_names[0]
     D = mesh.devices.size
     r = VoxelRenderer(
@@ -254,7 +255,7 @@ def render_voxels_sharded(
     x0 = jnp.asarray(r.tile_x0.reshape(shape3).transpose(1, 0, 2))
     y0 = jnp.asarray(r.tile_y0.reshape(shape3).transpose(1, 0, 2))
     z0 = jnp.asarray(r.tile_z0.reshape(shape3).transpose(1, 0, 2))
-    cap = max(256, r.cap // D)
+    cap = min(max(256, r.cap // D), max(1, r.nsub // D))
 
     def make(cap):
         @functools.partial(

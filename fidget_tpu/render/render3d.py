@@ -121,8 +121,8 @@ class VoxelRenderer:
         self.nx2, self.ny2, self.nz2 = W // sub_size, H // sub_size, D // sub_size
         self.nsub = self.nx2 * self.ny2 * self.nz2
 
-        # lane layouts
-        self.s0r = max(8, _ceil_to(-(-self.nt // 128), 8))     # root pass
+        # lane layouts (the root pass's s0 is slab-local, computed in
+        # _frame_tiles from the traced tile count)
         self.s0s = max(1, -(-self.m // 128))                   # subtile pass
         self.s0v = max(1, -(-sub_size**3 // 128))              # voxel pass
         if cap is None:
