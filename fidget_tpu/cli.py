@@ -93,19 +93,17 @@ def _write_image(path: str, rgb: np.ndarray):
 def _colormap_sdf(d: np.ndarray) -> np.ndarray:
     """Red outside / green inside with distance banding (the reference's
     SdfRenderMode, demos/cli/src/main.rs sdf mode)."""
-    scale = max(1e-20, float(np.abs(d[np.isfinite(d)]).max() or 1.0))
-    r = 1.0 - 0.1 * np.cos(d * 128.0 / scale)
-    g = 1.0 - 0.1 * np.cos(d * 128.0 / scale)
+    finite = np.abs(d[np.isfinite(d)])
+    scale = float(finite.max()) if finite.size else 1.0
+    scale = max(1e-20, scale)
     rgb = np.zeros(d.shape + (3,), np.float32)
     inside = d < 0
-    rgb[..., 0] = np.where(inside, 0.0, r * np.abs(d) / scale)
-    rgb[..., 1] = np.where(inside, g * np.abs(d) / scale, 0.0)
     rgb[..., 0] = np.where(inside, 0.2, 0.4 + 0.6 * np.abs(d) / scale)
     rgb[..., 1] = np.where(inside, 0.4 + 0.6 * np.abs(d) / scale, 0.2)
     rgb[..., 2] = 0.2
     band = 0.8 + 0.2 * np.cos(d * 64.0 * np.pi / scale)
     rgb *= band[..., None]
-    return (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+    return (np.clip(np.nan_to_num(rgb), 0, 1) * 255).astype(np.uint8)
 
 
 def run2d(args) -> int:
@@ -183,7 +181,7 @@ def run_mesh(args) -> int:
     from .mesh import Settings, build_mesh
 
     tape = _tape(_load(args.input))
-    mat = _view3(args) if (args.scale != 1.0 or args.center != "0") else None
+    mat = _view3(args)  # identity when all camera flags are defaults
     best = math.inf
     mesh = None
     for _ in range(max(1, args.repeat)):

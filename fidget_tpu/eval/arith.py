@@ -367,7 +367,9 @@ class IntervalMode:
             q0, q1, q2, q3 = al / bl, al / bu, au / bl, au / bu
             lo = _rmin(xp, _rmin(xp, _rmin(xp, q0, q1), q2), q3)
             hi = _rmax(xp, _rmax(xp, _rmax(xp, q0, q1), q2), q3)
-            bad = ~ok | self.has_nan(a)
+            # NaN in EITHER operand poisons (a half-NaN divisor can pass
+            # the sign test: e.g. [2,4]/[1,NaN] must not return [2,4])
+            bad = ~ok | self.has_nan(a) | self.has_nan(b)
             n = _nan_like(xp, al)
             return (xp.where(bad, n, lo), xp.where(bad, n, hi))
         if op == B.ATAN2:

@@ -47,7 +47,8 @@ class BulkEvaluator:
         self.tape = tape
         self.packed = pack_tapes([tape])
         self.nf = tape.reg_count + tape.mem_count
-        self.n_inputs = len(tape.var_map)
+        # padded to >= 1 so constant-only tapes still build var planes
+        self.n_inputs = max(1, len(tape.var_map))
         self.n_outputs = tape.output_count
         self.c_words = max(1, -(-tape.choice_count // 16))
         self.axis_of = {v.kind: i for v, i in tape.var_map.items()}

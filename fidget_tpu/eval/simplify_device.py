@@ -53,6 +53,87 @@ def _decode_static(w1: np.ndarray, w2: np.ndarray):
     return op, out, a, b, aux
 
 
+def _liveness_codes(
+    w1s, w2s, lengths, packed_choices, *, nf: int, L: int,
+    shared_tape: bool, interpret: bool = False,
+):
+    """Reverse-liveness Pallas kernel shared by the static- and
+    dynamic-tape simplifiers: walks each tape backwards, carrying a
+    per-lane [nf] liveness plane, and emits packed 2-bit action codes
+    per (lane, op). `shared_tape=True` maps every grid instance to the
+    single tape block (DeviceSimplifier); otherwise instance i uses
+    tape row i (DynamicSimplifier).
+
+    w1s/w2s: [Tt, 1, L] i32; lengths: [Tt, 1, 1]; packed_choices:
+    [B, CW, S0, 128] i32. Returns codes [B, LW, S0, 128] i32.
+    """
+    B = packed_choices.shape[0]
+    cw = packed_choices.shape[1]
+    s0 = packed_choices.shape[2]
+    lw = -(-L // 16)
+    tape_ix = (lambda i: (0, 0, 0)) if shared_tape else (lambda i: (i, 0, 0))
+
+    def kernel(w1_ref, w2_ref, len_ref, ch_ref, codes_ref, live):
+        n = len_ref[0, 0, 0]
+        live[...] = jnp.zeros((nf, s0, 128), jnp.int32)
+        codes_ref[0] = jnp.zeros((lw, s0, 128), jnp.int32)
+
+        def step(k, _):
+            j = n - 1 - k
+            wa = w1_ref[0, 0, j]
+            wb = w2_ref[0, 0, j]
+            op = wa & 127
+            out = (wa >> 7) & 0xFFF
+            a = (wa >> 19) & 0xFFF
+            b = wb & 0xFFF
+            aux = wb >> 12
+            is_output = op == 0
+            is_choice = ((CHOICE_MASK >> op) & 1) == 1
+            a_is_reg = (op != 1) & (a != IMM12)
+            b_is_reg = (((BINARY_MASK >> op) & 1) == 1) & (b != IMM12)
+            ones = jnp.ones((s0, 128), jnp.int32)
+            executed = jnp.where(is_output, ones, live[out])
+            cword = ch_ref[0, jnp.minimum(aux // 16, cw - 1)]
+            c = (cword >> ((aux % 16) * 2)) & 3
+            left = jnp.where(is_choice, (c == 1).astype(jnp.int32), 0)
+            right = jnp.where(is_choice, (c == 2).astype(jnp.int32), 0)
+            both = jnp.where(
+                is_choice, ((c == 3) | (c == 0)).astype(jnp.int32), 1
+            )
+            elide = executed & (
+                jnp.where(a == out, left, 0) | jnp.where(b == out, right, 0)
+            )
+            emit = executed & (1 - elide)
+            code = emit * jnp.where(both == 1, 1, jnp.where(left == 1, 2, 3))
+            w_idx = j // 16
+            codes_ref[0, w_idx] = codes_ref[0, w_idx] | (
+                code << ((j % 16) * 2)
+            )
+            use_a = jnp.where(a_is_reg, emit & (both | left), 0)
+            use_b = jnp.where(b_is_reg, emit & (both | right), 0)
+            live[out] = live[out] & (1 - emit)
+            live[a] = live[a] | use_a
+            live[b] = live[b] | use_b
+            return 0
+
+        lax.fori_loop(0, n, step, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, L), tape_ix, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, L), tape_ix, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), tape_ix, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cw, s0, 128), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, lw, s0, 128), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, lw, s0, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((nf, s0, 128), jnp.int32)],
+        interpret=interpret,
+    )(w1s, w2s, lengths, packed_choices)
+
+
 class DeviceSimplifier:
     """Compiled simplifier for one parent tape.
 
@@ -151,83 +232,24 @@ class DeviceSimplifier:
         self, packed_choices: jax.Array, *, n_tiles: int, s0: int,
         interpret: bool = False,
     ):
-        """Fast path: Pallas liveness kernel, lanes = tiles.
+        """Fast path: shared-tape liveness kernel, lanes = tiles.
 
         packed_choices: [B, CW, S0, 128] int32, 16 two-bit choice codes
         per word, exactly as produced by `interp_interval` (B lane
-        blocks of S0*128 tiles each). Returns packed per-tile code words [n_tiles, LW].
-        """
+        blocks of S0*128 tiles each). Returns packed per-tile code words
+        [n_tiles, LW]."""
         L = self.L
-        nf = self.nf
         lw = -(-L // 16)
-        cw = packed_choices.shape[1]
-        B = packed_choices.shape[0]
         w1, w2, imm = pack_rows(self.parent)
-        w1 = jnp.asarray(w1).reshape(1, 1, L)
-        w2 = jnp.asarray(w2).reshape(1, 1, L)
-        nsteps = jnp.full((1, 1, 1), L, jnp.int32)
-
-        def kernel(w1_ref, w2_ref, len_ref, ch_ref, codes_ref, live):
-            n = len_ref[0, 0, 0]
-            live[...] = jnp.zeros((nf, s0, 128), jnp.int32)
-            codes_ref[0] = jnp.zeros((lw, s0, 128), jnp.int32)
-
-            def step(k, _):
-                j = n - 1 - k
-                wa = w1_ref[0, 0, j]
-                wb = w2_ref[0, 0, j]
-                op = wa & 127
-                out = (wa >> 7) & 0xFFF
-                a = (wa >> 19) & 0xFFF
-                b = wb & 0xFFF
-                aux = wb >> 12
-                is_output = op == 0
-                is_choice = ((CHOICE_MASK >> op) & 1) == 1
-                a_is_reg = (op != 1) & (a != IMM12)
-                b_is_reg = (((BINARY_MASK >> op) & 1) == 1) & (b != IMM12)
-                ones = jnp.ones((s0, 128), jnp.int32)
-                executed = jnp.where(is_output, ones, live[out])
-                cword = ch_ref[0, jnp.minimum(aux // 16, cw - 1)]
-                c = (cword >> ((aux % 16) * 2)) & 3
-                left = jnp.where(is_choice, (c == 1).astype(jnp.int32), 0)
-                right = jnp.where(is_choice, (c == 2).astype(jnp.int32), 0)
-                both = jnp.where(
-                    is_choice, ((c == 3) | (c == 0)).astype(jnp.int32), 1
-                )
-                elide = executed & (
-                    jnp.where(a == out, left, 0) | jnp.where(b == out, right, 0)
-                )
-                emit = executed & (1 - elide)
-                code = emit * jnp.where(both == 1, 1, jnp.where(left == 1, 2, 3))
-                w_idx = j // 16
-                codes_ref[0, w_idx] = codes_ref[0, w_idx] | (
-                    code << ((j % 16) * 2)
-                )
-                use_a = jnp.where(a_is_reg, emit & (both | left), 0)
-                use_b = jnp.where(b_is_reg, emit & (both | right), 0)
-                live[out] = live[out] & (1 - emit)
-                live[a] = live[a] | use_a
-                live[b] = live[b] | use_b
-                return 0
-
-            lax.fori_loop(0, n, step, 0)
-
-        codes = pl.pallas_call(
-            kernel,
-            grid=(B,),
-            in_specs=[
-                pl.BlockSpec((1, 1, L), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, L), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, cw, s0, 128), lambda i: (i, 0, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, lw, s0, 128), lambda i: (i, 0, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B, lw, s0, 128), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((nf, s0, 128), jnp.int32)],
-            interpret=interpret,
-        )(w1, w2, nsteps, packed_choices)
-
+        codes = _liveness_codes(
+            jnp.asarray(w1).reshape(1, 1, L),
+            jnp.asarray(w2).reshape(1, 1, L),
+            jnp.full((1, 1, 1), L, jnp.int32),
+            packed_choices,
+            nf=self.nf, L=L, shared_tape=True, interpret=interpret,
+        )
         # word-major lanes -> per-tile packed rows [n_tiles, LW]
+        B = packed_choices.shape[0]
         lanes = codes.reshape(B, lw, s0 * 128)
         return jnp.moveaxis(lanes, 1, 2).reshape(B * s0 * 128, lw)[:n_tiles]
 
@@ -341,75 +363,13 @@ class DynamicSimplifier:
         Returns per-lane packed action-code words [T, S0*128, LW]."""
         T, L = w1s.shape
         s0 = packed_choices.shape[2]
-        cw = packed_choices.shape[1]
         lw = -(-L // 16)
-
-        def kernel(w1_ref, w2_ref, len_ref, ch_ref, codes_ref, live):
-            n = len_ref[0, 0, 0]
-            live[...] = jnp.zeros((nf, s0, 128), jnp.int32)
-            codes_ref[0] = jnp.zeros((lw, s0, 128), jnp.int32)
-
-            def step(k, _):
-                j = n - 1 - k
-                wa = w1_ref[0, 0, j]
-                wb = w2_ref[0, 0, j]
-                op = wa & 127
-                out = (wa >> 7) & 0xFFF
-                a = (wa >> 19) & 0xFFF
-                b = wb & 0xFFF
-                aux = wb >> 12
-                is_output = op == 0
-                is_choice = ((CHOICE_MASK >> op) & 1) == 1
-                a_is_reg = (op != 1) & (a != IMM12)
-                b_is_reg = (((BINARY_MASK >> op) & 1) == 1) & (b != IMM12)
-                ones = jnp.ones((s0, 128), jnp.int32)
-                executed = jnp.where(is_output, ones, live[out])
-                cword = ch_ref[0, jnp.minimum(aux // 16, cw - 1)]
-                c = (cword >> ((aux % 16) * 2)) & 3
-                left = jnp.where(is_choice, (c == 1).astype(jnp.int32), 0)
-                right = jnp.where(is_choice, (c == 2).astype(jnp.int32), 0)
-                both = jnp.where(
-                    is_choice, ((c == 3) | (c == 0)).astype(jnp.int32), 1
-                )
-                elide = executed & (
-                    jnp.where(a == out, left, 0) | jnp.where(b == out, right, 0)
-                )
-                emit = executed & (1 - elide)
-                code = emit * jnp.where(both == 1, 1, jnp.where(left == 1, 2, 3))
-                w_idx = j // 16
-                codes_ref[0, w_idx] = codes_ref[0, w_idx] | (
-                    code << ((j % 16) * 2)
-                )
-                use_a = jnp.where(a_is_reg, emit & (both | left), 0)
-                use_b = jnp.where(b_is_reg, emit & (both | right), 0)
-                live[out] = live[out] & (1 - emit)
-                live[a] = live[a] | use_a
-                live[b] = live[b] | use_b
-                return 0
-
-            lax.fori_loop(0, n, step, 0)
-
-        codes = pl.pallas_call(
-            kernel,
-            grid=(T,),
-            in_specs=[
-                pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, cw, s0, 128), lambda i: (i, 0, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, lw, s0, 128), lambda i: (i, 0, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((T, lw, s0, 128), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((nf, s0, 128), jnp.int32)],
-            interpret=interpret,
-        )(
+        codes = _liveness_codes(
             w1s.reshape(T, 1, L).astype(jnp.int32),
             w2s.reshape(T, 1, L).astype(jnp.int32),
             lengths.reshape(T, 1, 1).astype(jnp.int32),
             packed_choices,
+            nf=nf, L=L, shared_tape=False, interpret=interpret,
         )
         # word-major lanes -> per-lane packed rows [T, S0*128, LW]
         return jnp.moveaxis(codes.reshape(T, lw, s0 * 128), 1, 2)

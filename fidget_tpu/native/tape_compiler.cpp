@@ -10,6 +10,7 @@
 //
 // Exposed through a plain C ABI consumed via ctypes (no pybind11).
 
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -157,6 +158,56 @@ int32_t unary_op(const std::string& s) {
   return -1;
 }
 
+// constant folding with FloatMode semantics (eval/arith.py)
+float fold_unary(int32_t op, float a) {
+  switch (op) {
+    case NEG: return -a;
+    case ABS: return fabsf(a);
+    case RECIP: return 1.0f / a;
+    case SQRT: return sqrtf(a);
+    case SQUARE: return a * a;
+    case FLOOR: return floorf(a);
+    case CEIL: return ceilf(a);
+    case ROUND: return a >= 0 ? floorf(a + 0.5f) : ceilf(a - 0.5f);
+    case NOT: return a == 0.0f ? 1.0f : 0.0f;
+    case SIN: return sinf(a);
+    case COS: return cosf(a);
+    case TAN: return tanf(a);
+    case ASIN: return asinf(a);
+    case ACOS: return acosf(a);
+    case ATAN: return atanf(a);
+    case EXP: return expf(a);
+    case LN: return logf(a);
+  }
+  return NAN;
+}
+
+float fold_binary(int32_t op, float a, float b) {
+  switch (op) {
+    case ADD: return a + b;
+    case SUB: return a - b;
+    case MUL: return a * b;
+    case DIV: return a / b;
+    case ATAN2: return atan2f(a, b);
+    case COMPARE:
+      if (std::isnan(a) || std::isnan(b)) return NAN;
+      return a < b ? -1.0f : (a > b ? 1.0f : 0.0f);
+    case MOD: {  // rem_euclid
+      float r = fmodf(a, b);
+      return r < 0 ? r + fabsf(b) : r;
+    }
+    case MIN:
+      if (std::isnan(a) || std::isnan(b)) return NAN;
+      return a < b ? a : b;
+    case MAX:
+      if (std::isnan(a) || std::isnan(b)) return NAN;
+      return a > b ? a : b;
+    case AND: return a == 0.0f ? a : b;
+    case OR: return a != 0.0f ? a : b;
+  }
+  return NAN;
+}
+
 int32_t binary_op(const std::string& s) {
   if (s == "add") return ADD;
   if (s == "sub") return SUB;
@@ -287,6 +338,12 @@ bool lower(Compiler& c) {
     }
     bool is_choice = (n.op == MIN || n.op == MAX || n.op == AND || n.op == OR);
     if (n.b < 0) {  // unary
+      if (c.nodes[n.a].op == -1) {
+        // constant fold, like Context::op_unary on the Python path
+        n.imm = fold_unary(n.op, c.nodes[n.a].imm);
+        n.op = -1;
+        continue;
+      }
       int ra = c.ensure_reg(n.a, -1);
       c.consume(n.a);
       int ro = c.define(i);
@@ -294,16 +351,13 @@ bool lower(Compiler& c) {
     } else {
       bool ca = c.nodes[n.a].op == -1;
       bool cb = c.nodes[n.b].op == -1;
-      if (is_choice) c.choice_count++;
       if (ca && cb) {
-        // both-const binary: fold on the host like the Python path
-        // never produces (Context folds); emit via COPY of computed
-        // value is out of scope — treat as parse-level foldable
-        // by materializing lhs through a COPY.
-        int ro = c.define(i);
-        c.rows.push_back({COPY, ro, IMM, 0, 0, c.nodes[n.a].imm});
-        c.rows.push_back({n.op, ro, ro, IMM, 0, c.nodes[n.b].imm});
-      } else if (ca) {
+        n.imm = fold_binary(n.op, c.nodes[n.a].imm, c.nodes[n.b].imm);
+        n.op = -1;
+        continue;
+      }
+      if (is_choice) c.choice_count++;
+      if (ca) {
         int rb = c.ensure_reg(n.b, -1);
         c.consume(n.b);
         int ro = c.define(i);

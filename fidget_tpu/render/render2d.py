@@ -51,6 +51,7 @@ from ..eval.simplify_device import DeviceSimplifier, DynamicSimplifier
 from ..eval.unrolled import eval_tape
 from ..shape import Shape, ShapeVars
 from .region import ImageSize, compose2, mat3_to_mat4
+from .transform import transform_intervals, transform_points
 
 #: fill codes in the `fill` channel of a rendered image
 FILL_NONE = 0
@@ -144,7 +145,8 @@ class PixelRenderer:
         self.packed = pack_tapes([tape])
         self.simplifier = DeviceSimplifier(tape)
         self.nf = self.simplifier.nf
-        self.n_inputs = len(tape.var_map)
+        # padded to >= 1 so constant-only shapes still build var planes
+        self.n_inputs = max(1, len(tape.var_map))
         self.c_words = max(1, -(-tape.choice_count // 16))
         self.axis_of = {v.kind: i for v, i in tape.var_map.items()}
 
@@ -163,32 +165,13 @@ class PixelRenderer:
     # ------------------------------------------------------------------
 
     def _transform_points(self, mat, xs, ys, z):
-        """Applies the homogeneous (px, py, z, 1) -> model 4x4 to float
-        planes, returning model (x, y, z)."""
-
-        def row(r):
-            return mat[r, 0] * xs + mat[r, 1] * ys + mat[r, 2] * z + mat[r, 3]
-
-        w = row(3)
-        return row(0) / w, row(1) / w, row(2) / w
+        """Shared homogeneous transform (render/transform.py) with the
+        2D renderer's scalar z."""
+        return transform_points(mat, xs, ys, z)
 
     def _transform_intervals(self, im, mat, xi, yi, z):
-        """Interval version of the homogeneous transform. The w row is
-        divided through interval division, which is exact for affine
-        matrices (w == [1, 1]) and correctly widens for perspective."""
-        from ..compiler.tape import TapeOp
-
-        def axis(r):
-            mx = im.binary(TapeOp.MUL, xi, (mat[r, 0], mat[r, 0]))
-            my = im.binary(TapeOp.MUL, yi, (mat[r, 1], mat[r, 1]))
-            s = im.binary(TapeOp.ADD, mx, my)
-            c = mat[r, 2] * z + mat[r, 3]
-            return im.binary(TapeOp.ADD, s, (c, c))
-
-        wr = axis(3)
-        return tuple(
-            im.binary(TapeOp.DIV, axis(r), wr) for r in range(3)
-        )
+        """Shared interval transform with a degenerate [z, z] slab."""
+        return transform_intervals(im, mat, xi, yi, (z, z))
 
     def _interval_vars(self, im, mat, z, var_vec, xi, yi, s0, lead):
         """Interval var planes [lead..., V, s0, 128] from screen

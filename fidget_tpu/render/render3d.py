@@ -135,7 +135,8 @@ class VoxelRenderer:
         self.packed = pack_tapes([tape])
         self.simplifier = DeviceSimplifier(tape)
         self.nf = self.simplifier.nf
-        self.n_inputs = len(tape.var_map)
+        # padded to >= 1 so constant-only shapes still build var planes
+        self.n_inputs = max(1, len(tape.var_map))
         self.c_words = max(1, -(-tape.choice_count // 16))
         self.axis_of = {v.kind: i for v, i in tape.var_map.items()}
 
@@ -479,7 +480,7 @@ class VoxelRenderer:
         return m.astype(np.float32)
 
     def _var_vec(self, vars) -> np.ndarray:
-        vec = np.zeros(max(1, self.n_inputs), np.float32)
+        vec = np.zeros(self.n_inputs, np.float32)
         if vars is not None:
             for v, val in vars.items():
                 idx = self.tape.var_map.get(v)
@@ -492,7 +493,7 @@ class VoxelRenderer:
         ]
         if missing:
             raise ValueError(f"unbound shape variables: {missing}")
-        return vec[: self.n_inputs] if self.n_inputs else vec[:1]
+        return vec
 
     def render(
         self,

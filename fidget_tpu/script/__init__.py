@@ -782,7 +782,11 @@ class Engine:
             return a / b
         if op == "%":
             if both_int:
-                return math.fmod(a, b) if b == 0 else int(math.fmod(a, b))
+                if b == 0:
+                    raise ScriptError("integer modulo by zero")
+                return int(math.fmod(a, b))
+            if b == 0:
+                return math.nan  # Rust f32 % 0.0 semantics
             return math.fmod(a, b)
         raise ScriptError(f"unknown operator {op!r}")
 

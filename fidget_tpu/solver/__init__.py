@@ -109,7 +109,9 @@ def solve(
         jt_j = J.T @ J
         jt_r = J.T @ r
         # inner loop: grow damping until the step reduces the error
-        while True:
+        # (bounded; a persistently error-increasing step is rejected)
+        accepted = False
+        for _inner in range(60):
             adjusted = jt_j + damping * np.diag(np.diag(jt_j))
             try:
                 delta, *_ = np.linalg.lstsq(adjusted, jt_r, rcond=None)
@@ -124,11 +126,12 @@ def solve(
             )
             if err > prev_err:
                 damping *= 1.5
-                if not np.isfinite(damping):
-                    break
             else:
                 damping /= 3.0
+                accepted = True
                 break
+        if not accepted:
+            break  # no damping reduces the error: stay at cur
         new = (cur - delta).astype(np.float32)
         changed = (new != cur).any()
         cur = new

@@ -135,3 +135,14 @@ def test_unused_axis_excluded_from_varmap():
     nt = compile_vm(src)
     kinds = [v.kind for v in nt.var_map]
     assert kinds == ["x"]
+
+
+def test_unary_and_binary_on_constants_fold():
+    # regression: unary on a const used to emit a LOAD from slot -1
+    t = compile_vm("a const 1.5\nb neg a\nx var-x\nc add x b\n")
+    pts = np.array([[2.0], [0.0], [0.0]], np.float32)
+    np.testing.assert_allclose(_eval(t, pts), [0.5])
+    t2 = compile_vm("a const 2\nb const 3\nc min a b\nx var-x\nd mul x c\n")
+    np.testing.assert_allclose(_eval(t2, pts), [4.0])
+    t3 = compile_vm("a const 4\nb sqrt a\nx var-x\nc add x b\n")
+    np.testing.assert_allclose(_eval(t3, pts), [4.0])

@@ -331,3 +331,25 @@ def test_grad_via_jax_autodiff():
 
     g = jax.grad(val, argnums=(0, 1))(jnp.float32(3.0), jnp.float32(4.0))
     np.testing.assert_allclose([float(g[0]), float(g[1])], [0.6, 0.8], rtol=1e-6)
+
+
+def test_interval_div_half_nan_poisons():
+    # regression: a half-NaN divisor passing the sign test must poison
+    import numpy as np
+
+    from fidget_tpu.compiler.tape import TapeOp
+    from fidget_tpu.eval.arith import IntervalMode
+
+    im = IntervalMode(np)
+    lo, hi = im.binary(
+        TapeOp.DIV,
+        (np.float32(2.0), np.float32(4.0)),
+        (np.float32(1.0), np.float32(np.nan)),
+    )
+    assert np.isnan(lo) and np.isnan(hi)
+    lo, hi = im.binary(
+        TapeOp.DIV,
+        (np.float32(-4.0), np.float32(-2.0)),
+        (np.float32(1.0), np.float32(np.nan)),
+    )
+    assert np.isnan(lo) and np.isnan(hi)

@@ -210,3 +210,16 @@ def test_sharded_tiles_matches_brute():
         img.distance[evaluated], brute[evaluated], rtol=1e-5, atol=1e-6
     )
     assert (img.inside() == (brute < 0)).all()
+
+
+def test_constant_shape_renders():
+    # a constant-only tape (no spatial inputs): everything filled
+    ctx = Context()
+    tape = lower(ctx, [ctx.constant(-1.0)])
+    r = PixelRenderer(tape, ImageSize(64, 64), interpret=True)
+    img = r.render()
+    assert img.inside().all()
+    ctx2 = Context()
+    tape2 = lower(ctx2, [ctx2.constant(2.0)])
+    r2 = PixelRenderer(tape2, ImageSize(64, 64), interpret=True)
+    assert not r2.render().inside().any()

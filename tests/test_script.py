@@ -148,3 +148,9 @@ def test_gyroid_value_matches_closed_form():
         math.sqrt(xs * xs + ys * ys + zs * zs) - 25, abs(g) - 0.2
     )
     assert t.eval(x, y, z) == pytest.approx(expect, rel=1e-5)
+
+
+def test_modulo_by_zero():
+    with pytest.raises(ScriptError):
+        eval_script("let a = 5 % 0; a")
+    assert math.isnan(eval_script("let a = 5.0 % 0.0; a").last)
