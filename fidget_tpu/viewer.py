@@ -44,6 +44,7 @@ def watch(
     """Watches `path` and re-renders on change until cancelled."""
     from .cli import _load, _tape
     from .io.image import write_png
+    from .render.compose import render_layers
     from .render.effects import apply_shading
     from .render.region import ImageSize, VoxelSize
     from .render.render2d import PixelRenderer
@@ -66,14 +67,24 @@ def watch(
         last_mtime = mtime
         t0 = time.perf_counter()
         try:
-            tape = _tape(_load(str(p)))
             if mode3d:
+                tape = _tape(_load(str(p)))
                 r = VoxelRenderer(tape, VoxelSize(size, size, size))
                 img = r.render(mode="normals")
                 rgb = apply_shading(img.depth, img.normal, vdepth=size)
                 frame = rgb[::-1]
+            elif p.suffix == ".rhai":
+                # layered color compositing, like the reference viewer
+                from .script import eval_script
+
+                res = eval_script(p.read_text())
+                frame = render_layers(
+                    [_tape(t) for t in res.shapes],
+                    ImageSize(size, size),
+                    colors=res.colors,
+                )
             else:
-                r = PixelRenderer(tape, ImageSize(size, size))
+                r = PixelRenderer(_tape(_load(str(p))), ImageSize(size, size))
                 im = r.render()
                 frame = np.where(
                     im.inside()[..., None], 255, 0

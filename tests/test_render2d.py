@@ -223,3 +223,23 @@ def test_constant_shape_renders():
     tape2 = lower(ctx2, [ctx2.constant(2.0)])
     r2 = PixelRenderer(tape2, ImageSize(64, 64), interpret=True)
     assert not r2.render().inside().any()
+
+
+def test_render_layers_compositing():
+    from fidget_tpu.render.compose import render_layers
+    from fidget_tpu.script import eval_script
+
+    res = eval_script("""
+        draw_rgb(circle(#{ radius: 0.8 }), 1.0, 0.0, 0.0);
+        draw_rgb(circle(#{ center: [0.4, 0], radius: 0.3 }), 0.0, 1.0, 0.0);
+    """)
+    rgb = render_layers(
+        res.shapes, ImageSize(64, 64), colors=res.colors, interpret=True
+    )
+    assert rgb.shape == (64, 64, 3)
+    # center: red base circle
+    assert tuple(rgb[32, 32]) == (255, 0, 0)
+    # later green circle drawn OVER the red one
+    assert tuple(rgb[32, 32 + 13]) == (0, 255, 0)
+    # outside: background
+    assert tuple(rgb[2, 2]) == (0, 0, 0)
