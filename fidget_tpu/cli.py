@@ -78,7 +78,12 @@ def _view3(args):
     v = View3.from_center_and_scale(_parse_vec(args.center, 3), args.scale)
     v.pitch = math.radians(args.pitch)
     v.yaw = math.radians(args.yaw)
-    return v.world_to_model()
+    m = v.world_to_model()
+    if getattr(args, "perspective", None):
+        # w-row z coefficient, like the reference camera
+        # (demos/cli/src/main.rs:870-873)
+        m[3, 2] = args.perspective
+    return m
 
 
 def _write_image(path: str, rgb: np.ndarray):
@@ -242,6 +247,8 @@ def main(argv=None) -> int:
     p3.add_argument("--mode", default="shaded",
                     choices=["heightmap", "normals", "shaded"])
     p3.add_argument("--ssao", action="store_true")
+    p3.add_argument("--perspective", type=float, default=None,
+                    help="perspective strength (omit for isometric)")
     p3.set_defaults(fn=run3d)
 
     pm = sub.add_parser("mesh", help="MDC mesh to STL")

@@ -169,3 +169,18 @@ def test_sharded_voxels_matches_single_device():
     ref = single.render(mode="normals")
     np.testing.assert_array_equal(img.depth, ref.depth)
     np.testing.assert_allclose(img.normal, ref.normal, rtol=1e-5, atol=1e-5)
+
+
+def test_perspective_camera_matches_brute():
+    # perspective: w-row z coefficient (demos/cli/src/main.rs:870-873);
+    # the interval transform widens through the interval division
+    mat = np.eye(4)
+    mat[3, 2] = 0.3
+    r = VoxelRenderer(
+        sphere_tape(0.6), VoxelSize(64, 64, 64), tile_size=32, sub_size=8,
+        interpret=True,
+    )
+    img = r.render(mat, mode="heightmap")
+    brute = r.render_brute(mat)
+    np.testing.assert_array_equal(img.depth, brute.depth)
+    assert img.depth.max() > 0
