@@ -192,7 +192,11 @@ def run_mesh(args) -> int:
     for _ in range(max(1, args.repeat)):
         t0 = time.perf_counter()
         mesh = build_mesh(
-            tape, Settings(depth=args.depth, world_to_model=mat)
+            tape,
+            Settings(
+                depth=args.depth, world_to_model=mat,
+                collapse=not args.no_collapse,
+            ),
         )
         best = min(best, time.perf_counter() - t0)
     print(
@@ -254,6 +258,8 @@ def main(argv=None) -> int:
     pm = sub.add_parser("mesh", help="MDC mesh to STL")
     common(pm, True)
     pm.add_argument("--depth", type=int, default=5)
+    pm.add_argument("--no-collapse", action="store_true",
+                    help="disable adaptive cell merging (uniform leaves)")
     pm.set_defaults(fn=run_mesh)
 
     pv = sub.add_parser("view", help="live-reload viewer (terminal)")

@@ -56,11 +56,16 @@ _EDGE_ROUNDS = 4  # ... x 4 rounds
 
 @dataclass
 class Settings:
-    """Meshing settings (fidget-mesh/src/lib.rs:84-110 analog)."""
+    """Meshing settings (fidget-mesh/src/lib.rs:84-110 analog).
+
+    collapse enables topology-safe bottom-up cell merging (the
+    reference's adaptive octree, octree.rs:248-440): fewer triangles in
+    flat regions at the same surface accuracy."""
 
     depth: int = 5
     world_to_model: np.ndarray | None = None
     vars: ShapeVars | dict | None = None
+    collapse: bool = True
     interpret: bool | None = None
 
 
@@ -311,8 +316,10 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     np.add.at(mcnt, vid, 1.0)
     nw = np.where(w[:, None], nm, 0.0)
     bw = (nw * pt).sum(axis=1)
+    btb = np.zeros(NV)
     np.add.at(AtA, vid, nw[:, :, None] * nw[:, None, :])
     np.add.at(Atb, vid, nw * bw[:, None])
+    np.add.at(btb, vid, bw * bw)
     mass = msum / np.maximum(mcnt, 1.0)[:, None]
 
     # batched truncated-SVD solve about the mass point (qef.rs:67-80)
@@ -330,6 +337,24 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     clo = cells[cell_of_vert] * h - 1.0
     vpos = np.clip(vpos, clo, clo + h)
     vpos = np.where(np.isfinite(vpos), vpos, mass)
+
+    # enumerate each crossing edge once, from its canonical owner cell
+    # (the cell whose local edge has both fixed coords == 0) — shared by
+    # the uniform and adaptive walks
+    v_bits_all = (np.arange(12) % 4)[None, :]
+    own_all = crossing & (v_bits_all == 0)
+    oci_all, oei_all = np.nonzero(own_all)
+
+    if settings.collapse:
+        from .collapse import collapse_and_walk
+
+        verts, tris = collapse_and_walk(
+            ev=ev, m=m, var_vec=var_vec, G=G, h=h,
+            cells=cells, mask=mask, nvert=nvert, voff=voff,
+            AtA=AtA, Atb=Atb, btb=btb, msum=msum, mcnt=mcnt, vpos=vpos,
+            oci=oci_all, oei=oei_all,
+        )
+        return Mesh(vertices=verts, triangles=tris.astype(np.int32))
 
     # ---- stage 5: uniform dual triangulation ------------------------------
     # index lookup: leaf lattice key -> cell row

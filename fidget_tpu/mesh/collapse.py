@@ -1,0 +1,364 @@
+"""Topology-safe octree collapse + adaptive dual walk.
+
+The analog of the reference's bottom-up cell merging
+(fidget-mesh/src/octree.rs:248-440): same-parent leaf cells merge into
+one coarse cell when
+
+1. every surface child is a single-vertex leaf (Nielson MDC clusters),
+2. the merge is *topology-safe* in the sense of Ju et al. 2002: at the
+   parent's 27 child-corner lattice points, every coarse-edge midpoint
+   carries the sign of one of its edge endpoints, every face midpoint
+   the sign of one of its face corners, and the center the sign of one
+   of the 8 corners — so the fine iso-topology equals the coarse
+   cell's (and each coarse edge has at most one crossing),
+3. the parent's corner mask produces exactly one MDC vertex, and
+4. the merged QEF error stays under 2x the children's total
+   (octree.rs:334-336).
+
+Merged QEFs are the sums of the child QEFs (octree.rs:315-354). The
+dual walk over the resulting adaptive octree reuses the fine crossing
+edges: each one's four adjacent leaves (of any size) contribute their
+vertex; duplicate quads from coarse faces collapse by id (topology
+safety guarantees one crossing per coarse edge), and quads degenerate
+into the interior of a merged cell drop out as repeated ids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .tables import CELL_TO_EDGE_TO_VERT, EDGE_AXIS, EDGE_LO, VERT_COUNT
+
+#: parent-relative offsets (in units of half the parent edge) of the
+#: 27 sign-lattice points, (z, y, x) row-major
+_LATTICE = np.array(
+    [[x, y, z] for z in (0, 1, 2) for y in (0, 1, 2) for x in (0, 1, 2)],
+    np.int64,
+)
+
+
+def _lat(x, y, z):
+    return (z * 3 + y) * 3 + x
+
+
+#: corner index (bit order x,y,z) -> lattice index
+_CORNER_LAT = np.array(
+    [_lat(2 * (c & 1), 2 * ((c >> 1) & 1), 2 * ((c >> 2) & 1)) for c in range(8)],
+    np.int64,
+)
+#: 12 edges: (midpoint lattice, endpoint lattice a, endpoint lattice b)
+_EDGE_CHECKS = []
+for axis in range(3):
+    for c in range(8):
+        if (c >> axis) & 1:
+            continue
+        a = [2 * (c & 1), 2 * ((c >> 1) & 1), 2 * ((c >> 2) & 1)]
+        b = list(a)
+        b[axis] += 2
+        mid = list(a)
+        mid[axis] += 1
+        _EDGE_CHECKS.append((_lat(*mid), _lat(*a), _lat(*b)))
+_EDGE_CHECKS = np.array(sorted(set(_EDGE_CHECKS)), np.int64)
+#: 6 faces: (midpoint lattice, 4 corner lattice points)
+_FACE_CHECKS = []
+for axis in range(3):
+    for side in (0, 2):
+        corners = []
+        for u in (0, 2):
+            for v in (0, 2):
+                p = [0, 0, 0]
+                p[axis] = side
+                p[(axis + 1) % 3] = u
+                p[(axis + 2) % 3] = v
+                corners.append(_lat(*p))
+        mid = [1, 1, 1]
+        mid[axis] = side
+        _FACE_CHECKS.append([_lat(*mid)] + corners)
+_FACE_CHECKS = np.array(_FACE_CHECKS, np.int64)
+_CENTER_LAT = _lat(1, 1, 1)
+
+
+def _solve_qef(AtA, Atb, mass):
+    """Batched truncated-SVD QEF solve about the mass point."""
+    rhs = Atb - np.einsum("vij,vj->vi", AtA, mass)
+    U, S, Vt = np.linalg.svd(AtA)
+    smax = S[:, :1]
+    keep = S > np.maximum(smax * 0.1, 1e-12)
+    sinv = np.divide(1.0, S, out=np.zeros_like(S), where=keep)
+    delta = np.einsum("vji,vj->vi", Vt, sinv * np.einsum("vij,vi->vj", U, rhs))
+    v = mass + delta
+    return np.where(np.isfinite(v), v, mass)
+
+
+def _qef_err(v, AtA, Atb, btb):
+    return (
+        np.einsum("vi,vij,vj->v", v, AtA, v)
+        - 2.0 * np.einsum("vi,vi->v", Atb, v)
+        + btb
+    )
+
+
+def collapse_and_walk(
+    *,
+    ev,
+    m,
+    var_vec,
+    G,
+    h,
+    cells,
+    mask,
+    nvert,
+    voff,
+    AtA,
+    Atb,
+    btb,
+    msum,
+    mcnt,
+    vpos,
+    oci,
+    oei,
+):
+    """Runs bottom-up collapse then the adaptive dual walk.
+
+    Inputs are the fine-stage products of build_mesh (see mesh/__init__).
+    oci/oei enumerate every fine crossing edge once from its canonical
+    owner cell. Returns (vertices [V,3] f32, triangles [T,3] i64).
+    """
+    from . import _xform
+
+    N = len(cells)
+    # live cell state: coords in fine-lattice units, size (fine units),
+    # vid >= 0 for single-vertex / merged cells, else -(fine row)-1 for
+    # multi-vertex fine leaves (they keep per-edge vertex lookup)
+    c_coord = cells.astype(np.int64).copy()
+    c_size = np.ones(N, np.int64)
+    c_fine = np.arange(N, dtype=np.int64)  # fine row (for CELL_TO_EDGE_TO_VERT)
+    single = nvert == 1
+    c_vid = np.where(single, voff[np.arange(N)], -1)
+
+    # vertex data grows as merges append
+    vAtA = AtA.copy()
+    vAtb = Atb.copy()
+    vbtb = btb.copy()
+    vms = msum.copy()
+    vmc = mcnt.copy()
+    vpos = vpos.copy()
+    verr = _qef_err(vpos, vAtA, vAtb, vbtb)
+
+    s = 1
+    while 2 * s <= G:
+        ps = 2 * s
+        # group current same-size cells by parent
+        is_s = c_size == s
+        idx_s = np.nonzero(is_s)[0]
+        if len(idx_s) == 0:
+            break
+        pk = c_coord[idx_s] // ps  # [K, 3]
+        pkey = (pk[:, 0] * (G // ps) + pk[:, 1]) * (G // ps) + pk[:, 2]
+        order = np.argsort(pkey, kind="stable")
+        pkey_s = pkey[order]
+        idx_sorted = idx_s[order]
+        uk, starts, counts = np.unique(
+            pkey_s, return_index=True, return_counts=True
+        )
+        # a parent qualifies structurally if all its member cells are
+        # single-vertex; cells of other sizes cannot share the parent
+        # region (power-of-two nesting)
+        ok_members = np.ones(len(uk), bool)
+        for i, (st, ct) in enumerate(zip(starts, counts)):
+            rows = idx_sorted[st : st + ct]
+            if (c_vid[rows] < 0).any():
+                ok_members[i] = False
+        cand = np.nonzero(ok_members)[0]
+        # grading: a parent may not collapse while any finer-than-s cell
+        # touches it (keeps adjacent leaf levels within 1, which makes
+        # the per-round 9-point face checks exact on every shared
+        # boundary — the classic restricted-octree condition)
+        small_rows = np.nonzero(c_size < s)[0]
+        if len(small_rows) and len(cand):
+            blocked = set()
+            sc = c_coord[small_rows]
+            ss = c_size[small_rows]
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    for dz in (0, 1):
+                        p = sc + np.stack(
+                            [dx * ss + dx - 1, dy * ss + dy - 1,
+                             dz * ss + dz - 1], axis=1
+                        )
+                        np.clip(p, 0, G - 1, out=p)
+                        pkk = p // ps
+                        keys = (
+                            pkk[:, 0] * (G // ps) + pkk[:, 1]
+                        ) * (G // ps) + pkk[:, 2]
+                        blocked.update(keys.tolist())
+            cand = cand[~np.isin(uk[cand], np.fromiter(
+                blocked, np.int64, len(blocked)
+            ))]
+        if len(cand) == 0:
+            s = ps
+            continue
+        # 27-point sign lattice per candidate parent
+        pbase = np.zeros((len(cand), 3), np.int64)
+        pbase[:, 0] = uk[cand] // ((G // ps) * (G // ps))
+        pbase[:, 1] = (uk[cand] // (G // ps)) % (G // ps)
+        pbase[:, 2] = uk[cand] % (G // ps)
+        pbase *= ps
+        pts = (
+            pbase[:, None, :] + _LATTICE[None, :, :] * (ps // 2)
+        ).reshape(-1, 3).astype(np.float64) * h - 1.0
+        mp = _xform(m, pts)
+        vals = np.asarray(ev.eval(mp[:, 0], mp[:, 1], mp[:, 2], var_vec))[0]
+        inside = (vals < 0.0).reshape(len(cand), 27)
+
+        corner = inside[:, _CORNER_LAT]  # [C, 8]
+        pmask = (corner << np.arange(8)[None, :]).sum(axis=1)
+        topo = VERT_COUNT[pmask] == 1
+        for mid, a, b in _EDGE_CHECKS:
+            topo &= (inside[:, mid] == inside[:, a]) | (
+                inside[:, mid] == inside[:, b]
+            )
+        for row in _FACE_CHECKS:
+            mid, quad = row[0], row[1:]
+            topo &= (inside[:, mid][:, None] == inside[:, quad]).any(axis=1)
+            # reject ambiguous (diagonal) coarse faces — they pinch the
+            # single merged vertex between two surface sheets; corners
+            # are ordered (u,v) = (0,0),(0,2),(2,0),(2,2)
+            c0, c1, c2, c3 = (inside[:, q] for q in quad)
+            ambiguous = (c0 == c3) & (c1 == c2) & (c0 != c1)
+            topo &= ~ambiguous
+        topo &= (inside[:, _CENTER_LAT][:, None] == corner).any(axis=1)
+        cand = cand[topo]
+        pmask = pmask[topo]
+        pbase = pbase[topo]
+        if len(cand) == 0:
+            s = ps
+            continue
+
+        # merged QEFs
+        C = len(cand)
+        mAtA = np.zeros((C, 3, 3))
+        mAtb = np.zeros((C, 3))
+        mbtb = np.zeros(C)
+        mms = np.zeros((C, 3))
+        mmc = np.zeros(C)
+        cerr = np.zeros(C)
+        members = []
+        for j, i in enumerate(cand):
+            rows = idx_sorted[starts[i] : starts[i] + counts[i]]
+            vids = c_vid[rows]
+            members.append(rows)
+            mAtA[j] = vAtA[vids].sum(0)
+            mAtb[j] = vAtb[vids].sum(0)
+            mbtb[j] = vbtb[vids].sum(0)
+            mms[j] = vms[vids].sum(0)
+            mmc[j] = vmc[vids].sum(0)
+            cerr[j] = verr[vids].sum(0)
+        mmass = mms / np.maximum(mmc, 1.0)[:, None]
+        mv = _solve_qef(mAtA, mAtb, mmass)
+        lo = pbase.astype(np.float64) * h - 1.0
+        mv = np.clip(mv, lo, lo + ps * h)
+        merr = _qef_err(mv, mAtA, mAtb, mbtb)
+        accept = merr <= 2.0 * cerr + 1e-10
+
+        # apply accepted merges: drop members, batch-append merged cells
+        acc = np.nonzero(accept)[0]
+        if len(acc):
+            drop = np.zeros(len(c_size), bool)
+            for j in acc:
+                drop[members[j]] = True
+            new_vids = len(vpos) + np.arange(len(acc))
+            vpos = np.concatenate([vpos, mv[acc]])
+            vAtA = np.concatenate([vAtA, mAtA[acc]])
+            vAtb = np.concatenate([vAtb, mAtb[acc]])
+            vbtb = np.concatenate([vbtb, mbtb[acc]])
+            vms = np.concatenate([vms, mms[acc]])
+            vmc = np.concatenate([vmc, mmc[acc]])
+            verr = np.concatenate([verr, merr[acc]])
+            keep_rows = ~drop
+            c_coord = np.concatenate([c_coord[keep_rows], pbase[acc]])
+            c_size = np.concatenate(
+                [c_size[keep_rows], np.full(len(acc), ps, np.int64)]
+            )
+            c_fine = np.concatenate(
+                [c_fine[keep_rows], np.full(len(acc), -1, np.int64)]
+            )
+            c_vid = np.concatenate([c_vid[keep_rows], new_vids])
+        s = ps
+
+    # ---- adaptive dual walk over the fine crossing edges ----------------
+    # per-size lookup: coord key -> live cell row
+    size_tables = {}
+    for sz in np.unique(c_size):
+        rows = np.nonzero(c_size == sz)[0]
+        cc = c_coord[rows] // sz
+        keys = (cc[:, 0] * G + cc[:, 1]) * G + cc[:, 2]
+        o = np.argsort(keys)
+        size_tables[int(sz)] = (keys[o], rows[o])
+
+    def locate(coords):
+        """Fine-cell coords [K, 3] -> live cell rows (-1 outside)."""
+        out = np.full(len(coords), -1, np.int64)
+        in_grid = ((coords >= 0) & (coords < G)).all(axis=1)
+        pending = in_grid.copy()
+        for sz in sorted(size_tables, reverse=True):
+            if not pending.any():
+                break
+            keys_s, rows_s = size_tables[sz]
+            cc = coords // sz
+            k = (cc[:, 0] * G + cc[:, 1]) * G + cc[:, 2]
+            pos = np.searchsorted(keys_s, k)
+            pos = np.clip(pos, 0, len(keys_s) - 1)
+            hit = pending & (keys_s[pos] == k)
+            out[hit] = rows_s[pos[hit]]
+            pending &= ~hit
+        return out
+
+    axis = EDGE_AXIS[oei]
+    u1 = (axis + 1) % 3
+    u2 = (axis + 2) % 3
+    base = cells[oci].astype(np.int64)
+    rng = np.arange(len(oci))
+    quad = np.full((len(oci), 4), -1, np.int64)
+    for qi, (d1, d2) in enumerate(((0, 0), (1, 0), (1, 1), (0, 1))):
+        nb = base.copy()
+        nb[rng, u1] -= d1
+        nb[rng, u2] -= d2
+        rows = locate(nb)
+        found = rows >= 0
+        fine = np.where(found, c_fine[np.maximum(rows, 0)], -1)
+        vbits = np.where(u1 < u2, d1 + 2 * d2, d2 + 2 * d1)
+        local_e = axis * 4 + vbits
+        fine_ok = found & (fine >= 0)
+        lv = np.where(
+            fine_ok,
+            CELL_TO_EDGE_TO_VERT[mask[np.maximum(fine, 0)], local_e],
+            -1,
+        )
+        v_fine = np.where(fine_ok & (lv >= 0), voff[np.maximum(fine, 0)] + lv, -1)
+        v_merged = np.where(
+            found & (fine < 0), c_vid[np.maximum(rows, 0)], -1
+        )
+        quad[:, qi] = np.where(fine_ok, v_fine, v_merged)
+
+    good = (quad >= 0).all(axis=1)
+    quad = quad[good]
+    lo_inside = ((mask[oci] >> EDGE_LO[oei]) & 1).astype(bool)[good]
+    qq = np.where(lo_inside[:, None], quad, quad[:, ::-1])
+    # dedupe repeated quads from coarse faces by unordered id set
+    key = np.sort(qq, axis=1)
+    _, first = np.unique(key, axis=0, return_index=True)
+    qq = qq[np.sort(first)]
+    tris = np.concatenate([qq[:, [0, 1, 2]], qq[:, [0, 2, 3]]], axis=0)
+    ok = (
+        (tris[:, 0] != tris[:, 1])
+        & (tris[:, 1] != tris[:, 2])
+        & (tris[:, 0] != tris[:, 2])
+    )
+    tris = tris[ok]
+
+    # compact the vertex array to referenced vertices
+    used = np.unique(tris)
+    remap = np.full(len(vpos), -1, np.int64)
+    remap[used] = np.arange(len(used))
+    return vpos[used].astype(np.float32), remap[tris]

@@ -143,3 +143,59 @@ def test_stl_roundtrip():
     np.testing.assert_allclose(
         rec[3:6], mesh.vertices[mesh.triangles[0, 0]], rtol=1e-6
     )
+
+
+def _manifold_frac(mesh):
+    c = _manifold_stats(mesh)
+    return float((c == 2).mean())
+
+
+def test_collapse_box_to_minimal():
+    from fidget_tpu.shapes import Box
+
+    tape = Shape.from_tree(
+        Box((-0.61, -0.61, -0.61), (0.59, 0.62, 0.63)).to_tree()
+    ).tape()
+    full = build_mesh(tape, Settings(depth=5, collapse=False, interpret=True))
+    merged = build_mesh(tape, Settings(depth=5, collapse=True, interpret=True))
+    # a flat box collapses to the minimal closed cube
+    assert len(merged.triangles) == 12 and len(merged.vertices) == 8
+    assert _manifold_frac(merged) == 1.0
+    # area preserved
+    def area(m):
+        v, t = m.vertices, m.triangles
+        n = np.cross(v[t[:, 1]] - v[t[:, 0]], v[t[:, 2]] - v[t[:, 0]])
+        return 0.5 * np.linalg.norm(n, axis=1).sum()
+
+    assert area(merged) == pytest.approx(area(full), rel=1e-3)
+
+
+def test_collapse_keeps_gyroid_manifold():
+    x, y, z = Tree.axes()
+    s = 4.0
+    g = (
+        (x * s).sin() * (y * s).cos()
+        + (y * s).sin() * (z * s).cos()
+        + (z * s).sin() * (x * s).cos()
+    )
+    shape = Shape.from_tree(
+        (abs(g) - 0.2).max((x.square() + y.square() + z.square()).sqrt() - 0.8)
+    )
+    mesh = build_mesh(shape, Settings(depth=5, collapse=True, interpret=True))
+    assert len(mesh.triangles) > 1000
+    counts = _manifold_stats(mesh)
+    assert (counts == 2).mean() > 0.99
+
+
+def test_collapse_mixed_flat_and_curved():
+    from fidget_tpu.shapes import Box, Difference, Sphere
+
+    tape = Shape.from_tree(
+        Difference(
+            Box((-0.7, -0.7, -0.7), (0.7, 0.7, 0.7)), Sphere(radius=0.8)
+        ).to_tree()
+    ).tape()
+    full = build_mesh(tape, Settings(depth=5, collapse=False, interpret=True))
+    merged = build_mesh(tape, Settings(depth=5, collapse=True, interpret=True))
+    assert len(merged.triangles) < 0.8 * len(full.triangles)
+    assert _manifold_frac(merged) == 1.0
