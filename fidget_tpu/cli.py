@@ -271,6 +271,13 @@ def main(argv=None) -> int:
                     help="render once and exit (no watching)")
     pv.set_defaults(fn=run_view)
 
+    psv = sub.add_parser("serve", help="HTTP editor/viewer service")
+    psv.add_argument("--port", type=int, default=8080)
+    psv.add_argument("--host", default="127.0.0.1")
+    psv.set_defaults(fn=lambda a: __import__(
+        "fidget_tpu.serve", fromlist=["main"]
+    ).main(a.port, a.host))
+
     args = ap.parse_args(argv)
     return args.fn(args)
 

@@ -118,3 +118,51 @@ def test_pipeline_stats():
     with timed("x") as t:
         pass
     assert t["seconds"] >= 0
+
+
+def test_editor_service():
+    import threading
+    import urllib.request
+
+    from fidget_tpu.serve import serve
+
+    srv = serve(port=0)  # ephemeral port
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=30
+        ).read()
+        assert b"fidget_tpu editor" in page
+        script = b"draw(circle(#{ radius: 0.5 }));"
+        png = urllib.request.urlopen(
+            urllib.request.Request(
+                f"http://127.0.0.1:{port}/render?size=64", data=script
+            ),
+            timeout=120,
+        ).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        tape = urllib.request.urlopen(
+            urllib.request.Request(
+                f"http://127.0.0.1:{port}/tape", data=script
+            ),
+            timeout=60,
+        ).read()
+        # canonical bytecode header
+        assert tape[:4] == b"\xff\xff\xff\xff"
+        # script errors -> 400 with a message
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    f"http://127.0.0.1:{port}/render", data=b"bogus(("
+                ),
+                timeout=60,
+            )
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
