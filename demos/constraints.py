@@ -18,7 +18,7 @@ jax.config.update("jax_platforms", "cpu")  # scalar solver work; skip the TPU
 import numpy as np
 
 from fidget_tpu import Tree, Var
-from fidget_tpu.solver import Parameter, solve
+from fidget_tpu.solver import Parameter, Solver
 
 
 def make_system():
@@ -47,7 +47,12 @@ def main():
         pts[2][0]: Parameter.Free(1.5),
         pts[2][1]: Parameter.Free(0.4),
     }
-    sol = solve(eqs, params)
+    solver = Solver(
+        eqs,
+        free=[pts[1][0], pts[1][1], pts[2][0], pts[2][1]],
+        fixed=[pts[0][0], pts[0][1]],
+    )
+    sol = solver.solve(params)
     p1 = np.array([sol[pts[1][0]], sol[pts[1][1]]])
     p2 = np.array([sol[pts[2][0]], sol[pts[2][1]]])
     print(f"p1 = {p1}, |p1| = {np.linalg.norm(p1):.4f} (expect 1)")
@@ -55,11 +60,17 @@ def main():
     print(f"p2.y = {p2[1]:.6f} (expect 0)")
 
     # simulate dragging p1 to a new spot: fix it, re-solve the rest
+    # dragging changes which vars are fixed -> new structure, new Solver
     params[pts[1][0]] = Parameter.Fixed(0.8)
     params[pts[1][1]] = Parameter.Fixed(0.6)
     params[pts[2][0]] = Parameter.Free(float(p2[0]))
     params[pts[2][1]] = Parameter.Free(float(p2[1]))
-    sol2 = solve(eqs, params)
+    solver2 = Solver(
+        eqs,
+        free=[pts[2][0], pts[2][1]],
+        fixed=[pts[0][0], pts[0][1], pts[1][0], pts[1][1]],
+    )
+    sol2 = solver2.solve(params)
     p2b = np.array([sol2[pts[2][0]], sol2[pts[2][1]]])
     print(f"after drag: p2 = {p2b}, |p2-p1| = "
           f"{np.linalg.norm(p2b - [0.8, 0.6]):.4f} (expect 1)")

@@ -64,6 +64,10 @@ def _parse_vec(s: str, n: int):
     return parts
 
 
+def _interp(args):
+    return {"auto": None, "interpret": True, "compiled": False}[args.eval]
+
+
 def _view2(args):
     from .gui import View2
 
@@ -116,7 +120,9 @@ def run2d(args) -> int:
     from .render.render2d import PixelRenderer
 
     tape = _tape(_load(args.input))
-    r = PixelRenderer(tape, ImageSize(args.size, args.size))
+    r = PixelRenderer(
+        tape, ImageSize(args.size, args.size), interpret=_interp(args)
+    )
     mat = _view2(args)
     best = math.inf
     for _ in range(max(1, args.repeat)):
@@ -157,7 +163,7 @@ def run3d(args) -> int:
 
     tape = _tape(_load(args.input))
     n = args.size
-    r = VoxelRenderer(tape, VoxelSize(n, n, n))
+    r = VoxelRenderer(tape, VoxelSize(n, n, n), interpret=_interp(args))
     mat = _view3(args)
     mode = "heightmap" if args.mode == "heightmap" else "normals"
     best = math.inf
@@ -195,7 +201,7 @@ def run_mesh(args) -> int:
             tape,
             Settings(
                 depth=args.depth, world_to_model=mat,
-                collapse=not args.no_collapse,
+                collapse=not args.no_collapse, interpret=_interp(args),
             ),
         )
         best = min(best, time.perf_counter() - t0)
@@ -232,6 +238,11 @@ def main(argv=None) -> int:
                        help="repeat for benchmarking; report best time")
         p.add_argument("--scale", type=float, default=1.0)
         p.add_argument("--center", default="0")
+        p.add_argument("--eval", default="auto",
+                       choices=["auto", "interpret", "compiled"],
+                       help="evaluator backend: Pallas interpret mode "
+                            "(portable, the reference's 'vm' analog) or "
+                            "compiled TPU kernels (the 'jit' analog)")
         if three_d:
             p.add_argument("--pitch", type=float, default=0.0,
                            help="camera pitch (degrees)")

@@ -11,6 +11,7 @@ differentiable, so no per-variable packing is needed.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -25,7 +26,7 @@ from ..core.var import Var
 from ..eval.arith import FloatMode
 from ..eval.unrolled import eval_tape
 
-__all__ = ["Parameter", "SingularMatrix", "solve"]
+__all__ = ["Parameter", "SingularMatrix", "Solver", "solve"]
 
 
 @dataclass(frozen=True)
@@ -57,6 +58,59 @@ def _as_tape(eq) -> Tape:
     raise TypeError(f"cannot solve over {type(eq).__name__}")
 
 
+class Solver:
+    """Reusable LM solver for one equation set + free/fixed structure.
+
+    Built once, solved many times with changing values (interactive
+    constraint dragging): fixed-variable values are *traced* inputs, so
+    repeated solves never retrace or recompile.
+    """
+
+    def __init__(self, eqs: list, free: list, fixed: list):
+        self.tapes = [_as_tape(e) for e in eqs]
+        self.free = list(free)
+        self.fixed = list(fixed)
+        known = set(self.free) | set(self.fixed)
+        for t in self.tapes:
+            for v in t.var_map:
+                if v not in known:
+                    raise ValueError(f"equation uses unbound variable {v!r}")
+        idx = {v: i for i, v in enumerate(self.free)}
+        fidx = {v: i for i, v in enumerate(self.fixed)}
+        tapes = self.tapes
+
+        def residuals(cur, fixed_vals):
+            out = []
+            for t in tapes:
+                inputs = [None] * len(t.var_map)
+                for v, i in t.var_map.items():
+                    if v in idx:
+                        inputs[i] = cur[idx[v]]
+                    else:
+                        inputs[i] = fixed_vals[fidx[v]]
+                (r,), _ = eval_tape(t, FloatMode(jnp), inputs)
+                out.append(r)
+            return jnp.stack(out)
+
+        self._res = jax.jit(residuals)
+        self._jac = jax.jit(jax.jacfwd(residuals, argnums=0))
+
+    def solve(
+        self, vars: dict[Var, Parameter], *, max_iters: int = 100
+    ) -> dict[Var, float]:
+        free, fixed = self.free, self.fixed
+        idx = {v: i for i, v in enumerate(free)}
+        cur = np.array([vars[v].value for v in free], np.float32)
+        fv = jnp.asarray(
+            [np.float32(vars[v].value) for v in fixed] or [0.0], jnp.float32
+        )
+        if not free:
+            return {}
+        res_f = lambda c: self._res(c, fv)  # noqa: E731
+        jac_f = lambda c: self._jac(c, fv)  # noqa: E731
+        return _lm_loop(res_f, jac_f, cur, idx, max_iters)
+
+
 def solve(
     eqs: list,
     vars: dict[Var, Parameter],
@@ -69,35 +123,14 @@ def solve(
     criteria matching the reference (zero residual, no position change,
     or a flat 4-sample error history; lib.rs:236-279).
     """
-    tapes = [_as_tape(e) for e in eqs]
     free = [v for v, p in vars.items() if p.free]
-    fixed = {v: p.value for v, p in vars.items() if not p.free}
-    idx = {v: i for i, v in enumerate(free)}
-    for t in tapes:
-        for v in t.var_map:
-            if v not in vars:
-                raise ValueError(f"equation uses unbound variable {v!r}")
+    fixed = [v for v, p in vars.items() if not p.free]
+    return Solver(eqs, free, fixed).solve(vars, max_iters=max_iters)
 
-    def residuals(cur):
-        out = []
-        for t in tapes:
-            inputs = [None] * len(t.var_map)
-            for v, i in t.var_map.items():
-                if v in idx:
-                    inputs[i] = cur[idx[v]]
-                else:
-                    inputs[i] = jnp.float32(fixed[v])
-            (r,), _ = eval_tape(t, FloatMode(jnp), inputs)
-            out.append(r)
-        return jnp.stack(out)
 
-    res_f = jax.jit(residuals)
-    jac_f = jax.jit(jax.jacfwd(residuals))
+def _lm_loop(res_f, jac_f, cur, idx, max_iters):
 
-    cur = np.array([vars[v].value for v in free], np.float32)
-    if not free:
-        return {}
-
+    free = list(idx)
     damping = 1.0
     prev_err = np.inf
     err_buf = np.full(4, np.nan, np.float64)

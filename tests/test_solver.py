@@ -50,3 +50,24 @@ def test_fixed_only_returns_empty():
 def test_unbound_variable_raises():
     with pytest.raises(ValueError):
         solve([Tree.x() + Tree.y()], {Var.X: Parameter.Free(0.0)})
+
+
+def test_reusable_solver_no_retrace():
+    from fidget_tpu.solver import Solver
+
+    # the interactive-drag pattern: fixed values change between solves
+    px, py = Var.new(), Var.new()
+    ax = Var.new()
+    x, y, a = Tree.var(px), Tree.var(py), Tree.var(ax)
+    c1 = ((x - a).square() + y.square()).sqrt() - 1.0
+    c2 = (x.square() + y.square()).sqrt() - 1.0
+    s = Solver([c1, c2], free=[px, py], fixed=[ax])
+    for anchor, expect_x in [(1.0, 0.5), (0.5, 0.25)]:
+        sol = s.solve(
+            {
+                px: Parameter.Free(0.3),
+                py: Parameter.Free(0.8),
+                ax: Parameter.Fixed(anchor),
+            }
+        )
+        assert sol[px] == pytest.approx(expect_x, abs=1e-3)
