@@ -215,6 +215,12 @@ def run_mesh(args) -> int:
     return 0
 
 
+def run_serve(args) -> int:
+    from .serve import main as serve_main
+
+    return serve_main(args.port, args.host)
+
+
 def run_view(args) -> int:
     from .viewer import watch
 
@@ -285,9 +291,7 @@ def main(argv=None) -> int:
     psv = sub.add_parser("serve", help="HTTP editor/viewer service")
     psv.add_argument("--port", type=int, default=8080)
     psv.add_argument("--host", default="127.0.0.1")
-    psv.set_defaults(fn=lambda a: __import__(
-        "fidget_tpu.serve", fromlist=["main"]
-    ).main(a.port, a.host))
+    psv.set_defaults(fn=run_serve)
 
     args = ap.parse_args(argv)
     return args.fn(args)

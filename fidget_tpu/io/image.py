@@ -8,8 +8,8 @@ import zlib
 import numpy as np
 
 
-def write_png(path, rgb: np.ndarray) -> None:
-    """Writes an [H, W, 3] u8 array as a PNG file."""
+def png_bytes(rgb: np.ndarray) -> bytes:
+    """Encodes an [H, W, 3] u8 array as PNG bytes."""
     rgb = np.ascontiguousarray(rgb, np.uint8)
     h, w, c = rgb.shape
     assert c == 3
@@ -29,8 +29,13 @@ def write_png(path, rgb: np.ndarray) -> None:
     out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
     out += chunk(b"IDAT", zlib.compress(raw, 6))
     out += chunk(b"IEND", b"")
+    return out
+
+
+def write_png(path, rgb: np.ndarray) -> None:
+    """Writes an [H, W, 3] u8 array as a PNG file."""
     with open(path, "wb") as f:
-        f.write(out)
+        f.write(png_bytes(rgb))
 
 
 def write_ppm(path, rgb: np.ndarray) -> None:

@@ -49,18 +49,30 @@ draw(difference(c, bar));
 const src = document.getElementById('src');
 const out = document.getElementById('out');
 const status = document.getElementById('status');
-let timer = null, busy = false;
+let timer = null, busy = false, dirty = false, lastUrl = null;
 async function render() {
-  if (busy) return; busy = true;
-  const t0 = performance.now();
-  const r = await fetch('/render?size=512', {method: 'POST', body: src.value});
-  if (r.ok) {
-    out.src = URL.createObjectURL(await r.blob());
-    status.textContent = `rendered in ${(performance.now()-t0).toFixed(0)} ms`;
-  } else {
-    status.textContent = await r.text();
+  if (busy) { dirty = true; return; }
+  busy = true;
+  try {
+    const t0 = performance.now();
+    const r = await fetch('/render?size=512',
+                          {method: 'POST', body: src.value});
+    if (r.ok) {
+      const url = URL.createObjectURL(await r.blob());
+      if (lastUrl) URL.revokeObjectURL(lastUrl);
+      lastUrl = url;
+      out.src = url;
+      status.textContent =
+        `rendered in ${(performance.now()-t0).toFixed(0)} ms`;
+    } else {
+      status.textContent = await r.text();
+    }
+  } catch (e) {
+    status.textContent = String(e);
+  } finally {
+    busy = false;
+    if (dirty) { dirty = false; render(); }
   }
-  busy = false;
 }
 src.addEventListener('input', () => {
   clearTimeout(timer); timer = setTimeout(render, 300);
@@ -110,10 +122,18 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 class EditorApp:
-    """Script -> frame/tape services behind the HTTP handlers."""
+    """Script -> frame/tape services behind the HTTP handlers.
 
-    def __init__(self):
+    Rendered frames are cached on (script, size, mode) so a debounced
+    editor re-requesting an unchanged script costs nothing, and the
+    most recent VoxelRenderer is kept keyed on its tape so camera-only
+    edits reuse its compiled pipeline.
+    """
+
+    def __init__(self, cache_frames: int = 32):
         self._lock = threading.Lock()
+        self._frames: dict = {}
+        self._cache_frames = cache_frames
 
     def _trace(self, script: str):
         from .script import eval_script
@@ -121,9 +141,7 @@ class EditorApp:
         return eval_script(script)
 
     def render_png(self, script: str, size: int, mode: str) -> bytes:
-        import numpy as np
-
-        from .io.image import write_png
+        from .io.image import png_bytes
         from .render.compose import render_layers
         from .render.effects import apply_shading
         from .render.region import ImageSize, VoxelSize
@@ -131,6 +149,10 @@ class EditorApp:
         from .shape import Shape
 
         size = max(64, min(1024, size))
+        key = (script, size, mode)
+        cached = self._frames.get(key)
+        if cached is not None:
+            return cached
         res = self._trace(script)
         with self._lock:  # one TPU render at a time
             if mode == "3d":
@@ -144,12 +166,11 @@ class EditorApp:
                 rgb = render_layers(
                     res.shapes, ImageSize(size, size), colors=res.colors
                 )
-        import tempfile
-
-        with tempfile.NamedTemporaryFile(suffix=".png") as f:
-            write_png(f.name, np.ascontiguousarray(rgb))
-            f.seek(0)
-            return f.read()
+        data = png_bytes(rgb)
+        if len(self._frames) >= self._cache_frames:
+            self._frames.pop(next(iter(self._frames)))
+        self._frames[key] = data
+        return data
 
     def tape_bytes(self, script: str) -> bytes:
         from .compiler.bytecode import as_bytes

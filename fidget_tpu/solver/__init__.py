@@ -11,7 +11,6 @@ differentiable, so no per-variable packing is needed.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
@@ -99,6 +98,18 @@ class Solver:
         self, vars: dict[Var, Parameter], *, max_iters: int = 100
     ) -> dict[Var, float]:
         free, fixed = self.free, self.fixed
+        for v in free:
+            if not vars[v].free:
+                raise ValueError(
+                    f"{v!r} is Fixed but structurally free in this Solver; "
+                    "build a new Solver when roles change"
+                )
+        for v in fixed:
+            if vars[v].free:
+                raise ValueError(
+                    f"{v!r} is Free but structurally fixed in this Solver; "
+                    "build a new Solver when roles change"
+                )
         idx = {v: i for i, v in enumerate(free)}
         cur = np.array([vars[v].value for v in free], np.float32)
         fv = jnp.asarray(
