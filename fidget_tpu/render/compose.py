@@ -43,7 +43,9 @@ def render_layers(
 
         if isinstance(shape, Tree):
             shape = Shape.from_tree(shape)
-        r = PixelRenderer(shape, size, interpret=interpret)
+        # single-level 64px: the bucketed tape-as-data path —
+        # one compiled pipeline shared across all layers/shapes
+        r = PixelRenderer(shape, size, tile_size=64, interpret=interpret)
         inside = r.render(world_to_model, z=z).inside()
         c = np.clip(np.asarray(color if color is not None else WHITE,
                                np.float32), 0.0, 1.0)

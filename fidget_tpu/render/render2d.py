@@ -83,6 +83,141 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+@functools.lru_cache(maxsize=64)
+def _frame_single_fn(
+    T0: int, n0x: int, n0y: int, Lcap: int, nf: int, V: int,
+    c_words: int, pixel_perfect: bool, interpret: bool,
+):
+    """Builds (and caches) one jitted single-level 2D frame function
+    per shape bucket. The tape is a *traced operand* — every shape
+    whose packed tape fits the same (capacity, register-file, inputs)
+    bucket reuses the compiled pipeline, so constructing a renderer for
+    a new shape costs nothing after the bucket is warm (the editor /
+    CLI hot path; the Pallas kernels were always tape-as-data, this
+    extends that to the glue).
+    """
+    from ..eval.simplify_device import (
+        DeviceSimplifier,
+        DynamicSimplifier,
+        _liveness_codes,
+    )
+
+    n0 = n0x * n0y
+    s0r = max(8, _ceil_to(-(-n0 // 128), 8))
+    s0l = (T0 * T0) // 128
+    im_cls = IntervalMode
+
+    def frame(w1, w2, imm, lens, x0, y0, axis_idx, mat, z, var_vec):
+        # axis_idx: i32[3] input index of x/y/z (-1 when unused)
+        im = im_cls(jnp)
+
+        def set_axis(planes, k, plane_lo, plane_hi=None):
+            idx = axis_idx[k]
+            ok = idx >= 0
+            i = jnp.maximum(idx, 0)
+            lo = planes[0].at[..., i, :, :].set(
+                jnp.where(ok, plane_lo, planes[0][..., i, :, :])
+            )
+            if plane_hi is None:
+                return (lo,)
+            hi = planes[1].at[..., i, :, :].set(
+                jnp.where(ok, plane_hi, planes[1][..., i, :, :])
+            )
+            return lo, hi
+
+        def pad_plane(a, s0):
+            K = a.shape[-1]
+            padn = s0 * 128 - K
+            if padn:
+                a = jnp.concatenate(
+                    [a, jnp.zeros(a.shape[:-1] + (padn,), a.dtype)], axis=-1
+                )
+            return a.reshape(a.shape[:-1] + (s0, 128))
+
+        def tpoints(xs, ys):
+            return transform_points(mat, xs, ys, z)
+
+        # ---- stage 1: root interval pass ---------------------------
+        mxi, myi, mzi = transform_intervals(
+            im, mat, (x0, x0 + T0), (y0, y0 + T0), (z, z)
+        )
+        var_lo = jnp.broadcast_to(
+            var_vec[None, :, None, None], (1, V, s0r, 128)
+        ).astype(jnp.float32)
+        var_hi = var_lo
+        for k, ivl in enumerate((mxi, myi, mzi)):
+            lo = pad_plane(jnp.broadcast_to(ivl[0], x0.shape), s0r)
+            hi = pad_plane(jnp.broadcast_to(ivl[1], x0.shape), s0r)
+            var_lo, var_hi = set_axis((var_lo, var_hi), k, lo, hi)
+        olo, ohi, choices0 = interp_interval(
+            w1, w2, imm, lens, var_lo, var_hi,
+            nf=nf, n_inputs=V, n_outputs=1, s0=s0r,
+            c_words=c_words, interpret=interpret,
+        )
+        rlo = olo[0, 0].reshape(-1)[:n0]
+        rhi = ohi[0, 0].reshape(-1)[:n0]
+        root_in = rhi < 0.0
+        root_out = rlo > 0.0
+        root_active = ~(root_in | root_out)
+        if pixel_perfect:
+            root_active = jnp.ones_like(root_active)
+
+        # ---- stage 2: per-tile simplification (tape-as-data) --------
+        perlane = _liveness_codes(
+            w1.reshape(1, 1, Lcap).astype(jnp.int32),
+            w2.reshape(1, 1, Lcap).astype(jnp.int32),
+            lens.reshape(1, 1, 1).astype(jnp.int32),
+            choices0, nf=nf, L=Lcap, shared_tape=True, interpret=interpret,
+        )  # [B, lw, s0r, 128]
+        B = choices0.shape[0]
+        lw = -(-Lcap // 16)
+        per_tile = jnp.moveaxis(
+            perlane.reshape(B, lw, s0r * 128), 1, 2
+        ).reshape(B * s0r * 128, lw)[:n0]
+        codes_u8 = DeviceSimplifier.unpack_codes(per_tile, Lcap)
+        w1p = jnp.broadcast_to(w1.astype(jnp.int32), (n0, Lcap))
+        w2p = jnp.broadcast_to(w2.astype(jnp.int32), (n0, Lcap))
+        immp = jnp.broadcast_to(imm, (n0, Lcap))
+        w1c, w2c, immc, lensc, _ = DynamicSimplifier.reconstruct(
+            w1p, w2p, immp, codes_u8
+        )
+        lensc = jnp.where(root_active, lensc, 0)
+
+        # ---- stage 3: leaf pass --------------------------------------
+        ii = jnp.arange(T0, dtype=jnp.float32)
+        px = x0[:, None, None] + ii[None, None, :]
+        py = y0[:, None, None] + ii[None, :, None]
+        px = jnp.broadcast_to(px, (n0, T0, T0)).reshape(n0, s0l, 128)
+        py = jnp.broadcast_to(py, (n0, T0, T0)).reshape(n0, s0l, 128)
+        mx, my, mz = tpoints(px, py)
+        vars_ = jnp.broadcast_to(
+            var_vec[None, :, None, None], (n0, V, s0l, 128)
+        ).astype(jnp.float32)
+        for k, plane in enumerate((mx, my, mz)):
+            (vars_,) = set_axis(
+                (vars_,), k, jnp.broadcast_to(plane, (n0, s0l, 128))
+            )
+        dist = interp_float(
+            w1c, w2c, immc, lensc, vars_,
+            nf=nf, n_inputs=V, n_outputs=1, s0=s0l, interpret=interpret,
+        )[:, 0]
+
+        # ---- stage 4: assemble --------------------------------------
+        dist = dist.reshape(n0y, n0x, 1, 1, T0, T0)
+        img = dist.transpose(0, 2, 4, 1, 3, 5).reshape(n0y * T0, n0x * T0)
+        fill_tile = jnp.where(
+            root_active,
+            np.int8(FILL_NONE),
+            jnp.where(root_in, np.int8(FILL_INSIDE), np.int8(FILL_OUTSIDE)),
+        ).astype(jnp.int8)
+        fill = jnp.repeat(
+            jnp.repeat(fill_tile.reshape(n0y, n0x), T0, 0), T0, 1
+        )
+        return img, fill
+
+    return jax.jit(frame)
+
+
 class PixelRenderer:
     """Compiled 2D renderer for one tape at one image size.
 
@@ -161,6 +296,20 @@ class PixelRenderer:
         self.sub_dx = ((k % self.r) * T1).astype(np.float32)
         self.sub_dy = ((k // self.r) * T1).astype(np.float32)
         self._frame = jax.jit(self._frame_impl, static_argnames=("pixel_perfect",))
+        # single-level mode also has a bucketed tape-as-data path: the
+        # compiled frame is shared by every shape in the same bucket
+        if not self.two_level:
+            self.Lcap_b = max(64, 1 << (len(tape) - 1).bit_length())
+            self.nf_b = max(64, _ceil_to(self.nf, 128))
+            self.cw_b = max(1, 1 << (self.c_words - 1).bit_length())
+            self.packed_b = pack_tapes([tape], capacity=self.Lcap_b)
+            self.axis_idx = np.array(
+                [
+                    -1 if self.axis_of.get(k2) is None else self.axis_of[k2]
+                    for k2 in ("x", "y", "z")
+                ],
+                np.int32,
+            )
 
     # ------------------------------------------------------------------
 
@@ -391,6 +540,22 @@ class PixelRenderer:
         """Renders a frame; one device dispatch."""
         mat = jnp.asarray(self._mat4(world_to_model))
         vec = jnp.asarray(self._var_vec(vars))
+        if not self.two_level:
+            fn = _frame_single_fn(
+                self.T0, self.n0x, self.n0y, self.Lcap_b, self.nf_b,
+                self.n_inputs, self.cw_b, pixel_perfect, self.interpret,
+            )
+            p = self.packed_b
+            img, fill = fn(
+                jnp.asarray(p.w1), jnp.asarray(p.w2), jnp.asarray(p.imm),
+                jnp.asarray(p.lengths), jnp.asarray(self.tile_x0),
+                jnp.asarray(self.tile_y0), jnp.asarray(self.axis_idx),
+                mat, jnp.float32(z), vec,
+            )
+            return Image2D(
+                np.asarray(img)[: self.H, : self.W],
+                np.asarray(fill)[: self.H, : self.W],
+            )
         img, fill = self._frame(
             mat, jnp.float32(z), vec, pixel_perfect=pixel_perfect
         )
