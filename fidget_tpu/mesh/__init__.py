@@ -144,8 +144,9 @@ def _mat_and_vars(tape_or_shape, settings):
 
 
 def _xform(m, pts):
-    """Affine world -> model on [N, 3] float64."""
-    return pts @ m[:3, :3].T + m[:3, 3]
+    """Affine world -> model on [N, 3] (float32 to halve traffic)."""
+    m = m.astype(np.float32)
+    return pts.astype(np.float32) @ m[:3, :3].T + m[:3, 3]
 
 
 def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
@@ -175,9 +176,8 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
             (mlo[:, 0], mhi[:, 0]), (mlo[:, 1], mhi[:, 1]),
             (mlo[:, 2], mhi[:, 2]), var_vec,
         )
-        olo = np.asarray(olo[0])
-        ohi = np.asarray(ohi[0])
-        active = ~((olo > 0.0) | (ohi < 0.0))
+        # classify on device: one bool transfer instead of two f32 planes
+        active = np.asarray(~((olo[0] > 0.0) | (ohi[0] < 0.0)))
         cells = cells[active]
         if len(cells) == 0:
             return Mesh()
@@ -201,7 +201,7 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
         (mlo[:, 0], mhi[:, 0]), (mlo[:, 1], mhi[:, 1]),
         (mlo[:, 2], mhi[:, 2]), var_vec,
     )
-    active = ~((np.asarray(olo[0]) > 0.0) | (np.asarray(ohi[0]) < 0.0))
+    active = np.asarray(~((olo[0] > 0.0) | (ohi[0] < 0.0)))
     cells = cells[active]
     if len(cells) == 0:
         return Mesh()
@@ -223,15 +223,13 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     ).astype(np.float64)
     upts = upts * h - 1.0
     mpts = _xform(m, upts)
-    uvals = np.asarray(
-        ev.eval(mpts[:, 0], mpts[:, 1], mpts[:, 2], var_vec)
-    )[0]
-    cvals = uvals[inv].reshape(N, 8)
-    mask = ((cvals < 0.0) << np.arange(8)[None, :]).sum(axis=1).astype(
-        np.int32
+    usigns = np.asarray(
+        ev.eval(mpts[:, 0], mpts[:, 1], mpts[:, 2], var_vec)[0] < 0.0
     )
+    csigns = usigns[inv].reshape(N, 8)
+    mask = (csigns << np.arange(8)[None, :]).sum(axis=1).astype(np.int32)
     surf = (mask != 0) & (mask != 255)
-    cells, cvals, mask = cells[surf], cvals[surf], mask[surf]
+    cells, mask = cells[surf], mask[surf]
     N = len(cells)
     if N == 0:
         return Mesh()
@@ -268,13 +266,14 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
             + (p_end - p_start)[:, None, :] * ts[..., None]
         ).reshape(-1, 3)
         mp = _xform(m, pts)
-        vals = np.asarray(
-            ev.eval(mp[:, 0], mp[:, 1], mp[:, 2], var_vec)
-        )[0].reshape(E, _EDGE_SAMPLES)
+        # signs computed on device: one bool transfer per round
+        inside = np.asarray(
+            ev.eval(mp[:, 0], mp[:, 1], mp[:, 2], var_vec)[0] < 0.0
+        ).reshape(E, _EDGE_SAMPLES)
         # bracket on the first inside->outside flip: samples before the
         # first outside sample are all inside, preserving the invariant
         # (start inside, end outside) like octree.rs:687-767
-        outside = ~(vals < 0.0)
+        outside = ~inside
         any_out = outside.any(axis=1)
         F = outside.argmax(axis=1)  # first outside sample (valid if any_out)
         tb = np.where(any_out, np.take_along_axis(ts, F[:, None], 1)[:, 0], tb)

@@ -164,11 +164,8 @@ def collapse_and_walk(
         # a parent qualifies structurally if all its member cells are
         # single-vertex; cells of other sizes cannot share the parent
         # region (power-of-two nesting)
-        ok_members = np.ones(len(uk), bool)
-        for i, (st, ct) in enumerate(zip(starts, counts)):
-            rows = idx_sorted[st : st + ct]
-            if (c_vid[rows] < 0).any():
-                ok_members[i] = False
+        multi = (c_vid[idx_sorted] < 0).astype(np.int64)
+        ok_members = np.add.reduceat(multi, starts) == 0
         cand = np.nonzero(ok_members)[0]
         # grading: a parent may not collapse while any finer-than-s cell
         # touches it (keeps adjacent leaf levels within 1, which makes
@@ -208,8 +205,9 @@ def collapse_and_walk(
             pbase[:, None, :] + _LATTICE[None, :, :] * (ps // 2)
         ).reshape(-1, 3).astype(np.float64) * h - 1.0
         mp = _xform(m, pts)
-        vals = np.asarray(ev.eval(mp[:, 0], mp[:, 1], mp[:, 2], var_vec))[0]
-        inside = (vals < 0.0).reshape(len(cand), 27)
+        inside = np.asarray(
+            ev.eval(mp[:, 0], mp[:, 1], mp[:, 2], var_vec)[0] < 0.0
+        ).reshape(len(cand), 27)
 
         corner = inside[:, _CORNER_LAT]  # [C, 8]
         pmask = (corner << np.arange(8)[None, :]).sum(axis=1)
@@ -235,25 +233,22 @@ def collapse_and_walk(
             s = ps
             continue
 
-        # merged QEFs
-        C = len(cand)
-        mAtA = np.zeros((C, 3, 3))
-        mAtb = np.zeros((C, 3))
-        mbtb = np.zeros(C)
-        mms = np.zeros((C, 3))
-        mmc = np.zeros(C)
-        cerr = np.zeros(C)
-        members = []
-        for j, i in enumerate(cand):
-            rows = idx_sorted[starts[i] : starts[i] + counts[i]]
-            vids = c_vid[rows]
-            members.append(rows)
-            mAtA[j] = vAtA[vids].sum(0)
-            mAtb[j] = vAtb[vids].sum(0)
-            mbtb[j] = vbtb[vids].sum(0)
-            mms[j] = vms[vids].sum(0)
-            mmc[j] = vmc[vids].sum(0)
-            cerr[j] = verr[vids].sum(0)
+        # merged QEFs: segment sums over the parent-sorted member rows
+        vids_sorted = np.where(
+            c_vid[idx_sorted] >= 0, c_vid[idx_sorted], 0
+        )
+        def seg(a):
+            return np.add.reduceat(a[vids_sorted], starts, axis=0)[cand]
+
+        mAtA = seg(vAtA)
+        mAtb = seg(vAtb)
+        mbtb = seg(vbtb)
+        mms = seg(vms)
+        mmc = seg(vmc)
+        cerr = seg(verr)
+        members = [
+            idx_sorted[starts[i] : starts[i] + counts[i]] for i in cand
+        ]
         mmass = mms / np.maximum(mmc, 1.0)[:, None]
         mv = _solve_qef(mAtA, mAtb, mmass)
         lo = pbase.astype(np.float64) * h - 1.0
