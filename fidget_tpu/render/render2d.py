@@ -277,9 +277,12 @@ class PixelRenderer:
         self.s0s = max(1, -(-self.m // 128))
         self.s0l = (T1 * T1) // 128
 
-        self.packed = pack_tapes([tape])
-        self.simplifier = DeviceSimplifier(tape)
-        self.nf = self.simplifier.nf
+        self.nf = tape.reg_count + tape.mem_count
+        # packed arena / simplifier / jitted frame are built lazily:
+        # the bucketed single-level render() path never needs them
+        self._packed = None
+        self._simplifier = None
+        self._frame_jit = None
         # padded to >= 1 so constant-only shapes still build var planes
         self.n_inputs = max(1, len(tape.var_map))
         self.c_words = max(1, -(-tape.choice_count // 16))
@@ -295,12 +298,11 @@ class PixelRenderer:
         k = np.arange(self.m)
         self.sub_dx = ((k % self.r) * T1).astype(np.float32)
         self.sub_dy = ((k // self.r) * T1).astype(np.float32)
-        self._frame = jax.jit(self._frame_impl, static_argnames=("pixel_perfect",))
         # single-level mode also has a bucketed tape-as-data path: the
         # compiled frame is shared by every shape in the same bucket
         if not self.two_level:
             self.Lcap_b = max(64, 1 << (len(tape) - 1).bit_length())
-            self.nf_b = max(64, _ceil_to(self.nf, 128))
+            self.nf_b = _ceil_to(max(self.nf, 64), 64)
             self.cw_b = max(1, 1 << (self.c_words - 1).bit_length())
             self.packed_b = pack_tapes([tape], capacity=self.Lcap_b)
             self.axis_idx = np.array(
@@ -312,6 +314,26 @@ class PixelRenderer:
             )
 
     # ------------------------------------------------------------------
+
+    @property
+    def packed(self):
+        if self._packed is None:
+            self._packed = pack_tapes([self.tape])
+        return self._packed
+
+    @property
+    def simplifier(self):
+        if self._simplifier is None:
+            self._simplifier = DeviceSimplifier(self.tape)
+        return self._simplifier
+
+    @property
+    def _frame(self):
+        if self._frame_jit is None:
+            self._frame_jit = jax.jit(
+                self._frame_impl, static_argnames=("pixel_perfect",)
+            )
+        return self._frame_jit
 
     def _transform_points(self, mat, xs, ys, z):
         """Shared homogeneous transform (render/transform.py) with the
