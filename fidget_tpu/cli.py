@@ -83,6 +83,19 @@ def _view3(args):
     v.pitch = math.radians(args.pitch)
     v.yaw = math.radians(args.yaw)
     m = v.world_to_model()
+    roll = math.radians(getattr(args, "roll", 0.0) or 0.0)
+    if roll:
+        # roll about the view axis, applied to world coords before the
+        # turntable rotation (demos/cli/src/main.rs:864-881)
+        cr, sr = math.cos(roll), math.sin(roll)
+        rz = np.array(
+            [[cr, -sr, 0, 0], [sr, cr, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+            np.float64,
+        )
+        m = m @ rz
+    zf = getattr(args, "zflatten", 1.0) or 1.0
+    if zf != 1.0:
+        m = m @ np.diag([1.0, 1.0, float(zf), 1.0])
     if getattr(args, "perspective", None):
         # w-row z coefficient, like the reference camera
         # (demos/cli/src/main.rs:870-873)
@@ -157,7 +170,12 @@ def run2d(args) -> int:
 
 
 def run3d(args) -> int:
-    from .render.effects import apply_shading, denoise_normals
+    from .render.effects import (
+        apply_shading,
+        blur_ssao,
+        compute_ssao,
+        denoise_normals,
+    )
     from .render.region import VoxelSize
     from .render.render3d import VoxelRenderer
 
@@ -173,15 +191,39 @@ def run3d(args) -> int:
         best = min(best, time.perf_counter() - t0)
     print(f"rendered {n}^3 in {best * 1e3:.2f}ms")
     if args.out:
+        denoise = not args.no_denoise
+
+        def maybe_denoised():
+            if denoise:
+                return np.asarray(denoise_normals(img.depth, img.normal))
+            return img.normal
+
+        def occlusion_to_gray(ssao):
+            """Occlusion map as grayscale, black where empty
+            (demos/cli/src/main.rs:351-363)."""
+            ssao = np.asarray(ssao)
+            v = np.clip(
+                np.where(np.isfinite(ssao), ssao, 0.0) * 255.0, 0, 255
+            ).astype(np.uint8)
+            v[img.depth == 0] = 0
+            return np.stack([v, v, v], axis=-1)
+
         if args.mode == "heightmap":
             g = (img.depth.astype(np.float32) / n * 255).astype(np.uint8)
             rgb = np.stack([g, g, g], axis=-1)
         elif args.mode == "normals":
-            rgb = ((img.normal * 0.5 + 0.5) * 255).astype(np.uint8)
+            rgb = ((maybe_denoised() * 0.5 + 0.5) * 255).astype(np.uint8)
             rgb[img.depth == 0] = 0
+        elif args.mode in ("raw-occlusion", "blurred-occlusion"):
+            # the reference's SSAO debug views (main.rs:498-521)
+            ssao = compute_ssao(img.depth, maybe_denoised(), vdepth=n)
+            if args.mode == "blurred-occlusion":
+                ssao = blur_ssao(ssao)
+            rgb = occlusion_to_gray(ssao)
         else:  # shaded
-            normal = np.asarray(denoise_normals(img.depth, img.normal))
-            rgb = apply_shading(img.depth, normal, vdepth=n, ssao=args.ssao)
+            rgb = apply_shading(
+                img.depth, maybe_denoised(), vdepth=n, ssao=args.ssao
+            )
         # flip vertically so +y is up in the written image
         _write_image(args.out, rgb[::-1])
         print(f"wrote {args.out}")
@@ -266,8 +308,17 @@ def main(argv=None) -> int:
     common(p3, True)
     p3.add_argument("-s", "--size", type=int, default=512)
     p3.add_argument("--mode", default="shaded",
-                    choices=["heightmap", "normals", "shaded"])
-    p3.add_argument("--ssao", action="store_true")
+                    choices=["heightmap", "normals", "shaded",
+                             "raw-occlusion", "blurred-occlusion"])
+    p3.add_argument("--ssao", action="store_true",
+                    help="apply SSAO to a shaded image")
+    p3.add_argument("--no-denoise", action="store_true",
+                    help="skip denoising of normals")
+    p3.add_argument("--roll", type=float, default=0.0,
+                    help="camera roll about the view axis (degrees)")
+    p3.add_argument("--zflatten", type=float, default=1.0,
+                    help="flatten values on the Z axis to prevent "
+                         "screen clipping")
     p3.add_argument("--perspective", type=float, default=None,
                     help="perspective strength (omit for isometric)")
     p3.set_defaults(fn=run3d)

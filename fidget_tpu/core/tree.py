@@ -251,63 +251,91 @@ def _balanced(op: BinaryOp, trees: list[Tree]) -> Tree:
 
 
 def import_tree(self: Context, tree: Tree) -> int:
-    """Imports a `Tree` into this context, returning the root node."""
+    """Imports a `Tree` into this context, returning the root node.
+
+    Iterative post-order traversal with a (tree id, axis frame) memo —
+    the shared-subtree import cache of the reference
+    (fidget-core/src/context/mod.rs:1019-1034) — so giant shared trees
+    import in O(unique nodes) with no recursion depth limit."""
     base_frame = (self.x(), self.y(), self.z())
     memo: dict[tuple[int, tuple[int, int, int]], int] = {}
 
-    def go(t: Tree, fr: tuple[int, int, int]) -> int:
+    def remap_frame(t: Tree, fr):
+        """The inner frame a remap node evaluates its body under
+        (children must already be in the memo)."""
+        if t.kind == _REMAP_AXES:
+            _, xt, yt, zt = t.data
+            return (
+                memo[(id(xt), fr)], memo[(id(yt), fr)], memo[(id(zt), fr)]
+            )
+        inner, m = t.data
+        fx, fy, fz = fr
+        axes = []
+        for r in range(3):
+            acc = self.constant(m[r, 3])
+            for c, fn in ((0, fx), (1, fy), (2, fz)):
+                acc = self.add(acc, self.mul(self.constant(m[r, c]), fn))
+            axes.append(acc)
+        return tuple(axes)
+
+    # phases: 0 = expand children, 1 = children ready, 2 = remap body ready
+    stack = [(tree, base_frame, 0)]
+    while stack:
+        t, fr, phase = stack.pop()
         key = (id(t), fr)
-        hit = memo.get(key)
-        if hit is not None:
-            return hit
-        k = t.kind
-        if k == _CONST:
-            n = self.constant(t.data[0])
-        elif k == _INPUT:
-            v = t.data[0]
-            if v == Var.X:
-                n = fr[0]
-            elif v == Var.Y:
-                n = fr[1]
-            elif v == Var.Z:
-                n = fr[2]
+        if phase == 0:
+            if key in memo:
+                continue
+            k = t.kind
+            if k == _CONST:
+                memo[key] = self.constant(t.data[0])
+            elif k == _INPUT:
+                v = t.data[0]
+                if v == Var.X:
+                    memo[key] = fr[0]
+                elif v == Var.Y:
+                    memo[key] = fr[1]
+                elif v == Var.Z:
+                    memo[key] = fr[2]
+                else:
+                    memo[key] = self.input(v)
+            elif k == _UNARY:
+                stack.append((t, fr, 1))
+                stack.append((t.data[1], fr, 0))
+            elif k == _BINARY:
+                stack.append((t, fr, 1))
+                stack.append((t.data[1], fr, 0))
+                stack.append((t.data[2], fr, 0))
+            elif k == _REMAP_AXES:
+                _, xt, yt, zt = t.data
+                stack.append((t, fr, 1))
+                stack.append((xt, fr, 0))
+                stack.append((yt, fr, 0))
+                stack.append((zt, fr, 0))
+            elif k == _REMAP_AFFINE:
+                nfr = remap_frame(t, fr)
+                stack.append((t, fr, 2))
+                stack.append((t.data[0], nfr, 0))
             else:
-                n = self.input(v)
-        elif k == _UNARY:
-            op, a = t.data
-            n = self.op_unary(op, go(a, fr))
-        elif k == _BINARY:
-            op, a, b = t.data
-            na, nb = go(a, fr), go(b, fr)
-            builder = _BUILDERS[op]
-            n = builder(self, na, nb)
-        elif k == _REMAP_AXES:
-            inner, xt, yt, zt = t.data
-            nfr = (go(xt, fr), go(yt, fr), go(zt, fr))
-            n = go(inner, nfr)
-        elif k == _REMAP_AFFINE:
-            inner, m = t.data
-            fx, fy, fz = fr
-            axes = []
-            for r in range(3):
-                acc = self.constant(m[r, 3])
-                for c, fn in ((0, fx), (1, fy), (2, fz)):
-                    acc = self.add(acc, self.mul(self.constant(m[r, c]), fn))
-                axes.append(acc)
-            n = go(inner, tuple(axes))
-        else:
-            raise ValueError(f"unknown tree kind {k!r}")
-        memo[key] = n
-        return n
-
-    import sys
-
-    old = sys.getrecursionlimit()
-    sys.setrecursionlimit(max(old, 100_000))
-    try:
-        return go(tree, base_frame)
-    finally:
-        sys.setrecursionlimit(old)
+                raise ValueError(f"unknown tree kind {k!r}")
+        elif phase == 1:
+            k = t.kind
+            if k == _UNARY:
+                op, a = t.data
+                memo[key] = self.op_unary(op, memo[(id(a), fr)])
+            elif k == _BINARY:
+                op, a, b = t.data
+                memo[key] = _BUILDERS[op](
+                    self, memo[(id(a), fr)], memo[(id(b), fr)]
+                )
+            else:  # _REMAP_AXES: axis children ready, import the body
+                nfr = remap_frame(t, fr)
+                stack.append((t, fr, 2))
+                stack.append((t.data[0], nfr, 0))
+        else:  # phase 2: remap body imported under the inner frame
+            nfr = remap_frame(t, fr)
+            memo[key] = memo[(id(t.data[0]), nfr)]
+    return memo[(id(tree), base_frame)]
 
 
 _BUILDERS = {

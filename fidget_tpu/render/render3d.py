@@ -235,7 +235,10 @@ class VoxelRenderer:
             mode=mode, cap=cap,
         )
 
-    def _frame_tiles(self, matM, var_vec, x0, y0, z0, *, mode: str, cap: int):
+    def _frame_tiles(
+        self, matM, var_vec, x0, y0, z0, *, mode: str, cap: int,
+        stop_after: str | None = None,
+    ):
         """The shardable pipeline core over an arbitrary y-slab of root
         tiles: x0/y0/z0 are traced *global* tile corners in
         (tz, ty_local, tx) row-major order covering all of Z and X but
@@ -273,6 +276,9 @@ class VoxelRenderer:
         root_empty = rlo > 0.0
         root_active = ~(root_full | root_empty)
 
+        if stop_after == "root":
+            return rlo, rhi, packed_choices
+
         # full root tiles: column depth = tile top
         fullv = jnp.where(root_full, z0 + ts, 0.0).reshape(
             self.ntz, nty, self.ntx
@@ -283,6 +289,9 @@ class VoxelRenderer:
         w1s, w2s, imms, lens, _ncho = self.simplifier.simplify_packed(
             packed_choices, n_tiles=nt, interpret=interpret
         )
+
+        if stop_after == "simplify":
+            return w1s, w2s, lens
 
         # ---- stage 3: subtile interval pass (instance per root tile) --
         sx0 = x0[:, None] + jnp.asarray(self.sub_dx)[None, :]  # [nt, m]
@@ -311,6 +320,9 @@ class VoxelRenderer:
             return g.transpose(0, 3, 1, 4, 2, 5).reshape(
                 self.nz2, ny2, self.nx2
             )
+
+        if stop_after == "subtile":
+            return slo, shi, choices1
 
         full_d = to_dense(sub_full)
         gz_col = jnp.arange(self.nz2, dtype=jnp.int32)[:, None, None]
@@ -370,6 +382,9 @@ class VoxelRenderer:
         )
         len_leaf = jnp.where(valid, len_leaf, 0)
 
+        if stop_after == "compact":
+            return w1_leaf, len_leaf, n_active
+
         # ---- stage 5: voxel point pass (instance per subtile) -----------
         bx = (gx * sub).astype(jnp.float32)[:, None]
         by = (gy * sub).astype(jnp.float32)[:, None] + y_base
@@ -393,17 +408,25 @@ class VoxelRenderer:
             .max(axis=1)
         )  # [cap, sub(vy), sub(vx)]
 
-        # scatter-max voxel depths into the per-pixel heightmap
-        iy = jnp.arange(sub, dtype=jnp.int32)
-        rows = gy[:, None, None] * sub + iy[None, :, None]
-        cols = gx[:, None, None] * sub + iy[None, None, :]
-        flat = jnp.where(valid[:, None, None], rows * W + cols, 0)
-        vals = jnp.where(valid[:, None, None], dcand, 0)
+        # max voxel depths into the per-pixel heightmap. XLA serializes
+        # element scatters on TPU (a 2M-element scatter-max here cost
+        # ~37 ms/frame), so instead invert the compaction with ONE
+        # cap-sized index scatter, gather the per-subtile depth blocks
+        # into a dense [nz2, H, W] grid, and reduce over z densely.
+        slot_of = (
+            jnp.full(nsub, cap, jnp.int32)
+            .at[order]
+            .set(jnp.where(valid, jnp.arange(cap, dtype=jnp.int32), cap))
+        )
+        dcand_pad = jnp.concatenate(
+            [dcand, jnp.zeros((1, sub, sub), jnp.int32)], axis=0
+        )
+        dense = dcand_pad[slot_of]  # [nsub, sub, sub]
         depth = (
-            jnp.zeros(H * W, jnp.int32)
-            .at[flat.reshape(-1)]
-            .max(vals.reshape(-1))
-            .reshape(H, W)
+            dense.reshape(self.nz2, ny2, self.nx2, sub, sub)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(self.nz2, H, W)
+            .max(axis=0)
         )
         coarse_px = jnp.repeat(jnp.repeat(coarse, sub, 0), sub, 1)
         depth = jnp.maximum(depth, coarse_px).astype(jnp.int32)
@@ -515,7 +538,11 @@ class VoxelRenderer:
             )
             if int(n_active) <= self.cap or self.cap >= self.nsub:
                 break
-            self.cap = min(int(self.cap) * 2, self.nsub)
+            # jump straight to a sufficient power-of-two capacity —
+            # n_active is exact, so one retry always suffices
+            self.cap = min(
+                1 << (int(n_active) - 1).bit_length(), self.nsub
+            )
         return Image3D(
             np.asarray(depth),
             None if normal is None else np.asarray(normal),

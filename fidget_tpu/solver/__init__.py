@@ -122,6 +122,19 @@ class Solver:
         return _lm_loop(res_f, jac_f, cur, idx, max_iters)
 
 
+def _tape_key(t: Tape) -> tuple:
+    """Structural identity of a tape (for the solve() Solver cache)."""
+    return (
+        t.op.tobytes(), t.out.tobytes(), t.a.tobytes(), t.b.tobytes(),
+        t.imm.tobytes(), t.aux.tobytes(), t.reg_count, t.mem_count,
+        t.choice_count, t.output_count, tuple(t.var_map.items()),
+    )
+
+
+_SOLVE_CACHE: dict = {}
+_SOLVE_CACHE_MAX = 64
+
+
 def solve(
     eqs: list,
     vars: dict[Var, Parameter],
@@ -133,10 +146,25 @@ def solve(
     Levenberg-Marquardt with multiplicative damping adaptation, exit
     criteria matching the reference (zero residual, no position change,
     or a flat 4-sample error history; lib.rs:236-279).
+
+    Solvers are cached per (equation set, free/fixed structure), so
+    interactive constraint dragging — repeated solves with the same
+    equations and changing values — compiles once and then never
+    retraces.
     """
     free = [v for v, p in vars.items() if p.free]
     fixed = [v for v, p in vars.items() if not p.free]
-    return Solver(eqs, free, fixed).solve(vars, max_iters=max_iters)
+    tapes = [_as_tape(e) for e in eqs]
+    key = (
+        tuple(_tape_key(t) for t in tapes), tuple(free), tuple(fixed)
+    )
+    solver = _SOLVE_CACHE.get(key)
+    if solver is None:
+        if len(_SOLVE_CACHE) >= _SOLVE_CACHE_MAX:
+            _SOLVE_CACHE.pop(next(iter(_SOLVE_CACHE)))
+        solver = Solver(tapes, free, fixed)
+        _SOLVE_CACHE[key] = solver
+    return solver.solve(vars, max_iters=max_iters)
 
 
 def _lm_loop(res_f, jac_f, cur, idx, max_iters):

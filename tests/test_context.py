@@ -150,3 +150,29 @@ def test_dot_export():
     f = ctx.min(ctx.x(), ctx.y())
     dot = ctx.dot([f])
     assert "digraph" in dot and "goldenrod" in dot
+
+
+def test_deep_tree_import_is_iterative():
+    # a 100k-deep chain would overflow Python recursion if import_tree
+    # recursed; the iterative walk must handle it in O(depth)
+    t = Tree.x()
+    for i in range(100_000):
+        t = t + float(i % 7)
+    ctx = Context()
+    root = ctx.import_tree(t)
+    assert isinstance(root, int)
+
+
+def test_deep_remap_chain_import():
+    t = (Tree.x() + Tree.y()).min(Tree.z())
+    for _ in range(2_000):
+        t = t.remap_xyz(Tree.y(), Tree.z(), Tree.x())
+    ctx = Context()
+    root = ctx.import_tree(t)
+    # 3 remaps = identity; 2000 % 3 == 2 -> x<-z, y<-x, z<-y twice
+    direct = ctx.import_tree(
+        (Tree.x() + Tree.y()).min(Tree.z()).remap_xyz(
+            Tree.y(), Tree.z(), Tree.x()
+        ).remap_xyz(Tree.y(), Tree.z(), Tree.x())
+    )
+    assert root == direct

@@ -71,3 +71,21 @@ def test_reusable_solver_no_retrace():
             }
         )
         assert sol[px] == pytest.approx(expect_x, abs=1e-3)
+
+
+def test_solve_caches_solver_per_equation_set():
+    from fidget_tpu import solver as solver_mod
+
+    px = Var.new()
+    x = Tree.var(px)
+    eq = (x - 2.0).square() - 1.0
+    solver_mod._SOLVE_CACHE.clear()
+    s1 = solve([eq], {px: Parameter.Free(0.0)})
+    assert len(solver_mod._SOLVE_CACHE) == 1
+    cached = next(iter(solver_mod._SOLVE_CACHE.values()))
+    s2 = solve([eq], {px: Parameter.Free(5.0)})
+    # same structural equations -> same cached Solver instance
+    assert next(iter(solver_mod._SOLVE_CACHE.values())) is cached
+    assert len(solver_mod._SOLVE_CACHE) == 1
+    assert s1[px] == pytest.approx(1.0, abs=1e-3)
+    assert s2[px] == pytest.approx(3.0, abs=1e-3)
