@@ -94,7 +94,9 @@ def time_stage(r, stop_after, n=5):
 def sweep():
     N = 512
     tape = gyroid_sphere_tape()
-    for ts_, sub in ((64, 16), (64, 32), (32, 16), (32, 8), (128, 32)):
+    # NOTE: (32, 16) at 512^3 is excluded — it crashes the TPU worker
+    # (XLA program-level fault, see README Known issues)
+    for ts_, sub in ((64, 16), (64, 32)):
         r = VoxelRenderer(tape, VoxelSize(N, N, N), tile_size=ts_, sub_size=sub)
         r.render(mode="heightmap")  # warms + settles cap retries
         vec = jnp.zeros(r.n_inputs, jnp.float32)

@@ -156,6 +156,99 @@ def interp_float(
 
 
 # ======================================================================
+# float mode fused with a per-column voxel depth reduction
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nf", "n_inputs", "s0", "sub", "interpret")
+)
+def interp_voxel_depth(
+    w1, w2, imm, lengths, vars_, *, nf: int, n_inputs: int, s0: int,
+    sub: int, interpret: bool = False,
+):
+    """Float-evaluates packed tapes over one subtile's voxels and
+    reduces to per-pixel-column local surface depths inside the kernel.
+
+    Lanes are the subtile's voxels in (vz, vy, vx) row-major order
+    (sub**3 == s0*128 exactly). The epilogue computes, per (vy, vx)
+    column, ``max over vz of (dist < 0 ? vz + 1 : 0)`` — the voxel.rs
+    "deepest interior voxel" rule (fidget-raster/src/voxel.rs:443-445)
+    — so the kernel's output is [T, PP, 128] local depths (PP =
+    sub**2/128 column planes, padded to >= 8) instead of a full
+    [T, sub**3] distance volume. Culled tapes (length 0) produce depth
+    0 everywhere: the distance scratch is initialised positive.
+
+    Requires sub**2 % 128 == 0 (sub in {16, 32, 64...}); callers fall
+    back to interp_float + an XLA reduce for smaller subtiles.
+    """
+    T, lcap = w1.shape
+    assert sub * sub % 128 == 0 and sub**3 == s0 * 128
+    pp = (sub * sub) // 128          # planes per z-slice
+    pp_out = max(8, pp)              # padded output planes
+    fm = FloatMode(kernel_namespace(jnp), choice_dtype=jnp.int32)
+
+    def kernel(w1_ref, w2_ref, imm_ref, len_ref, vars_ref, out_ref, regs, dist):
+        n = len_ref[0, 0, 0]
+        dist[...] = jnp.ones((s0, 128), jnp.float32)
+
+        def step(j, _):
+            op, out, a, b, aux = _decode(w1_ref[0, 0, j], w2_ref[0, 0, j])
+            immv = imm_ref[0, 0, j]
+            imm_plane = jnp.full((s0, 128), immv, jnp.float32)
+            va = jnp.where(a == IMM12, imm_plane, regs[jnp.minimum(a, nf - 1)])
+            vb = jnp.where(b == IMM12, imm_plane, regs[jnp.minimum(b, nf - 1)])
+            aux_in = jnp.minimum(aux, n_inputs - 1)
+
+            branches = [lambda: va] * _N_OPS
+            branches[TapeOp.INPUT] = lambda: vars_ref[0, aux_in]
+            branches[TapeOp.COPY] = lambda: va
+            for u in _UNARY_OPS:
+                branches[u] = (lambda u=u: fm.unary(u, va))
+            for bop in _PLAIN_BINARY_OPS:
+                branches[bop] = (lambda bop=bop: fm.binary(bop, va, vb))
+            for cop in _CHOICE_OPS:
+                branches[cop] = (lambda cop=cop: fm.choice_binary(cop, va, vb)[0])
+            res = lax.switch(op, branches)
+
+            @pl.when(op == TapeOp.OUTPUT)
+            def _():
+                dist[...] = va
+
+            regs[out] = res
+            return 0
+
+        lax.fori_loop(0, jnp.minimum(n, lcap), step, 0)
+
+        # depth-reduce epilogue: planes [vz*pp + q] hold z-slice vz
+        acc = jnp.zeros((pp, 128), jnp.int32)
+        for vz in range(sub):
+            block = dist[vz * pp:(vz + 1) * pp, :]
+            acc = jnp.maximum(
+                acc, jnp.where(block < 0.0, jnp.int32(vz + 1), 0)
+            )
+        if pp == pp_out:
+            out_ref[0] = acc
+        else:
+            out_ref[0] = jnp.concatenate(
+                [acc, jnp.zeros((pp_out - pp, 128), jnp.int32)], axis=0
+            )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=_tape_specs(lcap)
+        + [pl.BlockSpec((1, n_inputs, s0, 128), lambda i: (i, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, pp_out, 128), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, pp_out, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((nf, s0, 128), jnp.float32),
+            pltpu.VMEM((s0, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*_prep_tape_args(w1, w2, imm, lengths), vars_)
+
+
+# ======================================================================
 # float mode over a shared tape with per-tile action codes
 
 

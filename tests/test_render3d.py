@@ -184,3 +184,20 @@ def test_perspective_camera_matches_brute():
     brute = r.render_brute(mat)
     np.testing.assert_array_equal(img.depth, brute.depth)
     assert img.depth.max() > 0
+
+
+def test_fused_voxel_depth_configs():
+    # the interp_voxel_depth kernel path (sub^2 % 128 == 0) must agree
+    # exactly with brute force for every tile geometry, including the
+    # nl=2 config that miscompiled via the unfused XLA reduce on TPU
+    tape = gyroid_sphere_tape()
+    brute = None
+    for ts, sub in ((64, 16), (32, 16), (64, 32)):
+        r = VoxelRenderer(
+            tape, VoxelSize(64, 64, 64), tile_size=ts, sub_size=sub,
+            interpret=True,
+        )
+        if brute is None:
+            brute = r.render_brute()
+        img = r.render(mode="heightmap")
+        np.testing.assert_array_equal(img.depth, brute.depth)
