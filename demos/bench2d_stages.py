@@ -3,6 +3,12 @@
 Times jitted programs that stop after each stage, K frames per
 dispatch inside a fori_loop (bench.py methodology), so the ~28 ms
 tunnel dispatch latency amortizes away.
+
+CAVEAT: this replica re-derives the stages and measured ~4x slower at
+the leaf stage than the production bucketed path (bench.py 185 Mpix/s
+= ~5.4 ms/frame); per pipeline_stats the production leaf pass runs
+230 tiles x 872 mean simplified steps at ~15 ns/step. Trust bench.py
+for absolute numbers; use this only for relative stage shares.
 """
 
 import os

@@ -9,10 +9,21 @@ broadcast across instances.
 This is the TPU analog of the reference's `BulkEvaluator` trait
 (fidget-core/src/eval/bulk.rs:23-58) — evaluation is always batched;
 there is no scalar path.
+
+Dispatch discipline: input planes are assembled in **NumPy** (free on
+the host) and each eval is ONE jitted device call + one transfer.
+Building planes with eager `jnp` ops costs one device round trip per
+op (~30 ms each over a dev tunnel), which dominated the meshing
+pipeline before this layout. The `signs=` / `classify=` flags further
+shrink the downlink to one bool per lane for consumers that only need
+occupancy (the octree build, edge search, and collapse loops).
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +51,80 @@ def _lane_block(nf: int, planes: int) -> int:
     return int(max(8, min(256, s0)))
 
 
+def _bcast_in(w1, w2, imm, lengths, used, T):
+    """Tape broadcast over T instances inside jit; instances whose lane
+    block lies entirely in the power-of-two padding get zero lengths."""
+    lens = jnp.broadcast_to(lengths, (T,))
+    lens = jnp.where(jnp.arange(T) < used, lens, 0)
+    return (
+        jnp.broadcast_to(w1, (T,) + w1.shape[1:]),
+        jnp.broadcast_to(w2, (T,) + w2.shape[1:]),
+        jnp.broadcast_to(imm, (T,) + imm.shape[1:]),
+        lens,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "nf", "n_inputs", "n_outputs", "s0", "signs",
+                     "interpret"),
+)
+def _float_core(
+    w1, w2, imm, lengths, vars_, used, *, T, nf, n_inputs, n_outputs, s0,
+    signs, interpret,
+):
+    w1b, w2b, immb, lens = _bcast_in(w1, w2, imm, lengths, used, T)
+    out = interp_float(
+        w1b, w2b, immb, lens, vars_,
+        nf=nf, n_inputs=n_inputs, n_outputs=n_outputs, s0=s0,
+        interpret=interpret,
+    )  # [T, O, s0, 128]
+    out = jnp.moveaxis(out, 1, 0)
+    return (out < 0.0) if signs else out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "nf", "n_inputs", "n_outputs", "s0", "c_words",
+                     "classify", "capture", "interpret"),
+)
+def _interval_core(
+    w1, w2, imm, lengths, lo_p, hi_p, used, *, T, nf, n_inputs, n_outputs,
+    s0, c_words, classify, capture, interpret,
+):
+    w1b, w2b, immb, lens = _bcast_in(w1, w2, imm, lengths, used, T)
+    olo, ohi, choices = interp_interval(
+        w1b, w2b, immb, lens, lo_p, hi_p,
+        nf=nf, n_inputs=n_inputs, n_outputs=n_outputs, s0=s0,
+        c_words=c_words, interpret=interpret,
+    )
+    olo = jnp.moveaxis(olo, 1, 0)
+    ohi = jnp.moveaxis(ohi, 1, 0)
+    if classify:
+        # neither proven empty nor proven full
+        res = ~((olo > 0.0) | (ohi < 0.0))
+    else:
+        res = (olo, ohi)
+    return (res, choices) if capture else res
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "nf", "n_inputs", "n_outputs", "s0", "interpret"),
+)
+def _grad_core(
+    w1, w2, imm, lengths, vars_, used, *, T, nf, n_inputs, n_outputs, s0,
+    interpret,
+):
+    w1b, w2b, immb, lens = _bcast_in(w1, w2, imm, lengths, used, T)
+    g = interp_grad(
+        w1b, w2b, immb, lens, vars_,
+        nf=nf, n_inputs=n_inputs, n_outputs=n_outputs, s0=s0,
+        interpret=interpret,
+    )  # [T, O, 4, s0, 128]
+    return jnp.moveaxis(g, (1, 2), (0, 1))  # [O, 4, T, s0, 128]
+
+
 class BulkEvaluator:
     """Compiled bulk evaluator for one tape (all three value modes)."""
 
@@ -56,14 +141,15 @@ class BulkEvaluator:
 
     # ------------------------------------------------------------------
 
-    def _planes(self, arrays, s0, planes_per_var=None):
-        """arrays: dict input_index -> [N] (or [P, N] for dual planes).
-        Returns ([T, V, (P,) s0, 128], T, N).
+    def _planes_np(self, arrays, s0, planes_per_var=None):
+        """arrays: dict input_index -> np [N] (or [P, N] dual planes).
+        Returns (np [T, V, (P,) s0, 128] f32, T, used, N).
 
         The instance count T is rounded up to a power of two: callers
         (octree levels, edge-search rounds) arrive with data-dependent
         sizes, and bucketing makes the jit cache hit across them at the
-        cost of <2x padded lanes (zero-length work per padded block)."""
+        cost of <2x padded lanes. Assembly is pure NumPy — zero device
+        dispatches."""
         n = None
         for a in arrays.values():
             n = a.shape[-1]
@@ -71,101 +157,110 @@ class BulkEvaluator:
         lanes = _ceil_to(max(1, n), s0 * 128)
         T = lanes // (s0 * 128)
         T = 1 << (T - 1).bit_length()
+        used = -(-max(1, n) // (s0 * 128))
         lanes = T * s0 * 128
         V = self.n_inputs
         P = planes_per_var
         shape = (T, V, s0, 128) if P is None else (T, V, P, s0, 128)
-        out = jnp.zeros(shape, jnp.float32)
+        out = np.zeros(shape, np.float32)
         for idx, a in arrays.items():
-            a = jnp.asarray(a, jnp.float32)
+            a = np.asarray(a, np.float32)
             if P is None:
-                a = jnp.pad(a, (0, lanes - n)).reshape(T, s0, 128)
-                out = out.at[:, idx].set(a)
+                a = np.pad(a, (0, lanes - n)).reshape(T, s0, 128)
+                out[:, idx] = a
             else:
-                a = jnp.pad(a, ((0, 0), (0, lanes - n))).reshape(P, T, s0, 128)
-                out = out.at[:, idx].set(jnp.moveaxis(a, 0, 1))
-        return out, T, n
+                a = np.pad(a, ((0, 0), (0, lanes - n))).reshape(
+                    P, T, s0, 128
+                )
+                out[:, idx] = np.moveaxis(a, 0, 1)
+        return out, T, used, n
 
     def _inputs_flat(self, x, y, z, var_vec):
-        x = jnp.asarray(x, jnp.float32).reshape(-1)
+        x = np.asarray(x, np.float32).reshape(-1)
         arrays = {}
         for kind, arr in (("x", x), ("y", y), ("z", z)):
             idx = self.axis_of.get(kind)
             if idx is not None:
-                arrays[idx] = jnp.asarray(arr, jnp.float32).reshape(-1)
+                arrays[idx] = np.asarray(arr, np.float32).reshape(-1)
         if var_vec is not None:
             for i, v in enumerate(np.asarray(var_vec, np.float32)):
                 if i not in arrays:
-                    arrays[i] = jnp.broadcast_to(
-                        jnp.float32(v), x.shape
+                    arrays[i] = np.broadcast_to(
+                        np.float32(v), x.shape
                     ).reshape(-1)
         for i in range(self.n_inputs):
-            arrays.setdefault(i, jnp.zeros_like(x))
+            arrays.setdefault(i, np.zeros_like(x))
         return arrays
 
-    def _bcast_tape(self, T, s0=None, n=None):
-        """Tape broadcast over T instances; instances whose lane block
-        lies entirely in the power-of-two padding get zero lengths so
-        they cost nothing."""
+    def _tape_args(self):
         p = self.packed
-        lens = jnp.broadcast_to(p.lengths, (T,))
-        if s0 is not None and n is not None:
-            used = -(-max(1, n) // (s0 * 128))
-            lens = jnp.where(jnp.arange(T) < used, lens, 0)
         return (
-            jnp.broadcast_to(p.w1, (T,) + p.w1.shape[1:]),
-            jnp.broadcast_to(p.w2, (T,) + p.w2.shape[1:]),
-            jnp.broadcast_to(p.imm, (T,) + p.imm.shape[1:]),
-            lens,
+            jnp.asarray(p.w1), jnp.asarray(p.w2), jnp.asarray(p.imm),
+            jnp.asarray(p.lengths),
         )
 
     # ------------------------------------------------------------------
 
-    def eval(self, x, y, z, var_vec=None):
-        """Point mode over flat arrays -> [n_outputs, N] f32."""
+    def eval(self, x, y, z, var_vec=None, *, signs: bool = False):
+        """Point mode over flat arrays -> np [n_outputs, N] f32.
+
+        signs=True returns np bool occupancy (value < 0) instead —
+        one device dispatch, one bool-per-lane transfer."""
         s0 = _lane_block(self.nf, 1)
         arrays = self._inputs_flat(x, y, z, var_vec)
-        vars_, T, n = self._planes(arrays, s0)
-        w1, w2, imm, lens = self._bcast_tape(T, s0, n)
-        out = interp_float(
-            w1, w2, imm, lens, vars_,
-            nf=self.nf, n_inputs=self.n_inputs, n_outputs=self.n_outputs,
-            s0=s0, interpret=self.interpret,
-        )  # [T, O, s0, 128]
-        out = jnp.moveaxis(out, 1, 0).reshape(self.n_outputs, -1)[:, :n]
-        return out
+        vars_np, T, used, n = self._planes_np(arrays, s0)
+        out = _float_core(
+            *self._tape_args(), jnp.asarray(vars_np), jnp.int32(used),
+            T=T, nf=self.nf, n_inputs=self.n_inputs,
+            n_outputs=self.n_outputs, s0=s0, signs=signs,
+            interpret=self.interpret,
+        )
+        return np.asarray(out).reshape(self.n_outputs, -1)[:, :n]
 
-    def eval_interval(self, xi, yi, zi, var_vec=None, *, capture=False):
+    def eval_interval(
+        self, xi, yi, zi, var_vec=None, *, capture=False, classify=False,
+    ):
         """Interval mode over flat (lo, hi) arrays.
 
-        Returns (lo, hi) [O, N] — plus packed per-lane choice words
-        [B, CW, s0, 128] and lane geometry (s0, n) when capture=True,
-        ready for DeviceSimplifier.simplify_packed."""
+        Returns (lo, hi) np [O, N] — or np bool [O, N] "active" (not
+        provably empty/full) when classify=True. capture=True appends
+        packed per-lane choice words [B, CW, s0, 128] (device array)
+        and lane geometry (s0, n), ready for
+        DeviceSimplifier.simplify_packed."""
         s0 = _lane_block(self.nf, 2)
         los = self._inputs_flat(xi[0], yi[0], zi[0], var_vec)
         his = self._inputs_flat(xi[1], yi[1], zi[1], var_vec)
-        lo_p, T, n = self._planes(los, s0)
-        hi_p, _, _ = self._planes(his, s0)
-        w1, w2, imm, lens = self._bcast_tape(T, s0, n)
-        olo, ohi, choices = interp_interval(
-            w1, w2, imm, lens, lo_p, hi_p,
-            nf=self.nf, n_inputs=self.n_inputs, n_outputs=self.n_outputs,
-            s0=s0, c_words=self.c_words, interpret=self.interpret,
+        lo_np, T, used, n = self._planes_np(los, s0)
+        hi_np, _, _, _ = self._planes_np(his, s0)
+        res = _interval_core(
+            *self._tape_args(), jnp.asarray(lo_np), jnp.asarray(hi_np),
+            jnp.int32(used),
+            T=T, nf=self.nf, n_inputs=self.n_inputs,
+            n_outputs=self.n_outputs, s0=s0, c_words=self.c_words,
+            classify=classify, capture=capture, interpret=self.interpret,
         )
-        olo = jnp.moveaxis(olo, 1, 0).reshape(self.n_outputs, -1)[:, :n]
-        ohi = jnp.moveaxis(ohi, 1, 0).reshape(self.n_outputs, -1)[:, :n]
         if capture:
-            return (olo, ohi), choices, (s0, n)
-        return olo, ohi
+            res, choices = res
+        if classify:
+            out = np.asarray(res).reshape(self.n_outputs, -1)[:, :n]
+        else:
+            olo, ohi = res
+            out = (
+                np.asarray(olo).reshape(self.n_outputs, -1)[:, :n],
+                np.asarray(ohi).reshape(self.n_outputs, -1)[:, :n],
+            )
+        if capture:
+            return out, choices, (s0, n)
+        return out
 
     def eval_grad(self, x, y, z, var_vec=None):
-        """Forward duals seeded on the spatial axes -> [O, 4, N]."""
+        """Forward duals seeded on the spatial axes -> np [O, 4, N]."""
         s0 = _lane_block(self.nf, 4)
-        x = jnp.asarray(x, jnp.float32).reshape(-1)
-        y = jnp.asarray(y, jnp.float32).reshape(-1)
-        z = jnp.asarray(z, jnp.float32).reshape(-1)
-        zero = jnp.zeros_like(x)
-        one = jnp.ones_like(x)
+        x = np.asarray(x, np.float32).reshape(-1)
+        y = np.asarray(y, np.float32).reshape(-1)
+        z = np.asarray(z, np.float32).reshape(-1)
+        zero = np.zeros_like(x)
+        one = np.ones_like(x)
         arrays = {}
         seeds = {"x": (one, zero, zero), "y": (zero, one, zero),
                  "z": (zero, zero, one)}
@@ -173,23 +268,21 @@ class BulkEvaluator:
         for kind in ("x", "y", "z"):
             idx = self.axis_of.get(kind)
             if idx is not None:
-                arrays[idx] = jnp.stack((vals[kind],) + seeds[kind])
+                arrays[idx] = np.stack((vals[kind],) + seeds[kind])
         if var_vec is not None:
             for i, v in enumerate(np.asarray(var_vec, np.float32)):
                 if i not in arrays:
-                    arrays[i] = jnp.stack(
-                        (jnp.broadcast_to(jnp.float32(v), x.shape),
+                    arrays[i] = np.stack(
+                        (np.broadcast_to(np.float32(v), x.shape),
                          zero, zero, zero)
                     )
         for i in range(self.n_inputs):
             if i not in arrays:
-                arrays[i] = jnp.stack((zero, zero, zero, zero))
-        vars_, T, n = self._planes(arrays, s0, planes_per_var=4)
-        w1, w2, imm, lens = self._bcast_tape(T, s0, n)
-        g = interp_grad(
-            w1, w2, imm, lens, vars_,
-            nf=self.nf, n_inputs=self.n_inputs, n_outputs=self.n_outputs,
-            s0=s0, interpret=self.interpret,
-        )  # [T, O, 4, s0, 128]
-        g = jnp.moveaxis(g, (1, 2), (0, 1)).reshape(self.n_outputs, 4, -1)
-        return g[:, :, :n]
+                arrays[i] = np.stack((zero, zero, zero, zero))
+        vars_np, T, used, n = self._planes_np(arrays, s0, planes_per_var=4)
+        g = _grad_core(
+            *self._tape_args(), jnp.asarray(vars_np), jnp.int32(used),
+            T=T, nf=self.nf, n_inputs=self.n_inputs,
+            n_outputs=self.n_outputs, s0=s0, interpret=self.interpret,
+        )
+        return np.asarray(g).reshape(self.n_outputs, 4, -1)[:, :, :n]

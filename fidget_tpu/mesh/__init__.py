@@ -31,13 +31,17 @@ manifoldly by construction.
 
 from __future__ import annotations
 
+import functools
 import struct
 from dataclasses import dataclass, field
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..compiler.tape import Tape
-from ..eval.bulk import BulkEvaluator
+from ..eval.bulk import BulkEvaluator, _lane_block
+from ..eval.pallas_interp import interp_float
 from ..shape import Shape, ShapeVars
 from .tables import (
     CELL_TO_EDGE_TO_VERT,
@@ -149,6 +153,293 @@ def _xform(m, pts):
     return pts.astype(np.float32) @ m[:3, :3].T + m[:3, 3]
 
 
+def _bucket(n_lanes: int, s0: int):
+    """(T, used) power-of-two instance bucket covering n_lanes."""
+    used = -(-max(1, n_lanes) // (s0 * 128))
+    T = 1 << (used - 1).bit_length()
+    return T, used
+
+
+def _vvec(ev, var_vec):
+    v = np.zeros(ev.n_inputs, np.float32)
+    v[: len(var_vec)] = var_vec
+    return v
+
+
+def _axis_idx(ev):
+    return tuple(
+        -1 if ev.axis_of.get(k) is None else ev.axis_of[k]
+        for k in ("x", "y", "z")
+    )
+
+
+def _tape_args(ev):
+    p = ev.packed
+    return (
+        jnp.asarray(p.w1), jnp.asarray(p.w2), jnp.asarray(p.imm),
+        jnp.asarray(p.lengths),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "s0", "nf", "V", "axis_idx", "c_words", "interpret"),
+)
+def _classify_cells_core(
+    w1, w2, imm, lengths, cells, hsize, pos, neg, off, var_vec, used, *,
+    T, s0, nf, V, axis_idx, c_words, interpret,
+):
+    """Interval-classifies octree cells fully device-side.
+
+    cells: [Npad, 3] i32 lattice coords at the current depth (Npad ==
+    T*s0*128); hsize: cell edge in world units. The cell box maps
+    through the affine transform with the positive/negative coefficient
+    split (exact box bounds), then one interval launch classifies every
+    cell. Only 12 B/cell go up and 1 B/cell comes back.
+    """
+    from ..eval.pallas_interp import interp_interval
+
+    wlo = cells.astype(jnp.float32) * hsize - 1.0
+    whi = wlo + hsize
+    mlo = wlo @ pos.T + whi @ neg.T + off
+    mhi = whi @ pos.T + wlo @ neg.T + off
+    lens = jnp.broadcast_to(lengths, (T,))
+    lens = jnp.where(jnp.arange(T) < used, lens, 0)
+    w1b = jnp.broadcast_to(w1, (T,) + w1.shape[1:])
+    w2b = jnp.broadcast_to(w2, (T,) + w2.shape[1:])
+    immb = jnp.broadcast_to(imm, (T,) + imm.shape[1:])
+    var_lo = jnp.broadcast_to(
+        var_vec[None, :, None, None], (T, V, s0, 128)
+    ).astype(jnp.float32)
+    var_hi = var_lo
+    for k in range(3):
+        if axis_idx[k] >= 0:
+            var_lo = var_lo.at[:, axis_idx[k]].set(
+                mlo[:, k].reshape(T, s0, 128)
+            )
+            var_hi = var_hi.at[:, axis_idx[k]].set(
+                mhi[:, k].reshape(T, s0, 128)
+            )
+    olo, ohi, _ = interp_interval(
+        w1b, w2b, immb, lens, var_lo, var_hi,
+        nf=nf, n_inputs=V, n_outputs=1, s0=s0, c_words=c_words,
+        interpret=interpret,
+    )
+    lo = olo[:, 0].reshape(-1)
+    hi = ohi[:, 0].reshape(-1)
+    return ~((lo > 0.0) | (hi < 0.0))
+
+
+def _classify_cells(ev, cells, h, m, var_vec):
+    """np [N] bool: cells (lattice coords, edge h) not provably
+    empty/full under world->model transform m."""
+    N = len(cells)
+    s0 = _lane_block(ev.nf, 2)
+    T, used = _bucket(N, s0)
+    Npad = T * s0 * 128
+    cpad = np.zeros((Npad, 3), np.int32)
+    cpad[:N] = cells
+    A = m[:3, :3].astype(np.float32)
+    act = _classify_cells_core(
+        *_tape_args(ev),
+        jnp.asarray(cpad), jnp.float32(h),
+        jnp.asarray(np.maximum(A, 0.0)), jnp.asarray(np.minimum(A, 0.0)),
+        jnp.asarray(m[:3, 3].astype(np.float32)),
+        jnp.asarray(_vvec(ev, var_vec)), jnp.int32(used),
+        T=T, s0=s0, nf=ev.nf, V=ev.n_inputs, axis_idx=_axis_idx(ev),
+        c_words=ev.c_words, interpret=ev.interpret,
+    )
+    return np.asarray(act)[:N]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "s0", "nf", "V", "axis_idx", "interpret"),
+)
+def _corner_signs_core(
+    w1, w2, imm, lengths, keys, stride, hsize, mat, var_vec, used, *,
+    T, s0, nf, V, axis_idx, interpret,
+):
+    """Point signs at lattice corners decoded from int32 keys on
+    device: key = (x*(G+1) + y)*(G+1) + z. Upload 4 B/corner, download
+    1 B/corner."""
+    kx = keys // (stride * stride)
+    ky = (keys // stride) % stride
+    kz = keys % stride
+    pts = jnp.stack([kx, ky, kz], axis=-1).astype(jnp.float32) * hsize - 1.0
+    mp = pts @ mat[:, :3].T + mat[:, 3]
+    lens = jnp.broadcast_to(lengths, (T,))
+    lens = jnp.where(jnp.arange(T) < used, lens, 0)
+    w1b = jnp.broadcast_to(w1, (T,) + w1.shape[1:])
+    w2b = jnp.broadcast_to(w2, (T,) + w2.shape[1:])
+    immb = jnp.broadcast_to(imm, (T,) + imm.shape[1:])
+    vars_ = jnp.broadcast_to(
+        var_vec[None, :, None, None], (T, V, s0, 128)
+    ).astype(jnp.float32)
+    for k in range(3):
+        if axis_idx[k] >= 0:
+            vars_ = vars_.at[:, axis_idx[k]].set(
+                mp[:, k].reshape(T, s0, 128)
+            )
+    out = interp_float(
+        w1b, w2b, immb, lens, vars_,
+        nf=nf, n_inputs=V, n_outputs=1, s0=s0, interpret=interpret,
+    )[:, 0]
+    return (out < 0.0).reshape(-1)
+
+
+def _corner_signs(ev, uniq, G, h, m, var_vec):
+    """np [U] bool inside-signs for unique corner-lattice keys."""
+    U = len(uniq)
+    s0 = _lane_block(ev.nf, 1)
+    T, used = _bucket(U, s0)
+    Upad = T * s0 * 128
+    kpad = np.zeros(Upad, np.int32)
+    kpad[:U] = uniq.astype(np.int32)
+    signs = _corner_signs_core(
+        *_tape_args(ev),
+        jnp.asarray(kpad), jnp.int32(G + 1), jnp.float32(h),
+        jnp.asarray(m[:3, :].astype(np.float32)),
+        jnp.asarray(_vvec(ev, var_vec)), jnp.int32(used),
+        T=T, s0=s0, nf=ev.nf, V=ev.n_inputs, axis_idx=_axis_idx(ev),
+        interpret=ev.interpret,
+    )
+    return np.asarray(signs)[:U]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "s0", "nf", "V", "axis_idx", "interpret"),
+)
+def _offset_signs_core(
+    w1, w2, imm, lengths, base, offsets, scale, hsize, mat, var_vec,
+    used, *, T, s0, nf, V, axis_idx, interpret,
+):
+    """Point signs at base[i] + offsets[j] * scale lattice points,
+    decoded device-side: upload 12 B/base instead of
+    12 B * len(offsets) (the collapse loop's 27-point sign lattice).
+
+    base: [Cpad, 3] i32; offsets: [K, 3] i32 (static table uploaded
+    once per shape); returns [Cpad*K] bool, j-major within each i.
+    """
+    pts = (
+        base[:, None, :] + offsets[None, :, :] * scale
+    ).reshape(-1, 3).astype(jnp.float32) * hsize - 1.0
+    mp = pts @ mat[:, :3].T + mat[:, 3]
+    lanes = T * s0 * 128
+    mp = jnp.pad(mp, ((0, lanes - mp.shape[0]), (0, 0)))
+    lens = jnp.broadcast_to(lengths, (T,))
+    lens = jnp.where(jnp.arange(T) < used, lens, 0)
+    w1b = jnp.broadcast_to(w1, (T,) + w1.shape[1:])
+    w2b = jnp.broadcast_to(w2, (T,) + w2.shape[1:])
+    immb = jnp.broadcast_to(imm, (T,) + imm.shape[1:])
+    vars_ = jnp.broadcast_to(
+        var_vec[None, :, None, None], (T, V, s0, 128)
+    ).astype(jnp.float32)
+    for k in range(3):
+        if axis_idx[k] >= 0:
+            vars_ = vars_.at[:, axis_idx[k]].set(
+                mp[:, k].reshape(T, s0, 128)
+            )
+    out = interp_float(
+        w1b, w2b, immb, lens, vars_,
+        nf=nf, n_inputs=V, n_outputs=1, s0=s0, interpret=interpret,
+    )[:, 0]
+    return (out < 0.0).reshape(-1)[: base.shape[0] * offsets.shape[0]]
+
+
+def offset_signs(ev, base, offsets, scale, h, m, var_vec):
+    """np [C, K] bool inside-signs at base + offsets*scale (lattice
+    units, cell edge h, world->model m). The base list is padded to a
+    power of two so the jit cache stays small across rounds."""
+    C = len(base)
+    K = len(offsets)
+    s0 = _lane_block(ev.nf, 1)
+    Cpad = 1 << max(0, (C - 1).bit_length())
+    T, used = _bucket(Cpad * K, s0)
+    bpad = np.zeros((Cpad, 3), np.int32)
+    bpad[:C] = base
+    signs = _offset_signs_core(
+        *_tape_args(ev),
+        jnp.asarray(bpad), jnp.asarray(np.asarray(offsets, np.int32)),
+        jnp.int32(scale), jnp.float32(h),
+        jnp.asarray(m[:3, :].astype(np.float32)),
+        jnp.asarray(_vvec(ev, var_vec)), jnp.int32(used),
+        T=T, s0=s0, nf=ev.nf, V=ev.n_inputs, axis_idx=_axis_idx(ev),
+        interpret=ev.interpret,
+    )
+    return np.asarray(signs)[: C * K].reshape(C, K)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "T", "s0", "nf", "V", "axis_idx", "rounds", "samples", "interpret"
+    ),
+)
+def _edge_search_core(
+    w1, w2, imm, lengths, p_start, p_end, mat, var_vec, used, *,
+    T, s0, nf, V, axis_idx, rounds, samples, interpret,
+):
+    """Device-resident N-ary edge search (octree.rs:687-767).
+
+    Runs all `rounds` bisection rounds inside one XLA program: per
+    round, `samples` points along each [ta, tb] bracket are float-
+    evaluated and the bracket tightens on the first inside->outside
+    flip. Only the endpoints go up (24 B/edge) and only t* comes back
+    (4 B/edge) — the per-round point uploads / sign downloads of a
+    host-side loop cost ~33x more tunnel traffic.
+
+    p_start/p_end: [Epad, 3] f32 world endpoints (start inside, end
+    outside); mat: [3, 4] affine world->model; Epad * samples ==
+    T * s0 * 128. Returns t* [Epad] f32.
+    """
+    E = p_start.shape[0]
+    frac = (jnp.arange(samples, dtype=jnp.float32) + 1.0) / (samples + 1.0)
+    lens = jnp.broadcast_to(lengths, (T,))
+    lens = jnp.where(jnp.arange(T) < used, lens, 0)
+    w1b = jnp.broadcast_to(w1, (T,) + w1.shape[1:])
+    w2b = jnp.broadcast_to(w2, (T,) + w2.shape[1:])
+    immb = jnp.broadcast_to(imm, (T,) + imm.shape[1:])
+    d = p_end - p_start
+
+    def round_(_, carry):
+        ta, tb = carry
+        ts = ta[:, None] + (tb - ta)[:, None] * frac[None, :]  # [E, S]
+        pts = p_start[:, None, :] + d[:, None, :] * ts[..., None]
+        mp = pts @ mat[:, :3].T + mat[:, 3]  # [E, S, 3] model coords
+        vars_ = jnp.broadcast_to(
+            var_vec[None, :, None, None], (T, V, s0, 128)
+        ).astype(jnp.float32)
+        for k in range(3):
+            if axis_idx[k] >= 0:
+                vars_ = vars_.at[:, axis_idx[k]].set(
+                    mp[..., k].reshape(T, s0, 128)
+                )
+        out = interp_float(
+            w1b, w2b, immb, lens, vars_,
+            nf=nf, n_inputs=V, n_outputs=1, s0=s0, interpret=interpret,
+        )[:, 0]
+        inside = (out < 0.0).reshape(E, samples)
+        outside = ~inside
+        any_out = outside.any(axis=1)
+        F = jnp.argmax(outside, axis=1)
+        tbF = jnp.take_along_axis(ts, F[:, None], 1)[:, 0]
+        tb = jnp.where(any_out, tbF, tb)
+        prev = jnp.maximum(F - 1, 0)
+        taF = jnp.take_along_axis(ts, prev[:, None], 1)[:, 0]
+        ta = jnp.where(
+            any_out & (F > 0), taF,
+            jnp.where(any_out, ta, ts[:, -1]),  # all inside: advance ta
+        )
+        return ta, tb
+
+    ta0 = jnp.zeros(E, jnp.float32)
+    tb0 = jnp.ones(E, jnp.float32)
+    ta, tb = jax.lax.fori_loop(0, rounds, round_, (ta0, tb0))
+    return 0.5 * (ta + tb)
+
+
 def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     """Builds an MDC mesh of the surface inside the world ±1 cube."""
     settings = settings or Settings()
@@ -159,25 +450,12 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     h_leaf = 2.0 / G
 
     # ---- stage 1: level-synchronous interval build ----------------------
+    # cells go up as int32 lattice coords; the exact box transform and
+    # interval classification run device-side (_classify_cells_core)
     cells = np.zeros((1, 3), np.int64)  # lattice coords at current depth
     for d in range(depth):
         h = 2.0 / (1 << d)
-        lo = cells * h - 1.0
-        wlo = lo
-        whi = lo + h
-        # transform the cell box through the affine matrix (exact box
-        # bounds: split positive/negative coefficients)
-        A = m[:3, :3]
-        pos = np.maximum(A, 0.0)
-        neg = np.minimum(A, 0.0)
-        mlo = wlo @ pos.T + whi @ neg.T + m[:3, 3]
-        mhi = whi @ pos.T + wlo @ neg.T + m[:3, 3]
-        olo, ohi = ev.eval_interval(
-            (mlo[:, 0], mhi[:, 0]), (mlo[:, 1], mhi[:, 1]),
-            (mlo[:, 2], mhi[:, 2]), var_vec,
-        )
-        # classify on device: one bool transfer instead of two f32 planes
-        active = np.asarray(~((olo[0] > 0.0) | (ohi[0] < 0.0)))
+        active = _classify_cells(ev, cells, h, m, var_vec)
         cells = cells[active]
         if len(cells) == 0:
             return Mesh()
@@ -190,18 +468,7 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
 
     # final leaf-level cull
     h = h_leaf
-    wlo = cells * h - 1.0
-    whi = wlo + h
-    A = m[:3, :3]
-    pos = np.maximum(A, 0.0)
-    neg = np.minimum(A, 0.0)
-    mlo = wlo @ pos.T + whi @ neg.T + m[:3, 3]
-    mhi = whi @ pos.T + wlo @ neg.T + m[:3, 3]
-    olo, ohi = ev.eval_interval(
-        (mlo[:, 0], mhi[:, 0]), (mlo[:, 1], mhi[:, 1]),
-        (mlo[:, 2], mhi[:, 2]), var_vec,
-    )
-    active = np.asarray(~((olo[0] > 0.0) | (ohi[0] < 0.0)))
+    active = _classify_cells(ev, cells, h, m, var_vec)
     cells = cells[active]
     if len(cells) == 0:
         return Mesh()
@@ -217,15 +484,7 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
         corners[..., 0] * (G + 1) + corners[..., 1]
     ) * (G + 1) + corners[..., 2]
     uniq, inv = np.unique(ckeys.reshape(-1), return_inverse=True)
-    upts = np.stack(
-        [uniq // ((G + 1) * (G + 1)), (uniq // (G + 1)) % (G + 1),
-         uniq % (G + 1)], axis=1
-    ).astype(np.float64)
-    upts = upts * h - 1.0
-    mpts = _xform(m, upts)
-    usigns = np.asarray(
-        ev.eval(mpts[:, 0], mpts[:, 1], mpts[:, 2], var_vec)[0] < 0.0
-    )
+    usigns = _corner_signs(ev, uniq, G, h, m, var_vec)
     csigns = usigns[inv].reshape(N, 8)
     mask = (csigns << np.arange(8)[None, :]).sum(axis=1).astype(np.int32)
     surf = (mask != 0) & (mask != 255)
@@ -256,39 +515,33 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     end_c = np.where(lo_in == 1, hi_c, lo_c)
     p_start = (cells[rep_ci] + corner_off[start_c]) * h - 1.0
     p_end = (cells[rep_ci] + corner_off[end_c]) * h - 1.0
-    ta = np.zeros(E)
-    tb = np.ones(E)
-    for _ in range(_EDGE_ROUNDS):
-        frac = (np.arange(_EDGE_SAMPLES) + 1.0) / (_EDGE_SAMPLES + 1.0)
-        ts = ta[:, None] + (tb - ta)[:, None] * frac[None, :]  # [E, S]
-        pts = (
-            p_start[:, None, :]
-            + (p_end - p_start)[:, None, :] * ts[..., None]
-        ).reshape(-1, 3)
-        mp = _xform(m, pts)
-        # signs computed on device: one bool transfer per round
-        inside = np.asarray(
-            ev.eval(mp[:, 0], mp[:, 1], mp[:, 2], var_vec)[0] < 0.0
-        ).reshape(E, _EDGE_SAMPLES)
-        # bracket on the first inside->outside flip: samples before the
-        # first outside sample are all inside, preserving the invariant
-        # (start inside, end outside) like octree.rs:687-767
-        outside = ~inside
-        any_out = outside.any(axis=1)
-        F = outside.argmax(axis=1)  # first outside sample (valid if any_out)
-        tb = np.where(any_out, np.take_along_axis(ts, F[:, None], 1)[:, 0], tb)
-        prev = np.maximum(F - 1, 0)
-        ta = np.where(
-            any_out & (F > 0),
-            np.take_along_axis(ts, prev[:, None], 1)[:, 0],
-            np.where(any_out, ta, ts[:, -1]),  # all inside: advance ta
+    # all bisection rounds run device-side in one XLA program; the
+    # bracket invariant (start inside, end outside) and the first-flip
+    # rule match octree.rs:687-767 exactly
+    s0e = _lane_block(ev.nf, 1)
+    T, used = _bucket(E * _EDGE_SAMPLES, s0e)
+    Epad = T * s0e * 128 // _EDGE_SAMPLES
+    pad = Epad - E
+
+    def padf(a):
+        return np.pad(a.astype(np.float32), ((0, pad), (0, 0)))
+
+    t_star = np.asarray(
+        _edge_search_core(
+            *_tape_args(ev),
+            jnp.asarray(padf(p_start)), jnp.asarray(padf(p_end)),
+            jnp.asarray(m[:3, :].astype(np.float32)),
+            jnp.asarray(_vvec(ev, var_vec)), jnp.int32(used),
+            T=T, s0=s0e, nf=ev.nf, V=ev.n_inputs, axis_idx=_axis_idx(ev),
+            rounds=_EDGE_ROUNDS, samples=_EDGE_SAMPLES,
+            interpret=ev.interpret,
         )
-    t_star = 0.5 * (ta + tb)
+    )[:E].astype(np.float64)
     ipts = p_start + (p_end - p_start) * t_star[:, None]  # world coords [E,3]
 
     # ---- stage 4: gradients + per-vertex QEF ------------------------------
     mip = _xform(m, ipts)
-    g = np.asarray(ev.eval_grad(mip[:, 0], mip[:, 1], mip[:, 2], var_vec))[0]
+    g = ev.eval_grad(mip[:, 0], mip[:, 1], mip[:, 2], var_vec)[0]
     grads_model = g[1:4].T  # [E, 3]
     grads = grads_model @ m[:3, :3]  # chain rule: d/d(world) = J^T g
     bad = ~np.isfinite(grads).all(axis=1)

@@ -124,7 +124,7 @@ def collapse_and_walk(
     oci/oei enumerate every fine crossing edge once from its canonical
     owner cell. Returns (vertices [V,3] f32, triangles [T,3] i64).
     """
-    from . import _xform
+    from . import offset_signs
 
     N = len(cells)
     # live cell state: coords in fine-lattice units, size (fine units),
@@ -201,13 +201,11 @@ def collapse_and_walk(
         pbase[:, 1] = (uk[cand] // (G // ps)) % (G // ps)
         pbase[:, 2] = uk[cand] % (G // ps)
         pbase *= ps
-        pts = (
-            pbase[:, None, :] + _LATTICE[None, :, :] * (ps // 2)
-        ).reshape(-1, 3).astype(np.float64) * h - 1.0
-        mp = _xform(m, pts)
-        inside = np.asarray(
-            ev.eval(mp[:, 0], mp[:, 1], mp[:, 2], var_vec)[0] < 0.0
-        ).reshape(len(cand), 27)
+        # 27-point lattice decoded device-side: 12 B/candidate up,
+        # 27 B down (mesh/__init__.py offset_signs)
+        inside = offset_signs(
+            ev, pbase, _LATTICE, ps // 2, h, m, var_vec
+        )
 
         corner = inside[:, _CORNER_LAT]  # [C, 8]
         pmask = (corner << np.arange(8)[None, :]).sum(axis=1)
