@@ -87,6 +87,7 @@ def _ceil_to(x: int, m: int) -> int:
 def _frame_single_fn(
     T0: int, n0x: int, n0y: int, Lcap: int, nf: int, V: int,
     c_words: int, pixel_perfect: bool, interpret: bool,
+    stop_after: str | None = None, leaf_coded: bool = False,
 ):
     """Builds (and caches) one jitted single-level 2D frame function
     per shape bucket. The tape is a *traced operand* — every shape
@@ -161,6 +162,8 @@ def _frame_single_fn(
         root_active = ~(root_in | root_out)
         if pixel_perfect:
             root_active = jnp.ones_like(root_active)
+        if stop_after == "root":
+            return rlo, choices0
 
         # ---- stage 2: per-tile simplification (tape-as-data) --------
         perlane = _liveness_codes(
@@ -174,14 +177,19 @@ def _frame_single_fn(
         per_tile = jnp.moveaxis(
             perlane.reshape(B, lw, s0r * 128), 1, 2
         ).reshape(B * s0r * 128, lw)[:n0]
-        codes_u8 = DeviceSimplifier.unpack_codes(per_tile, Lcap)
-        w1p = jnp.broadcast_to(w1.astype(jnp.int32), (n0, Lcap))
-        w2p = jnp.broadcast_to(w2.astype(jnp.int32), (n0, Lcap))
-        immp = jnp.broadcast_to(imm, (n0, Lcap))
-        w1c, w2c, immc, lensc, _ = DynamicSimplifier.reconstruct(
-            w1p, w2p, immp, codes_u8
-        )
-        lensc = jnp.where(root_active, lensc, 0)
+        if stop_after == "codes":
+            return per_tile, root_active
+        if not leaf_coded:
+            codes_u8 = DeviceSimplifier.unpack_codes(per_tile, Lcap)
+            w1p = jnp.broadcast_to(w1.astype(jnp.int32), (n0, Lcap))
+            w2p = jnp.broadcast_to(w2.astype(jnp.int32), (n0, Lcap))
+            immp = jnp.broadcast_to(imm, (n0, Lcap))
+            w1c, w2c, immc, lensc, _ = DynamicSimplifier.reconstruct(
+                w1p, w2p, immp, codes_u8
+            )
+            lensc = jnp.where(root_active, lensc, 0)
+            if stop_after == "simplify":
+                return lensc, w1c
 
         # ---- stage 3: leaf pass --------------------------------------
         ii = jnp.arange(T0, dtype=jnp.float32)
@@ -197,10 +205,25 @@ def _frame_single_fn(
             (vars_,) = set_axis(
                 (vars_,), k, jnp.broadcast_to(plane, (n0, s0l, 128))
             )
-        dist = interp_float(
-            w1c, w2c, immc, lensc, vars_,
-            nf=nf, n_inputs=V, n_outputs=1, s0=s0l, interpret=interpret,
-        )[:, 0]
+        if leaf_coded:
+            # skip tape materialization: the leaf walks the shared
+            # parent tape with per-tile 2-bit action codes
+            from ..eval.pallas_interp import interp_float_coded
+
+            lens_t = jnp.where(
+                root_active, jnp.broadcast_to(lens, (n0,)), 0
+            )
+            dist = interp_float_coded(
+                w1.reshape(1, Lcap), w2.reshape(1, Lcap),
+                imm.reshape(1, Lcap), lens_t, per_tile, vars_,
+                nf=nf, n_inputs=V, n_outputs=1, s0=s0l,
+                interpret=interpret,
+            )[:, 0]
+        else:
+            dist = interp_float(
+                w1c, w2c, immc, lensc, vars_,
+                nf=nf, n_inputs=V, n_outputs=1, s0=s0l, interpret=interpret,
+            )[:, 0]
 
         # ---- stage 4: assemble --------------------------------------
         dist = dist.reshape(n0y, n0x, 1, 1, T0, T0)
