@@ -36,7 +36,7 @@ def main() -> None:
 
     N = 1024
     tape = load_vm_tape("prospero.vm")
-    r = PixelRenderer(tape, ImageSize(N, N), tile_size=64)
+    r = PixelRenderer(tape, ImageSize(N, N), tile_size=128)
 
     # sanity: tiled pipeline must agree with dense brute force
     img = r.render()
@@ -68,8 +68,27 @@ def main() -> None:
         return lax.fori_loop(0, K, body, 0.0)
 
     f = jax.jit(many)
-    mat = jnp.asarray(np.eye(4, dtype=np.float32))
+    # the REAL composed screen->model transform (an identity here would
+    # feed raw pixel coordinates to the shape, prove every tile empty,
+    # and "render" blank frames at fantasy speed)
+    mat = jnp.asarray(r._mat4(None))
     z = jnp.float32(0.0)
+    # guard: the exact (function, matrix) pair being timed must produce
+    # the same occupancy as brute force — a wrong transform here once
+    # made the interval pass cull everything and "render" blank frames
+    vec0 = jnp.zeros(r.n_inputs, jnp.float32)
+    dist0, fill0 = r._frame_impl(mat, z, vec0, pixel_perfect=False)
+    dist0, fill0 = np.asarray(dist0), np.asarray(fill0)
+    inside0 = np.where(fill0 == 0, dist0 < 0, fill0 == 1)
+    if abs(inside0.mean() - (brute < 0).mean()) > 1e-4:
+        print(json.dumps({
+            "metric": "FAILED timed-path occupancy guard",
+            "value": float(inside0.mean()),
+            "unit": "fraction",
+            "vs_baseline": 0.0,
+        }))
+        sys.exit(1)
+
     _ = float(f(mat, z))  # compile + warm
     best = float("inf")
     for _ in range(3):

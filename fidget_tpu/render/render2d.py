@@ -24,8 +24,12 @@ batched levels — the execution model of the wgpu pipeline
 5. **Assembly** — distances and fills combine through dense reshapes.
 
 Everything from (1) to (5) is traced into a single XLA computation, so
-a frame is one device dispatch. Default tile sizes (128, 32) follow
-the reference's JIT 2D hints (fidget-jit/src/lib.rs:967-971).
+a frame is one device dispatch. The default is a single 128-px tile
+level (measured fastest on TPU v5e; the reference's two-level JIT
+hints (128, 32) (fidget-jit/src/lib.rs:967-971) optimize a per-op CPU
+cost model, while the Pallas interpreter's cost is per (instance,
+step) — larger single-level tiles amortize it and device-side
+per-tile simplification replaces the recursion).
 """
 
 from __future__ import annotations
@@ -275,7 +279,12 @@ class PixelRenderer:
         if tile_size is not None:
             tile_sizes = (tile_size,)
         if tile_sizes is None:
-            tile_sizes = (128, 32)
+            # single-level 128 is the measured-fastest default on TPU:
+            # interpreter cost is per (instance, step), so fewer/larger
+            # tiles amortize the serial step cost better than the extra
+            # specialization of a second level recovers; 128 is the
+            # largest register file x lane block that fits VMEM
+            tile_sizes = (128,)
         assert len(tile_sizes) in (1, 2)
         self.tile_sizes = tuple(int(t) for t in tile_sizes)
         self.two_level = len(self.tile_sizes) == 2
@@ -407,7 +416,10 @@ class PixelRenderer:
         )
         return img[: self.H, : self.W], fill[: self.H, : self.W]
 
-    def _frame_tiles(self, mat, z, var_vec, x0, y0, *, pixel_perfect: bool):
+    def _frame_tiles(
+        self, mat, z, var_vec, x0, y0, *, pixel_perfect: bool,
+        stop_after: str | None = None,
+    ):
         """Runs the pipeline over an arbitrary set of root tiles whose
         corner coordinates are *traced* inputs — the shardable core:
         `parallel.sharding` maps this over tile-row slabs of a device
@@ -442,11 +454,16 @@ class PixelRenderer:
         if pixel_perfect:
             root_active = jnp.ones_like(root_active)
 
+        if stop_after == "root":
+            return rlo, choices0
+
         # ---- stage 2: per-root-tile simplification ---------------------
         w1s, w2s, imms, lens0, _ = self.simplifier.simplify_packed(
             choices0, n_tiles=n0, interpret=interpret
         )
         lens0a = jnp.where(root_active, lens0, 0)
+        if stop_after == "simplify":
+            return lens0a, w1s
 
         if not self.two_level:
             w1c, w2c, immc, lensc = w1s, w2s, imms, lens0a
@@ -530,6 +547,8 @@ class PixelRenderer:
             nf=self.nf, n_inputs=V, n_outputs=1, s0=self.s0l,
             interpret=interpret,
         )[:, 0]  # [TC, s0l, 128]
+        if stop_after == "leaf":
+            return (dist,)
 
         # ---- stage 6: assemble -------------------------------------------
         r = self.r
