@@ -52,8 +52,54 @@ class PackedTapes:
         return int(self.w1.shape[1])
 
 
-def pack_rows(tape: Tape) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Packs one tape into (w1, w2, imm) int32/int32/f32 arrays."""
+#: kernel-dispatchable opcode count (matches pallas_interp._N_OPS)
+N_KERNEL_OPS = 31
+
+
+def frequency_op_order(tape: Tape) -> tuple[int, ...]:
+    """Permutation position -> canonical TapeOp, hottest ops first.
+
+    The Pallas interpreter's lax.switch is lowered by Mosaic to a
+    linear branch scan (~11 ns per untaken position), so renumbering a
+    shape's opcodes by ITS OWN execution frequency cuts the mean scan
+    depth (prospero: 4.7 -> 1.7). Spill LOAD/STOREs count toward COPY,
+    matching the packed encoding."""
+    op = tape.op.astype(np.int64)
+    op = np.where(
+        (op == int(TapeOp.LOAD)) | (op == int(TapeOp.STORE)),
+        int(TapeOp.COPY), op,
+    )
+    counts = np.bincount(op, minlength=N_KERNEL_OPS)[:N_KERNEL_OPS]
+    # simplified child tapes rewrite resolved choice ops into COPY, so
+    # the runtime COPY frequency is the static count PLUS a large share
+    # of the choice ops — weight it accordingly or COPY lands in the
+    # scan tail and the leaf pass pays ~11 ns extra on every rewrite
+    n_choice = sum(
+        int(counts[int(o)])
+        for o in (TapeOp.MIN, TapeOp.MAX, TapeOp.AND, TapeOp.OR)
+    )
+    counts = counts.astype(np.float64)
+    counts[int(TapeOp.COPY)] += n_choice
+    # stable sort: ties keep canonical (already globally frequency
+    # ordered) positions
+    order = np.argsort(-counts, kind="stable")
+    return tuple(int(o) for o in order)
+
+
+def _op_rank(op_order) -> np.ndarray:
+    rank = np.zeros(N_KERNEL_OPS, np.int64)
+    for pos, canon in enumerate(op_order):
+        rank[canon] = pos
+    return rank
+
+
+def pack_rows(
+    tape: Tape, op_order: tuple[int, ...] | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Packs one tape into (w1, w2, imm) int32/int32/f32 arrays.
+
+    op_order renumbers opcodes (position -> canonical op); the kernels
+    must then be built with the same order."""
     L = len(tape)
     nr = tape.reg_count
     op = tape.op.astype(np.int64)
@@ -102,12 +148,18 @@ def pack_rows(tape: Tape) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     if aux.max(initial=0) > MAX_AUX:
         raise ValueError("aux field overflow")
 
+    if op_order is not None:
+        op = _op_rank(op_order)[op]
+
     w1 = (op | (out << 7) | (a << 19)).astype(np.int32)
     w2 = (b | (aux << 12)).astype(np.int32)
     return w1, w2, imm
 
 
-def pack_tapes(tapes: list[Tape], capacity: int | None = None) -> PackedTapes:
+def pack_tapes(
+    tapes: list[Tape], capacity: int | None = None,
+    op_order: tuple[int, ...] | None = None,
+) -> PackedTapes:
     """Packs tapes into a padded [T, Lcap] arena.
 
     Padding rows are OUTPUT no-ops, but the per-tape `lengths` mean the
@@ -127,7 +179,7 @@ def pack_tapes(tapes: list[Tape], capacity: int | None = None) -> PackedTapes:
     n_outputs = 0
     n_choices = np.zeros(T, dtype=np.int32)
     for t_i, tape in enumerate(tapes):
-        a1, a2, ai = pack_rows(tape)
+        a1, a2, ai = pack_rows(tape, op_order)
         L = len(tape)
         w1[t_i, :L] = a1
         w2[t_i, :L] = a2

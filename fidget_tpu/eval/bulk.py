@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..compiler.pack import PackedTapes, pack_tapes
+from ..compiler.pack import PackedTapes, frequency_op_order, pack_tapes
 from ..compiler.tape import Tape
 from .pallas_interp import (
     default_interpret,
@@ -67,17 +67,17 @@ def _bcast_in(w1, w2, imm, lengths, used, T):
 @functools.partial(
     jax.jit,
     static_argnames=("T", "nf", "n_inputs", "n_outputs", "s0", "signs",
-                     "interpret"),
+                     "interpret", "op_order"),
 )
 def _float_core(
     w1, w2, imm, lengths, vars_, used, *, T, nf, n_inputs, n_outputs, s0,
-    signs, interpret,
+    signs, interpret, op_order=None,
 ):
     w1b, w2b, immb, lens = _bcast_in(w1, w2, imm, lengths, used, T)
     out = interp_float(
         w1b, w2b, immb, lens, vars_,
         nf=nf, n_inputs=n_inputs, n_outputs=n_outputs, s0=s0,
-        interpret=interpret,
+        interpret=interpret, op_order=op_order,
     )  # [T, O, s0, 128]
     out = jnp.moveaxis(out, 1, 0)
     return (out < 0.0) if signs else out
@@ -86,17 +86,17 @@ def _float_core(
 @functools.partial(
     jax.jit,
     static_argnames=("T", "nf", "n_inputs", "n_outputs", "s0", "c_words",
-                     "classify", "capture", "interpret"),
+                     "classify", "capture", "interpret", "op_order"),
 )
 def _interval_core(
     w1, w2, imm, lengths, lo_p, hi_p, used, *, T, nf, n_inputs, n_outputs,
-    s0, c_words, classify, capture, interpret,
+    s0, c_words, classify, capture, interpret, op_order=None,
 ):
     w1b, w2b, immb, lens = _bcast_in(w1, w2, imm, lengths, used, T)
     olo, ohi, choices = interp_interval(
         w1b, w2b, immb, lens, lo_p, hi_p,
         nf=nf, n_inputs=n_inputs, n_outputs=n_outputs, s0=s0,
-        c_words=c_words, interpret=interpret,
+        c_words=c_words, interpret=interpret, op_order=op_order,
     )
     olo = jnp.moveaxis(olo, 1, 0)
     ohi = jnp.moveaxis(ohi, 1, 0)
@@ -110,17 +110,18 @@ def _interval_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("T", "nf", "n_inputs", "n_outputs", "s0", "interpret"),
+    static_argnames=("T", "nf", "n_inputs", "n_outputs", "s0", "interpret",
+                     "op_order"),
 )
 def _grad_core(
     w1, w2, imm, lengths, vars_, used, *, T, nf, n_inputs, n_outputs, s0,
-    interpret,
+    interpret, op_order=None,
 ):
     w1b, w2b, immb, lens = _bcast_in(w1, w2, imm, lengths, used, T)
     g = interp_grad(
         w1b, w2b, immb, lens, vars_,
         nf=nf, n_inputs=n_inputs, n_outputs=n_outputs, s0=s0,
-        interpret=interpret,
+        interpret=interpret, op_order=op_order,
     )  # [T, O, 4, s0, 128]
     return jnp.moveaxis(g, (1, 2), (0, 1))  # [O, 4, T, s0, 128]
 
@@ -130,7 +131,8 @@ class BulkEvaluator:
 
     def __init__(self, tape: Tape, *, interpret: bool | None = None):
         self.tape = tape
-        self.packed = pack_tapes([tape])
+        self.op_order = frequency_op_order(tape)
+        self.packed = pack_tapes([tape], op_order=self.op_order)
         self.nf = tape.reg_count + tape.mem_count
         # padded to >= 1 so constant-only tapes still build var planes
         self.n_inputs = max(1, len(tape.var_map))
@@ -213,7 +215,7 @@ class BulkEvaluator:
             *self._tape_args(), jnp.asarray(vars_np), jnp.int32(used),
             T=T, nf=self.nf, n_inputs=self.n_inputs,
             n_outputs=self.n_outputs, s0=s0, signs=signs,
-            interpret=self.interpret,
+            interpret=self.interpret, op_order=self.op_order,
         )
         return np.asarray(out).reshape(self.n_outputs, -1)[:, :n]
 
@@ -238,6 +240,7 @@ class BulkEvaluator:
             T=T, nf=self.nf, n_inputs=self.n_inputs,
             n_outputs=self.n_outputs, s0=s0, c_words=self.c_words,
             classify=classify, capture=capture, interpret=self.interpret,
+            op_order=self.op_order,
         )
         if capture:
             res, choices = res
@@ -284,5 +287,6 @@ class BulkEvaluator:
             *self._tape_args(), jnp.asarray(vars_np), jnp.int32(used),
             T=T, nf=self.nf, n_inputs=self.n_inputs,
             n_outputs=self.n_outputs, s0=s0, interpret=self.interpret,
+            op_order=self.op_order,
         )
         return np.asarray(g).reshape(self.n_outputs, 4, -1)[:, :, :n]

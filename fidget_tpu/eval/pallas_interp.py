@@ -69,6 +69,44 @@ def _decode(w1, w2):
     return op, out, a, b, aux
 
 
+def _order_info(op_order):
+    """Static helpers for a (possibly renumbered) opcode ordering.
+
+    op_order: tuple position -> canonical TapeOp (None = identity).
+    Returns (canonical_at_pos, pos_of dict, choice_mask) where
+    choice_mask has bit p set if position p holds a choice op."""
+    if op_order is None:
+        op_order = tuple(range(_N_OPS))
+    pos_of = {canon: pos for pos, canon in enumerate(op_order)}
+    choice_mask = 0
+    for cop in _CHOICE_OPS:
+        choice_mask |= 1 << pos_of[int(cop)]
+    return op_order, pos_of, choice_mask
+
+
+def _build_branches(canonical_at_pos, fm, va, vb, input_fn):
+    """Branch list in permuted position order; bodies keyed by the
+    canonical op each position holds."""
+    branches = []
+    for canon in canonical_at_pos:
+        canon = TapeOp(canon)
+        if canon == TapeOp.INPUT:
+            branches.append(input_fn)
+        elif canon in _UNARY_OPS:
+            branches.append(lambda canon=canon: fm.unary(canon, va))
+        elif canon in _PLAIN_BINARY_OPS:
+            branches.append(
+                lambda canon=canon: fm.binary(canon, va, vb)
+            )
+        elif canon in _CHOICE_OPS:
+            branches.append(
+                lambda canon=canon: fm.choice_binary(canon, va, vb)[0]
+            )
+        else:  # OUTPUT / COPY / padding
+            branches.append(lambda: va)
+    return branches
+
+
 def _tape_specs(lcap: int):
     """Block specs for (w1, w2, imm, lengths) arena inputs."""
     return [
@@ -94,11 +132,14 @@ def _prep_tape_args(w1, w2, imm, lengths):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nf", "n_inputs", "n_outputs", "s0", "interpret")
+    jax.jit,
+    static_argnames=(
+        "nf", "n_inputs", "n_outputs", "s0", "interpret", "op_order"
+    ),
 )
 def interp_float(
     w1, w2, imm, lengths, vars_, *, nf: int, n_inputs: int, n_outputs: int,
-    s0: int, interpret: bool = False,
+    s0: int, interpret: bool = False, op_order: tuple | None = None,
 ):
     """Evaluates packed tapes in bulk float mode.
 
@@ -106,11 +147,16 @@ def interp_float(
       w1/w2/imm: [T, L] packed arena (compiler/pack.py).
       lengths: [T] ops per tape.
       vars_: [T, V, S0, 128] f32 input planes (V = n_inputs).
+      op_order: opcode renumbering the arena was packed with
+        (pack.frequency_op_order); shortens the switch scan for the
+        shape's hot ops at the cost of one kernel compile per order.
     Returns:
       [T, O, S0, 128] f32 outputs.
     """
     T, lcap = w1.shape
     fm = FloatMode(kernel_namespace(jnp), choice_dtype=jnp.int32)
+    canonical_at_pos, pos_of, _ = _order_info(op_order)
+    out_pos = pos_of[int(TapeOp.OUTPUT)]
 
     def kernel(w1_ref, w2_ref, imm_ref, len_ref, vars_ref, out_ref, regs):
         n = len_ref[0, 0, 0]
@@ -123,18 +169,13 @@ def interp_float(
             vb = jnp.where(b == IMM12, imm_plane, regs[jnp.minimum(b, nf - 1)])
             aux_in = jnp.minimum(aux, n_inputs - 1)
 
-            branches = [lambda: va] * _N_OPS
-            branches[TapeOp.INPUT] = lambda: vars_ref[0, aux_in]
-            branches[TapeOp.COPY] = lambda: va
-            for u in _UNARY_OPS:
-                branches[u] = (lambda u=u: fm.unary(u, va))
-            for bop in _PLAIN_BINARY_OPS:
-                branches[bop] = (lambda bop=bop: fm.binary(bop, va, vb))
-            for cop in _CHOICE_OPS:
-                branches[cop] = (lambda cop=cop: fm.choice_binary(cop, va, vb)[0])
+            branches = _build_branches(
+                canonical_at_pos, fm, va, vb,
+                lambda: vars_ref[0, aux_in],
+            )
             res = lax.switch(op, branches)
 
-            @pl.when(op == TapeOp.OUTPUT)
+            @pl.when(op == out_pos)
             def _():
                 out_ref[0, jnp.minimum(aux, n_outputs - 1)] = va
 
@@ -160,11 +201,12 @@ def interp_float(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nf", "n_inputs", "s0", "sub", "interpret")
+    jax.jit,
+    static_argnames=("nf", "n_inputs", "s0", "sub", "interpret", "op_order"),
 )
 def interp_voxel_depth(
     w1, w2, imm, lengths, vars_, *, nf: int, n_inputs: int, s0: int,
-    sub: int, interpret: bool = False,
+    sub: int, interpret: bool = False, op_order: tuple | None = None,
 ):
     """Float-evaluates packed tapes over one subtile's voxels and
     reduces to per-pixel-column local surface depths inside the kernel.
@@ -186,6 +228,8 @@ def interp_voxel_depth(
     pp = (sub * sub) // 128          # planes per z-slice
     pp_out = max(8, pp)              # padded output planes
     fm = FloatMode(kernel_namespace(jnp), choice_dtype=jnp.int32)
+    canonical_at_pos, pos_of, _ = _order_info(op_order)
+    out_pos = pos_of[int(TapeOp.OUTPUT)]
 
     def kernel(w1_ref, w2_ref, imm_ref, len_ref, vars_ref, out_ref, regs, dist):
         n = len_ref[0, 0, 0]
@@ -199,18 +243,13 @@ def interp_voxel_depth(
             vb = jnp.where(b == IMM12, imm_plane, regs[jnp.minimum(b, nf - 1)])
             aux_in = jnp.minimum(aux, n_inputs - 1)
 
-            branches = [lambda: va] * _N_OPS
-            branches[TapeOp.INPUT] = lambda: vars_ref[0, aux_in]
-            branches[TapeOp.COPY] = lambda: va
-            for u in _UNARY_OPS:
-                branches[u] = (lambda u=u: fm.unary(u, va))
-            for bop in _PLAIN_BINARY_OPS:
-                branches[bop] = (lambda bop=bop: fm.binary(bop, va, vb))
-            for cop in _CHOICE_OPS:
-                branches[cop] = (lambda cop=cop: fm.choice_binary(cop, va, vb)[0])
+            branches = _build_branches(
+                canonical_at_pos, fm, va, vb,
+                lambda: vars_ref[0, aux_in],
+            )
             res = lax.switch(op, branches)
 
-            @pl.when(op == TapeOp.OUTPUT)
+            @pl.when(op == out_pos)
             def _():
                 dist[...] = va
 
@@ -353,11 +392,15 @@ def interp_float_coded(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nf", "n_inputs", "n_outputs", "s0", "c_words", "interpret"),
+    static_argnames=(
+        "nf", "n_inputs", "n_outputs", "s0", "c_words", "interpret",
+        "op_order",
+    ),
 )
 def interp_interval(
     w1, w2, imm, lengths, var_lo, var_hi, *, nf: int, n_inputs: int,
     n_outputs: int, s0: int, c_words: int, interpret: bool = False,
+    op_order: tuple | None = None,
 ):
     """Evaluates packed tapes in interval mode, capturing choices.
 
@@ -373,6 +416,8 @@ def interp_interval(
     """
     T, lcap = w1.shape
     im = IntervalMode(kernel_namespace(jnp), choice_dtype=jnp.int32)
+    canonical_at_pos, pos_of, choice_mask_p = _order_info(op_order)
+    out_pos = pos_of[int(TapeOp.OUTPUT)]
 
     def kernel(
         w1_ref, w2_ref, imm_ref, len_ref, lo_ref, hi_ref,
@@ -404,32 +449,36 @@ def interp_interval(
                     return lo, hi, code
                 return f
 
-            branches = [lambda: (alo, ahi, zero_code)] * _N_OPS
-            branches[TapeOp.INPUT] = lambda: (
-                lo_ref[0, aux_in], hi_ref[0, aux_in], zero_code,
-            )
-            for u in _UNARY_OPS:
-                branches[u] = (
-                    lambda u=u: (*im.unary(u, va), zero_code)
-                )
-            for bop in _PLAIN_BINARY_OPS:
-                branches[bop] = (
-                    lambda bop=bop: (*im.binary(bop, va, vb), zero_code)
-                )
-            for cop in _CHOICE_OPS:
-                branches[cop] = mk_choice(cop)
+            branches = []
+            for canon in canonical_at_pos:
+                canon = TapeOp(canon)
+                if canon == TapeOp.INPUT:
+                    branches.append(lambda: (
+                        lo_ref[0, aux_in], hi_ref[0, aux_in], zero_code,
+                    ))
+                elif canon in _UNARY_OPS:
+                    branches.append(
+                        lambda canon=canon: (*im.unary(canon, va), zero_code)
+                    )
+                elif canon in _PLAIN_BINARY_OPS:
+                    branches.append(
+                        lambda canon=canon: (
+                            *im.binary(canon, va, vb), zero_code,
+                        )
+                    )
+                elif canon in _CHOICE_OPS:
+                    branches.append(mk_choice(canon))
+                else:
+                    branches.append(lambda: (alo, ahi, zero_code))
             lo, hi, code = lax.switch(op, branches)
 
-            @pl.when(op == TapeOp.OUTPUT)
+            @pl.when(op == out_pos)
             def _():
                 o = jnp.minimum(aux, n_outputs - 1)
                 olo_ref[0, o] = alo
                 ohi_ref[0, o] = ahi
 
-            is_choice = (
-                (op == TapeOp.MIN) | (op == TapeOp.MAX)
-                | (op == TapeOp.AND) | (op == TapeOp.OR)
-            )
+            is_choice = ((choice_mask_p >> op) & 1) == 1
 
             @pl.when(is_choice)
             def _():
@@ -475,11 +524,14 @@ def interp_interval(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nf", "n_inputs", "n_outputs", "s0", "interpret")
+    jax.jit,
+    static_argnames=(
+        "nf", "n_inputs", "n_outputs", "s0", "interpret", "op_order"
+    ),
 )
 def interp_grad(
     w1, w2, imm, lengths, vars_, *, nf: int, n_inputs: int, n_outputs: int,
-    s0: int, interpret: bool = False,
+    s0: int, interpret: bool = False, op_order: tuple | None = None,
 ):
     """Evaluates packed tapes with forward-mode duals.
 
@@ -490,6 +542,8 @@ def interp_grad(
     """
     T, lcap = w1.shape
     gm = GradMode(kernel_namespace(jnp), choice_dtype=jnp.int32)
+    canonical_at_pos, pos_of, _ = _order_info(op_order)
+    out_pos = pos_of[int(TapeOp.OUTPUT)]
 
     def kernel(w1_ref, w2_ref, imm_ref, len_ref, vars_ref, out_ref, *regs):
         n = len_ref[0, 0, 0]
@@ -513,19 +567,13 @@ def interp_grad(
             )
             aux_in = jnp.minimum(aux, n_inputs - 1)
 
-            branches = [lambda: va] * _N_OPS
-            branches[TapeOp.INPUT] = lambda: tuple(
-                vars_ref[0, aux_in, k] for k in range(4)
+            branches = _build_branches(
+                canonical_at_pos, gm, va, vb,
+                lambda: tuple(vars_ref[0, aux_in, k] for k in range(4)),
             )
-            for u in _UNARY_OPS:
-                branches[u] = (lambda u=u: gm.unary(u, va))
-            for bop in _PLAIN_BINARY_OPS:
-                branches[bop] = (lambda bop=bop: gm.binary(bop, va, vb))
-            for cop in _CHOICE_OPS:
-                branches[cop] = (lambda cop=cop: gm.choice_binary(cop, va, vb)[0])
             res = lax.switch(op, branches)
 
-            @pl.when(op == TapeOp.OUTPUT)
+            @pl.when(op == out_pos)
             def _():
                 o = jnp.minimum(aux, n_outputs - 1)
                 for k in range(4):

@@ -53,9 +53,32 @@ def _decode_static(w1: np.ndarray, w2: np.ndarray):
     return op, out, a, b, aux
 
 
+def _order_masks(op_order):
+    """(output_code, input_code, choice_mask, binary_mask) for a
+    (possibly renumbered) opcode ordering."""
+    if op_order is None:
+        order = list(range(64))
+    else:
+        order = list(op_order)
+    pos_of = {canon: pos for pos, canon in enumerate(order)}
+    cmask = 0
+    for o in CHOICE_MASK_OPS:
+        cmask |= 1 << pos_of[int(o)]
+    bmask = 0
+    for o in BINARY_TAPE_OPS:
+        bmask |= 1 << pos_of[int(o)]
+    return (
+        pos_of[int(TapeOp.OUTPUT)], pos_of[int(TapeOp.INPUT)], cmask, bmask,
+    )
+
+
+CHOICE_MASK_OPS = (TapeOp.MIN, TapeOp.MAX, TapeOp.AND, TapeOp.OR)
+
+
 def _liveness_codes(
     w1s, w2s, lengths, packed_choices, *, nf: int, L: int,
     shared_tape: bool, interpret: bool = False,
+    op_order: tuple | None = None,
 ):
     """Reverse-liveness Pallas kernel shared by the static- and
     dynamic-tape simplifiers: walks each tape backwards, carrying a
@@ -72,6 +95,7 @@ def _liveness_codes(
     s0 = packed_choices.shape[2]
     lw = -(-L // 16)
     tape_ix = (lambda i: (0, 0, 0)) if shared_tape else (lambda i: (i, 0, 0))
+    out_code, in_code, choice_mask, binary_mask = _order_masks(op_order)
 
     def kernel(w1_ref, w2_ref, len_ref, ch_ref, codes_ref, live):
         n = len_ref[0, 0, 0]
@@ -87,10 +111,10 @@ def _liveness_codes(
             a = (wa >> 19) & 0xFFF
             b = wb & 0xFFF
             aux = wb >> 12
-            is_output = op == 0
-            is_choice = ((CHOICE_MASK >> op) & 1) == 1
-            a_is_reg = (op != 1) & (a != IMM12)
-            b_is_reg = (((BINARY_MASK >> op) & 1) == 1) & (b != IMM12)
+            is_output = op == out_code
+            is_choice = ((choice_mask >> op) & 1) == 1
+            a_is_reg = (op != in_code) & (a != IMM12)
+            b_is_reg = (((binary_mask >> op) & 1) == 1) & (b != IMM12)
             ones = jnp.ones((s0, 128), jnp.int32)
             executed = jnp.where(is_output, ones, live[out])
             cword = ch_ref[0, jnp.minimum(aux // 16, cw - 1)]
@@ -142,13 +166,18 @@ class DeviceSimplifier:
       w1, w2, imm, lengths, n_choices = ds(choices)   # choices: [T, C] u8
     """
 
-    def __init__(self, tape: Tape):
-        w1, w2, imm = pack_rows(tape)
+    def __init__(self, tape: Tape, op_order: tuple | None = None):
+        # flags come from the CANONICAL encoding; the emitted child
+        # arenas (w1 / copy rewrites) use the renumbered one, so they
+        # feed kernels built with the same op_order
+        w1c, w2, imm = pack_rows(tape)
+        w1 = w1c if op_order is None else pack_rows(tape, op_order)[0]
         self.parent = tape
+        self.op_order = op_order
         self.nf = tape.reg_count + tape.mem_count
         self.n_choices = tape.choice_count
         self.L = len(tape)
-        op, out, a, b, aux = _decode_static(w1, w2)
+        op, out, a, b, aux = _decode_static(w1c, w2)
         is_choice = np.isin(op, _CHOICE_OP_VALUES)
         # operand-use flags (static): which packed fields are registers
         unary_like = np.isin(
@@ -156,6 +185,9 @@ class DeviceSimplifier:
         )
         binary_like = np.isin(op, [int(b) for b in BINARY_TAPE_OPS])
         is_output = op == int(TapeOp.OUTPUT)
+        copy_code = int(TapeOp.COPY)
+        if op_order is not None:
+            copy_code = list(op_order).index(int(TapeOp.COPY))
         self._st = dict(
             w1=w1.astype(np.int32),
             w2=w2.astype(np.int32),
@@ -171,9 +203,9 @@ class DeviceSimplifier:
             b_is_reg=(binary_like & ~unary_like & (b != IMM12)),
             elide_l=(a == out),
             elide_r=(b == out),
-            # pre-encoded COPY rewrites
-            w1_copy_a=(int(TapeOp.COPY) | (out << 7) | (a << 19)).astype(np.int32),
-            w1_copy_b=(int(TapeOp.COPY) | (out << 7) | (b << 19)).astype(np.int32),
+            # pre-encoded COPY rewrites (renumbered encoding)
+            w1_copy_a=(copy_code | (out << 7) | (a << 19)).astype(np.int32),
+            w1_copy_b=(copy_code | (out << 7) | (b << 19)).astype(np.int32),
         )
 
     # ------------------------------------------------------------------
@@ -240,13 +272,14 @@ class DeviceSimplifier:
         [n_tiles, LW]."""
         L = self.L
         lw = -(-L // 16)
-        w1, w2, imm = pack_rows(self.parent)
+        w1, w2, imm = pack_rows(self.parent, self.op_order)
         codes = _liveness_codes(
             jnp.asarray(w1).reshape(1, 1, L),
             jnp.asarray(w2).reshape(1, 1, L),
             jnp.full((1, 1, 1), L, jnp.int32),
             packed_choices,
             nf=self.nf, L=L, shared_tape=True, interpret=interpret,
+            op_order=self.op_order,
         )
         # word-major lanes -> per-tile packed rows [n_tiles, LW]
         B = packed_choices.shape[0]
@@ -354,10 +387,10 @@ class DynamicSimplifier:
 
     @staticmethod
     @functools.partial(
-        jax.jit, static_argnames=("nf", "interpret")
+        jax.jit, static_argnames=("nf", "interpret", "op_order")
     )
     def codes(w1s, w2s, lengths, packed_choices, *, nf: int,
-              interpret: bool = False):
+              interpret: bool = False, op_order: tuple | None = None):
         """w1s/w2s: [T, L] i32 per-tile tapes; lengths: [T];
         packed_choices: [T, CW, S0, 128] from interp_interval.
         Returns per-lane packed action-code words [T, S0*128, LW]."""
@@ -370,13 +403,14 @@ class DynamicSimplifier:
             lengths.reshape(T, 1, 1).astype(jnp.int32),
             packed_choices,
             nf=nf, L=L, shared_tape=False, interpret=interpret,
+            op_order=op_order,
         )
         # word-major lanes -> per-lane packed rows [T, S0*128, LW]
         return jnp.moveaxis(codes.reshape(T, lw, s0 * 128), 1, 2)
 
     @staticmethod
-    @jax.jit
-    def reconstruct(w1p, w2p, immp, codes):
+    @functools.partial(jax.jit, static_argnames=("op_order",))
+    def reconstruct(w1p, w2p, immp, codes, *, op_order: tuple | None = None):
         """Builds child arenas from parent rows + per-child action codes.
 
         w1p/w2p/immp: [TC, L] parent tape rows gathered per child;
@@ -391,13 +425,18 @@ class DynamicSimplifier:
         a = (w1p >> 19) & 0xFFF
         b = w2p & 0xFFF
         keep = codes > 0
-        copy_a = int(TapeOp.COPY) | (out << 7) | (a << 19)
-        copy_b = int(TapeOp.COPY) | (out << 7) | (b << 19)
+        copy_code = int(TapeOp.COPY)
+        choice_mask = CHOICE_MASK
+        if op_order is not None:
+            copy_code = list(op_order).index(int(TapeOp.COPY))
+            choice_mask = _order_masks(op_order)[2]
+        copy_a = copy_code | (out << 7) | (a << 19)
+        copy_b = copy_code | (out << 7) | (b << 19)
         w1_new = jnp.where(
             codes == 1, w1p, jnp.where(codes == 2, copy_a, copy_b)
         )
         w2_new = jnp.where(codes == 1, w2p, 0)
-        is_choice = ((CHOICE_MASK >> op) & 1) == 1
+        is_choice = ((choice_mask >> op) & 1) == 1
         kept_choice = keep & (codes == 1) & is_choice
         new_cidx = jnp.cumsum(kept_choice, axis=1) - 1
         w2_new = jnp.where(kept_choice, b | (new_cidx << 12), w2_new)

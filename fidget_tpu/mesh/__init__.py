@@ -183,11 +183,11 @@ def _tape_args(ev):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("T", "s0", "nf", "V", "axis_idx", "c_words", "interpret"),
+    static_argnames=("T", "s0", "nf", "V", "axis_idx", "c_words", "interpret", "op_order"),
 )
 def _classify_cells_core(
     w1, w2, imm, lengths, cells, hsize, pos, neg, off, var_vec, used, *,
-    T, s0, nf, V, axis_idx, c_words, interpret,
+    T, s0, nf, V, axis_idx, c_words, interpret, op_order=None,
 ):
     """Interval-classifies octree cells fully device-side.
 
@@ -223,7 +223,7 @@ def _classify_cells_core(
     olo, ohi, _ = interp_interval(
         w1b, w2b, immb, lens, var_lo, var_hi,
         nf=nf, n_inputs=V, n_outputs=1, s0=s0, c_words=c_words,
-        interpret=interpret,
+        interpret=interpret, op_order=op_order,
     )
     lo = olo[:, 0].reshape(-1)
     hi = ohi[:, 0].reshape(-1)
@@ -247,18 +247,18 @@ def _classify_cells(ev, cells, h, m, var_vec):
         jnp.asarray(m[:3, 3].astype(np.float32)),
         jnp.asarray(_vvec(ev, var_vec)), jnp.int32(used),
         T=T, s0=s0, nf=ev.nf, V=ev.n_inputs, axis_idx=_axis_idx(ev),
-        c_words=ev.c_words, interpret=ev.interpret,
+        c_words=ev.c_words, interpret=ev.interpret, op_order=ev.op_order,
     )
     return np.asarray(act)[:N]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("T", "s0", "nf", "V", "axis_idx", "interpret"),
+    static_argnames=("T", "s0", "nf", "V", "axis_idx", "interpret", "op_order"),
 )
 def _corner_signs_core(
     w1, w2, imm, lengths, keys, stride, hsize, mat, var_vec, used, *,
-    T, s0, nf, V, axis_idx, interpret,
+    T, s0, nf, V, axis_idx, interpret, op_order=None,
 ):
     """Point signs at lattice corners decoded from int32 keys on
     device: key = (x*(G+1) + y)*(G+1) + z. Upload 4 B/corner, download
@@ -284,6 +284,7 @@ def _corner_signs_core(
     out = interp_float(
         w1b, w2b, immb, lens, vars_,
         nf=nf, n_inputs=V, n_outputs=1, s0=s0, interpret=interpret,
+        op_order=op_order,
     )[:, 0]
     return (out < 0.0).reshape(-1)
 
@@ -302,18 +303,18 @@ def _corner_signs(ev, uniq, G, h, m, var_vec):
         jnp.asarray(m[:3, :].astype(np.float32)),
         jnp.asarray(_vvec(ev, var_vec)), jnp.int32(used),
         T=T, s0=s0, nf=ev.nf, V=ev.n_inputs, axis_idx=_axis_idx(ev),
-        interpret=ev.interpret,
+        interpret=ev.interpret, op_order=ev.op_order,
     )
     return np.asarray(signs)[:U]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("T", "s0", "nf", "V", "axis_idx", "interpret"),
+    static_argnames=("T", "s0", "nf", "V", "axis_idx", "interpret", "op_order"),
 )
 def _offset_signs_core(
     w1, w2, imm, lengths, base, offsets, scale, hsize, mat, var_vec,
-    used, *, T, s0, nf, V, axis_idx, interpret,
+    used, *, T, s0, nf, V, axis_idx, interpret, op_order=None,
 ):
     """Point signs at base[i] + offsets[j] * scale lattice points,
     decoded device-side: upload 12 B/base instead of
@@ -344,6 +345,7 @@ def _offset_signs_core(
     out = interp_float(
         w1b, w2b, immb, lens, vars_,
         nf=nf, n_inputs=V, n_outputs=1, s0=s0, interpret=interpret,
+        op_order=op_order,
     )[:, 0]
     return (out < 0.0).reshape(-1)[: base.shape[0] * offsets.shape[0]]
 
@@ -366,7 +368,7 @@ def offset_signs(ev, base, offsets, scale, h, m, var_vec):
         jnp.asarray(m[:3, :].astype(np.float32)),
         jnp.asarray(_vvec(ev, var_vec)), jnp.int32(used),
         T=T, s0=s0, nf=ev.nf, V=ev.n_inputs, axis_idx=_axis_idx(ev),
-        interpret=ev.interpret,
+        interpret=ev.interpret, op_order=ev.op_order,
     )
     return np.asarray(signs)[: C * K].reshape(C, K)
 
@@ -374,12 +376,13 @@ def offset_signs(ev, base, offsets, scale, h, m, var_vec):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "T", "s0", "nf", "V", "axis_idx", "rounds", "samples", "interpret"
+        "T", "s0", "nf", "V", "axis_idx", "rounds", "samples", "interpret",
+        "op_order",
     ),
 )
 def _edge_search_core(
     w1, w2, imm, lengths, p_start, p_end, mat, var_vec, used, *,
-    T, s0, nf, V, axis_idx, rounds, samples, interpret,
+    T, s0, nf, V, axis_idx, rounds, samples, interpret, op_order=None,
 ):
     """Device-resident N-ary edge search (octree.rs:687-767).
 
@@ -419,6 +422,7 @@ def _edge_search_core(
         out = interp_float(
             w1b, w2b, immb, lens, vars_,
             nf=nf, n_inputs=V, n_outputs=1, s0=s0, interpret=interpret,
+            op_order=op_order,
         )[:, 0]
         inside = (out < 0.0).reshape(E, samples)
         outside = ~inside
@@ -534,7 +538,7 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
             jnp.asarray(_vvec(ev, var_vec)), jnp.int32(used),
             T=T, s0=s0e, nf=ev.nf, V=ev.n_inputs, axis_idx=_axis_idx(ev),
             rounds=_EDGE_ROUNDS, samples=_EDGE_SAMPLES,
-            interpret=ev.interpret,
+            interpret=ev.interpret, op_order=ev.op_order,
         )
     )[:E].astype(np.float64)
     ipts = p_start + (p_end - p_start) * t_star[:, None]  # world coords [E,3]

@@ -315,6 +315,7 @@ class PixelRenderer:
         self._packed = None
         self._simplifier = None
         self._frame_jit = None
+        self._op_order = None
         # padded to >= 1 so constant-only shapes still build var planes
         self.n_inputs = max(1, len(tape.var_map))
         self.c_words = max(1, -(-tape.choice_count // 16))
@@ -348,15 +349,26 @@ class PixelRenderer:
     # ------------------------------------------------------------------
 
     @property
+    def op_order(self):
+        """Per-shape opcode renumbering for the compile-per-shape
+        (constant-tape) path: this shape's hottest ops take the first
+        switch-scan positions (~11 ns per position saved per step)."""
+        if self._op_order is None:
+            from ..compiler.pack import frequency_op_order
+
+            self._op_order = frequency_op_order(self.tape)
+        return self._op_order
+
+    @property
     def packed(self):
         if self._packed is None:
-            self._packed = pack_tapes([self.tape])
+            self._packed = pack_tapes([self.tape], op_order=self.op_order)
         return self._packed
 
     @property
     def simplifier(self):
         if self._simplifier is None:
-            self._simplifier = DeviceSimplifier(self.tape)
+            self._simplifier = DeviceSimplifier(self.tape, self.op_order)
         return self._simplifier
 
     @property
@@ -445,6 +457,7 @@ class PixelRenderer:
             self.packed.lengths, var_lo, var_hi,
             nf=self.nf, n_inputs=V, n_outputs=1, s0=s0r,
             c_words=self.c_words, interpret=interpret,
+            op_order=self.op_order,
         )
         rlo = olo[0, 0].reshape(-1)[:n0]
         rhi = ohi[0, 0].reshape(-1)[:n0]
@@ -487,6 +500,7 @@ class PixelRenderer:
                 w1s, w2s, imms, lens0a, var_lo1, var_hi1,
                 nf=self.nf, n_inputs=V, n_outputs=1, s0=self.s0s,
                 c_words=self.c_words, interpret=interpret,
+                op_order=self.op_order,
             )
             slo = olo1[:, 0].reshape(n0, -1)[:, :m]
             shi = ohi1[:, 0].reshape(n0, -1)[:, :m]
@@ -499,7 +513,8 @@ class PixelRenderer:
 
             # ---- stage 4: per-subtile re-simplification ----------------
             perlane = DynamicSimplifier.codes(
-                w1s, w2s, lens0a, choices1, nf=self.nf, interpret=interpret
+                w1s, w2s, lens0a, choices1, nf=self.nf, interpret=interpret,
+                op_order=self.op_order,
             )  # [n0, s0s*128, lw]
             per_child = perlane[:, :m].reshape(nc, -1)
             codes_u8 = DeviceSimplifier.unpack_codes(per_child, w1s.shape[1])
@@ -508,7 +523,7 @@ class PixelRenderer:
             w2p = jnp.take(w2s, parent, axis=0)
             immp = jnp.take(imms, parent, axis=0)
             w1c, w2c, immc, lensc, _ = DynamicSimplifier.reconstruct(
-                w1p, w2p, immp, codes_u8
+                w1p, w2p, immp, codes_u8, op_order=self.op_order
             )
             leaf_active = sub_active.reshape(-1)
             cx0 = sx0.reshape(-1)
@@ -545,7 +560,7 @@ class PixelRenderer:
         dist = interp_float(
             w1c, w2c, immc, lensc, vars_,
             nf=self.nf, n_inputs=V, n_outputs=1, s0=self.s0l,
-            interpret=interpret,
+            interpret=interpret, op_order=self.op_order,
         )[:, 0]  # [TC, s0l, 128]
         if stop_after == "leaf":
             return (dist,)

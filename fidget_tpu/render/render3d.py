@@ -133,8 +133,11 @@ class VoxelRenderer:
         cap = 1 << (int(cap) - 1).bit_length()
         self.cap = min(cap, self.nsub)
 
-        self.packed = pack_tapes([tape])
-        self.simplifier = DeviceSimplifier(tape)
+        from ..compiler.pack import frequency_op_order
+
+        self.op_order = frequency_op_order(tape)
+        self.packed = pack_tapes([tape], op_order=self.op_order)
+        self.simplifier = DeviceSimplifier(tape, self.op_order)
         self.nf = self.simplifier.nf
         # padded to >= 1 so constant-only shapes still build var planes
         self.n_inputs = max(1, len(tape.var_map))
@@ -270,6 +273,7 @@ class VoxelRenderer:
             self.packed.lengths, var_lo, var_hi,
             nf=self.nf, n_inputs=self.n_inputs, n_outputs=1, s0=s0r,
             c_words=self.c_words, interpret=interpret,
+            op_order=self.op_order,
         )
         rlo = olo[0, 0].reshape(-1)[:nt]
         rhi = ohi[0, 0].reshape(-1)[:nt]
@@ -308,6 +312,7 @@ class VoxelRenderer:
             w1s, w2s, imms, lens1, var_lo1, var_hi1,
             nf=self.nf, n_inputs=self.n_inputs, n_outputs=1, s0=self.s0s,
             c_words=self.c_words, interpret=interpret,
+            op_order=self.op_order,
         )
         slo = olo1[:, 0].reshape(nt, -1)[:, :m]
         shi = ohi1[:, 0].reshape(nt, -1)[:, :m]
@@ -371,7 +376,8 @@ class VoxelRenderer:
         # subtile interval pass's choice trace (the wgpu per-level
         # tape_simplify loop, interval_tiles.wgsl:20-129)
         perlane = DynamicSimplifier.codes(
-            w1s, w2s, lens1, choices1, nf=self.nf, interpret=interpret
+            w1s, w2s, lens1, choices1, nf=self.nf, interpret=interpret,
+            op_order=self.op_order,
         )  # [nt, s0s*128, lw]
         k_local = (
             ((gz % nl) * nl + (gy % nl)) * nl + (gx % nl)
@@ -379,7 +385,9 @@ class VoxelRenderer:
         per_sub = perlane[t_idx, k_local]  # [cap, lw]
         codes_u8 = DeviceSimplifier.unpack_codes(per_sub, w1s.shape[1])
         w1_leaf, w2_leaf, imm_leaf, len_leaf, _ = (
-            DynamicSimplifier.reconstruct(w1p, w2p, immp, codes_u8)
+            DynamicSimplifier.reconstruct(
+                w1p, w2p, immp, codes_u8, op_order=self.op_order
+            )
         )
         len_leaf = jnp.where(valid, len_leaf, 0)
 
@@ -408,7 +416,7 @@ class VoxelRenderer:
             local = interp_voxel_depth(
                 w1_leaf, w2_leaf, imm_leaf, len_leaf, vars_v,
                 nf=self.nf, n_inputs=self.n_inputs, s0=self.s0v,
-                sub=sub, interpret=interpret,
+                sub=sub, interpret=interpret, op_order=self.op_order,
             )[:, :pp].reshape(cap, sub, sub)  # (vy, vx) local z+1
             dcand = jnp.where(
                 (local > 0) & valid[:, None, None],
@@ -419,7 +427,7 @@ class VoxelRenderer:
             dv = interp_float(
                 w1_leaf, w2_leaf, imm_leaf, len_leaf, vars_v,
                 nf=self.nf, n_inputs=self.n_inputs, n_outputs=1,
-                s0=self.s0v, interpret=interpret,
+                s0=self.s0v, interpret=interpret, op_order=self.op_order,
             )[:, 0].reshape(cap, -1)[:, : sub**3]
             inside = (dv < 0.0) & valid[:, None]
             inside = inside.reshape(cap, sub, sub, sub)  # (vz, vy, vx)
@@ -507,6 +515,7 @@ class VoxelRenderer:
         g = interp_grad(
             w1f, w2f, immf, lensn, vars_n,
             nf=self.nf, n_inputs=V, n_outputs=1, s0=s0n, interpret=interpret,
+            op_order=self.op_order,
         )[:, 0]  # [Tn, 4, s0n, 128]
         grads = g.reshape(Tn, 4, s0n * 128).transpose(0, 2, 1).reshape(-1, 4)
         grads = grads[:npix, 1:4]

@@ -91,6 +91,7 @@ def pipeline_stats(
         r.packed.w1, r.packed.w2, r.packed.imm, r.packed.lengths,
         var_lo, var_hi, nf=r.nf, n_inputs=r.n_inputs, n_outputs=1,
         s0=r.s0r, c_words=r.c_words, interpret=r.interpret,
+        op_order=getattr(r, "op_order", None),
     )
     lo = np.asarray(olo[0, 0]).reshape(-1)[: r.n0]
     hi = np.asarray(ohi[0, 0]).reshape(-1)[: r.n0]
