@@ -65,7 +65,10 @@ def _parse_vec(s: str, n: int):
 
 
 def _interp(args):
-    return {"auto": None, "interpret": True, "compiled": False}[args.eval]
+    return {
+        "auto": None, "interpret": True, "compiled": False,
+        "unrolled": False,
+    }[args.eval]
 
 
 def _view2(args):
@@ -143,6 +146,10 @@ def run2d(args) -> int:
         if args.mode == "brute":
             d = r.render_brute(mat)
             img = None
+        elif args.eval == "unrolled":
+            # compiled-per-shape dense path (the --eval=jit analog)
+            img = r.render_dense(mat)
+            d = img.distance
         else:
             img = r.render(mat, pixel_perfect=(args.mode == "sdf"))
             d = img.distance
@@ -287,10 +294,14 @@ def main(argv=None) -> int:
         p.add_argument("--scale", type=float, default=1.0)
         p.add_argument("--center", default="0")
         p.add_argument("--eval", default="auto",
-                       choices=["auto", "interpret", "compiled"],
+                       choices=["auto", "interpret", "compiled",
+                                "unrolled"],
                        help="evaluator backend: Pallas interpret mode "
-                            "(portable, the reference's 'vm' analog) or "
-                            "compiled TPU kernels (the 'jit' analog)")
+                            "(portable, the reference's 'vm' analog), "
+                            "compiled TPU kernels, or (2D) the whole "
+                            "tape unrolled into one XLA program per "
+                            "shape — the closest 'jit' analog, fastest "
+                            "steady-state, slow first compile")
         if three_d:
             p.add_argument("--pitch", type=float, default=0.0,
                            help="camera pitch (degrees)")

@@ -243,3 +243,23 @@ def test_render_layers_compositing():
     assert tuple(rgb[32, 32 + 13]) == (0, 255, 0)
     # outside: background
     assert tuple(rgb[2, 2]) == (0, 0, 0)
+
+
+def test_render_dense_matches_brute():
+    # the compiled-per-shape dense path (fidget --eval=jit analog)
+    from fidget_tpu.io.models import has_model, load_vm_tape
+
+    if has_model("hi.vm"):
+        tape = load_vm_tape("hi.vm")
+    else:
+        from fidget_tpu.shape import Shape, Tree
+
+        x, y, _ = Tree.axes()
+        tape = Shape.from_tree(
+            (x.square() + y.square()).sqrt() - 0.7
+        ).tape()
+    r = PixelRenderer(tape, ImageSize(96, 128), interpret=True)
+    img = r.render_dense()
+    brute = r.render_brute()
+    np.testing.assert_allclose(img.distance, brute, rtol=1e-5, atol=1e-6)
+    assert (img.fill == 0).all()
