@@ -266,6 +266,7 @@ class PixelRenderer:
         tile_size: int | None = None,
         tile_sizes: tuple | None = None,
         interpret: bool | None = None,
+        specialize: bool = False,
     ):
         self.shape_transform = None
         if isinstance(tape, Shape):
@@ -288,6 +289,10 @@ class PixelRenderer:
         assert len(tile_sizes) in (1, 2)
         self.tile_sizes = tuple(int(t) for t in tile_sizes)
         self.two_level = len(self.tile_sizes) == 2
+        # specialize=True: render() uses the compile-per-shape pipeline
+        # (per-shape opcode renumbering; ~2x the bucketed tape-as-data
+        # path on big tapes) instead of the zero-recompile bucket
+        self.specialize = specialize
         self.interpret = default_interpret() if interpret is None else interpret
 
         T0 = self.tile_sizes[0]
@@ -620,7 +625,7 @@ class PixelRenderer:
         """Renders a frame; one device dispatch."""
         mat = jnp.asarray(self._mat4(world_to_model))
         vec = jnp.asarray(self._var_vec(vars))
-        if not self.two_level:
+        if not self.two_level and not self.specialize:
             fn = _frame_single_fn(
                 self.T0, self.n0x, self.n0y, self.Lcap_b, self.nf_b,
                 self.n_inputs, self.cw_b, pixel_perfect, self.interpret,

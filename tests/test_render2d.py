@@ -263,3 +263,27 @@ def test_render_dense_matches_brute():
     brute = r.render_brute()
     np.testing.assert_allclose(img.distance, brute, rtol=1e-5, atol=1e-6)
     assert (img.fill == 0).all()
+
+
+def test_specialized_render_matches_bucketed():
+    from fidget_tpu.io.models import has_model, load_vm_tape
+
+    if has_model("hi.vm"):
+        tape = load_vm_tape("hi.vm")
+    else:
+        from fidget_tpu.shape import Shape, Tree
+
+        x, y, _ = Tree.axes()
+        tape = Shape.from_tree((x.square() + y.square()).sqrt() - 0.7).tape()
+    ra = PixelRenderer(tape, ImageSize(128, 128), tile_size=64, interpret=True)
+    rb = PixelRenderer(
+        tape, ImageSize(128, 128), tile_size=64, interpret=True,
+        specialize=True,
+    )
+    a = ra.render()
+    b = rb.render()
+    np.testing.assert_array_equal(a.fill, b.fill)
+    ev = a.fill == 0
+    np.testing.assert_allclose(
+        a.distance[ev], b.distance[ev], rtol=1e-5, atol=1e-5
+    )
