@@ -162,12 +162,23 @@ def run2d(args) -> int:
             rgb = np.broadcast_to(rgb, inside.shape + (3,))
         elif args.mode == "sdf":
             rgb = _colormap_sdf(d)
-        else:  # debug: color by fill class
+        else:  # debug: color by fill class AND the cull level that
+            # proved it (the reference's DebugRenderMode colors by the
+            # NaN-boxed fill depth, fidget-raster/src/pixel.rs:176-230)
             from .render.render2d import FILL_INSIDE, FILL_OUTSIDE
 
             rgb = np.zeros(d.shape + (3,), np.uint8)
-            rgb[img.fill == FILL_INSIDE] = (0, 100, 200)
-            rgb[img.fill == FILL_OUTSIDE] = (50, 50, 50)
+            cls = img.fill_class()
+            lvl = img.fill_level()
+            # deeper levels shift hue: root fills are darker, subtile
+            # fills brighter, so the tile pyramid is visible at a glance
+            inside_colors = [(0, 100, 200), (0, 170, 255), (90, 220, 255)]
+            outside_colors = [(50, 50, 50), (90, 90, 90), (130, 130, 130)]
+            for L in range(int(max(0, lvl.max())) + 1):
+                ci = inside_colors[min(L, len(inside_colors) - 1)]
+                co = outside_colors[min(L, len(outside_colors) - 1)]
+                rgb[(cls == FILL_INSIDE) & (lvl == L)] = ci
+                rgb[(cls == FILL_OUTSIDE) & (lvl == L)] = co
             ev = img.fill == 0
             rgb[ev & (d < 0)] = (255, 255, 255)
             rgb[ev & (d >= 0)] = (20, 20, 20)

@@ -256,9 +256,20 @@ def import_tree(self: Context, tree: Tree) -> int:
     Iterative post-order traversal with a (tree id, axis frame) memo —
     the shared-subtree import cache of the reference
     (fidget-core/src/context/mod.rs:1019-1034) — so giant shared trees
-    import in O(unique nodes) with no recursion depth limit."""
+    import in O(unique nodes) with no recursion depth limit. The memo
+    is persistent on the Context, so re-importing a tree (or a tree
+    sharing subtrees with earlier imports — the script-engine hot path
+    for models built from one large shared component) costs O(new
+    nodes) only. Cached entries pin their Tree objects so `id()` keys
+    can never be recycled by the garbage collector."""
     base_frame = (self.x(), self.y(), self.z())
-    memo: dict[tuple[int, tuple[int, int, int]], int] = {}
+    memo = getattr(self, "_tree_import_memo", None)
+    if memo is None:
+        memo = self._tree_import_memo = {}
+    # pin every memoized subtree: a live reference per cache entry
+    pins = getattr(self, "_tree_import_pins", None)
+    if pins is None:
+        pins = self._tree_import_pins = []
 
     def remap_frame(t: Tree, fr):
         """The inner frame a remap node evaluates its body under
@@ -286,6 +297,7 @@ def import_tree(self: Context, tree: Tree) -> int:
         if phase == 0:
             if key in memo:
                 continue
+            pins.append(t)
             k = t.kind
             if k == _CONST:
                 memo[key] = self.constant(t.data[0])

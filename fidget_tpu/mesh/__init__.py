@@ -42,6 +42,7 @@ import numpy as np
 from ..compiler.tape import Tape
 from ..eval.bulk import BulkEvaluator, _lane_block
 from ..eval.pallas_interp import interp_float
+from ..render.config import check_cancel
 from ..shape import Shape, ShapeVars
 from .tables import (
     CELL_TO_EDGE_TO_VERT,
@@ -71,6 +72,10 @@ class Settings:
     vars: ShapeVars | dict | None = None
     collapse: bool = True
     interpret: bool | None = None
+    #: optional CancelToken, polled between octree levels, eval
+    #: stages, and collapse size-rounds (the reference polls per cell,
+    #: fidget-mesh/src/octree.rs:527-529)
+    cancel: object | None = None
 
 
 @dataclass
@@ -458,6 +463,7 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     # interval classification run device-side (_classify_cells_core)
     cells = np.zeros((1, 3), np.int64)  # lattice coords at current depth
     for d in range(depth):
+        check_cancel(settings.cancel)
         h = 2.0 / (1 << d)
         active = _classify_cells(ev, cells, h, m, var_vec)
         cells = cells[active]
@@ -471,6 +477,7 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
         cells = (cells[:, None, :] * 2 + off[None, :, :]).reshape(-1, 3)
 
     # final leaf-level cull
+    check_cancel(settings.cancel)
     h = h_leaf
     active = _classify_cells(ev, cells, h, m, var_vec)
     cells = cells[active]
@@ -506,6 +513,7 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
         (EDGE_AXIS[ei].astype(np.int64) * (G + 1)
          + lo_corner[:, 0]) * (G + 1) + lo_corner[:, 1]
     ) * (G + 1) + lo_corner[:, 2]
+    check_cancel(settings.cancel)
     ukeys, einv = np.unique(ekeys, return_inverse=True)
     first = np.full(len(ukeys), np.iinfo(np.int64).max, np.int64)
     np.minimum.at(first, einv, np.arange(len(einv)))
@@ -604,11 +612,12 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     if settings.collapse:
         from .collapse import collapse_and_walk
 
+        check_cancel(settings.cancel)
         verts, tris = collapse_and_walk(
             ev=ev, m=m, var_vec=var_vec, G=G, h=h,
             cells=cells, mask=mask, nvert=nvert, voff=voff,
             AtA=AtA, Atb=Atb, btb=btb, msum=msum, mcnt=mcnt, vpos=vpos,
-            oci=oci_all, oei=oei_all,
+            oci=oci_all, oei=oei_all, cancel=settings.cancel,
         )
         return Mesh(vertices=verts, triangles=tris.astype(np.int32))
 

@@ -117,6 +117,7 @@ def collapse_and_walk(
     vpos,
     oci,
     oei,
+    cancel=None,
 ):
     """Runs bottom-up collapse then the adaptive dual walk.
 
@@ -145,8 +146,11 @@ def collapse_and_walk(
     vpos = vpos.copy()
     verr = _qef_err(vpos, vAtA, vAtb, vbtb)
 
+    from ..render.config import check_cancel
+
     s = 1
     while 2 * s <= G:
+        check_cancel(cancel)
         ps = 2 * s
         # group current same-size cells by parent
         is_s = c_size == s

@@ -13,12 +13,25 @@ from __future__ import annotations
 import threading
 
 
+class RenderCancelled(Exception):
+    """Raised by renderers/meshers when their CancelToken fires.
+
+    The reference returns `None` from cancelled renders
+    (fidget-raster/src/lib.rs:141-162); an exception is the Python
+    idiom for the same "no result, caller asked us to stop" contract.
+    """
+
+
 class CancelToken:
     """Cooperative cancellation flag (render/config.rs:38-80).
 
-    Thread-safe; `cancel()` may be called from any thread. Long-running
-    host loops (octree levels, capacity retries, viewer re-renders)
-    check `is_cancelled()` between device dispatches.
+    Thread-safe; `cancel()` may be called from any thread. Polled
+    between device dispatches by every long-running host loop:
+    `PixelRenderer.render` (before the frame dispatch),
+    `VoxelRenderer.render` (before each capacity-retry dispatch),
+    `build_mesh` (between octree levels, before each eval stage, and
+    between collapse size-rounds), and the viewer's watch loop. A
+    fired token makes those entry points raise `RenderCancelled`.
     """
 
     def __init__(self):
@@ -32,6 +45,12 @@ class CancelToken:
 
     # raw-pointer sharing in the reference crosses wasm workers
     # (config.rs:57-80); the Python analog is just passing the object.
+
+
+def check_cancel(cancel: "CancelToken | None") -> None:
+    """Raises RenderCancelled if `cancel` is set and fired."""
+    if cancel is not None and cancel.is_cancelled():
+        raise RenderCancelled()
 
 
 class TileSizes(list):

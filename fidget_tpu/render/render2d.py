@@ -57,7 +57,11 @@ from ..shape import Shape, ShapeVars
 from .region import ImageSize, compose2, mat3_to_mat4
 from .transform import transform_intervals, transform_points
 
-#: fill codes in the `fill` channel of a rendered image
+#: fill codes in the `fill` channel of a rendered image. Fills proven
+#: at deeper cull levels add 2 per level: a level-L inside fill is
+#: `FILL_INSIDE + 2 * L` — the int8 analog of the reference's
+#: NaN-boxed fill pixels, which pack inside/outside plus the tile
+#: depth into the distance f32 (fidget-raster/src/pixel.rs:145-230).
 FILL_NONE = 0
 FILL_INSIDE = 1
 FILL_OUTSIDE = 2
@@ -70,16 +74,32 @@ class Image2D:
     distance: f32 [H, W] — signed distance where evaluated (garbage in
       filled regions; consult `fill`).
     fill: int8 [H, W] — FILL_NONE where `distance` is valid, else
-      FILL_INSIDE/FILL_OUTSIDE from interval proofs.
+      FILL_INSIDE/FILL_OUTSIDE (+ 2 per cull level) from interval
+      proofs; see `fill_class` / `fill_level`.
     """
 
     distance: np.ndarray
     fill: np.ndarray
 
+    def fill_class(self) -> np.ndarray:
+        """Level-stripped fill codes: FILL_NONE / FILL_INSIDE /
+        FILL_OUTSIDE regardless of the cull level that proved them."""
+        f = np.asarray(self.fill)
+        return np.where(f == FILL_NONE, f, (f - 1) % 2 + 1).astype(np.int8)
+
+    def fill_level(self) -> np.ndarray:
+        """Cull level per filled pixel (0 = root tiles, 1 = subtiles);
+        -1 where the pixel was evaluated (the reference's per-fill
+        depth tag, fidget-raster/src/pixel.rs:176-230)."""
+        f = np.asarray(self.fill).astype(np.int16)
+        return np.where(f == FILL_NONE, -1, (f - 1) // 2).astype(np.int8)
+
     def inside(self) -> np.ndarray:
         """Boolean occupancy (the reference's "mono" mode)."""
         return np.where(
-            self.fill == FILL_NONE, self.distance < 0, self.fill == FILL_INSIDE
+            self.fill == FILL_NONE,
+            self.distance < 0,
+            self.fill_class() == FILL_INSIDE,
         )
 
 
@@ -252,9 +272,12 @@ class PixelRenderer:
       tape: the shape's register tape or a Shape (single output).
       image_size: output size in pixels.
       tile_size: single-level mode: root tile edge; leaves evaluate at
-        this granularity with one simplification level.
-      tile_sizes: multi-level mode (default (128, 32)): root and leaf
-        tile edges; the leaf tapes are re-specialized per subtile.
+        this granularity with one simplification level. The default is
+        a single 128-px level (measured fastest on TPU v5e).
+      tile_sizes: explicit level list, e.g. (128, 32) for two-level
+        mode where leaf tapes are re-specialized per subtile (6x
+        slower than single-level on the interpreter path at 1024^2 —
+        useful for fine fill proofs, not throughput).
       interpret: force Pallas interpret mode (None = auto by platform).
     """
 
@@ -534,13 +557,17 @@ class PixelRenderer:
             leaf_active = sub_active.reshape(-1)
             cx0 = sx0.reshape(-1)
             cy0 = sy0.reshape(-1)
+            # subtile-level proofs carry level tag 1; fills inherited
+            # from a culled root tile keep level 0
             fill_child = jnp.where(
                 sub_active,
                 np.int8(FILL_NONE),
                 jnp.where(
-                    jnp.where(act, sub_in, root_in[:, None]),
-                    np.int8(FILL_INSIDE),
-                    np.int8(FILL_OUTSIDE),
+                    act,
+                    jnp.where(sub_in, np.int8(FILL_INSIDE + 2),
+                              np.int8(FILL_OUTSIDE + 2)),
+                    jnp.where(root_in[:, None], np.int8(FILL_INSIDE),
+                              np.int8(FILL_OUTSIDE)),
                 ),
             ).astype(jnp.int8).reshape(-1)
 
@@ -621,8 +648,14 @@ class PixelRenderer:
         z: float = 0.0,
         vars: "ShapeVars | dict | None" = None,
         pixel_perfect: bool = False,
+        cancel=None,
     ) -> Image2D:
-        """Renders a frame; one device dispatch."""
+        """Renders a frame; one device dispatch. A fired CancelToken
+        raises RenderCancelled before the dispatch (a frame is one XLA
+        computation, so there is no finer-grained poll point)."""
+        from .config import check_cancel
+
+        check_cancel(cancel)
         mat = jnp.asarray(self._mat4(world_to_model))
         vec = jnp.asarray(self._var_vec(vars))
         if not self.two_level and not self.specialize:

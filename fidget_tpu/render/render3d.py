@@ -109,6 +109,24 @@ class VoxelRenderer:
         self.sub = sub_size
         assert tile_size % sub_size == 0
         self.interpret = default_interpret() if interpret is None else interpret
+        if (
+            not self.interpret
+            and tile_size == 32
+            and sub_size == 16
+            and max(size.width, size.height, size.depth) >= 512
+        ):
+            # (tile=32, sub=16) at >=512^3 triggers an XLA:TPU
+            # program-level miscompile that kills the TPU worker (every
+            # stage passes in isolation; identical kernel shapes work
+            # at tile_size=64 — see demos/probe_crash.py). A crashed
+            # worker takes minutes to recover, so refuse the config
+            # outright rather than let a user hit it.
+            raise ValueError(
+                "VoxelRenderer(tile_size=32, sub_size=16) at volumes >= "
+                "512 crashes the TPU runtime (known XLA:TPU miscompile; "
+                "demos/probe_crash.py). Use tile_size=64 (default) or a "
+                "different sub_size."
+            )
 
         W, H, D = size.width, size.height, size.depth
         assert W % tile_size == 0 and H % tile_size == 0 and D % tile_size == 0, (
@@ -562,14 +580,21 @@ class VoxelRenderer:
         vars: ShapeVars | dict | None = None,
         mode: str = "normals",
         max_retries: int = 3,
+        cancel=None,
     ) -> Image3D:
         """Renders a frame. On worklist overflow, retries with doubled
         capacity (host-side recompile), the graceful-degradation analog
-        of the wgpu tape-arena fallback."""
+        of the wgpu tape-arena fallback. `cancel` (a CancelToken) is
+        polled before each dispatch; a fired token raises
+        RenderCancelled (the reference polls per tile,
+        fidget-raster/src/lib.rs:141-162)."""
+        from .config import check_cancel
+
         assert mode in ("normals", "heightmap")
         matM = jnp.asarray(self._mat4(world_to_model))
         vec = jnp.asarray(self._var_vec(vars))
         for _ in range(max_retries + 1):
+            check_cancel(cancel)
             depth, normal, n_active = self._frame(
                 matM, vec, mode=mode, cap=self.cap
             )

@@ -176,3 +176,23 @@ def test_deep_remap_chain_import():
         ).remap_xyz(Tree.y(), Tree.z(), Tree.x())
     )
     assert root == direct
+
+
+def test_import_tree_cache_persists_across_imports():
+    # the reference caches subtree imports on the Context
+    # (context/mod.rs:1019-1034); ours persists across import_tree
+    # calls so shared components import in O(new nodes)
+    from fidget_tpu.core.tree import Tree
+
+    x, y, _ = Tree.axes()
+    base = (x.square() + y.square()).sqrt() - 0.5
+    ctx = Context()
+    n1 = ctx.import_tree(base)
+    len_after_first = len(ctx)
+    n2 = ctx.import_tree(base)
+    assert n1 == n2
+    assert len(ctx) == len_after_first  # no new nodes allocated
+    # a tree SHARING the subtree reuses its import
+    bigger = base.min(x - 0.1)
+    ctx.import_tree(bigger)
+    assert len(ctx) > len_after_first

@@ -89,11 +89,17 @@ def test_fuzz_2d_matches_brute(seed):
     both_nan = np.isnan(img.distance) & np.isnan(brute)
     close = np.isclose(img.distance, brute, rtol=1e-4, atol=1e-5)
     assert (close | both_nan)[ev].all()
-    # fills are conservative truths (NaN counts as not-inside)
-    inside_f = img.fill == 1
-    outside_f = img.fill == 2
+    # fills are conservative truths (NaN counts as not-inside),
+    # whichever cull level proved them (fill_class strips level tags)
+    cls = img.fill_class()
+    inside_f = cls == 1
+    outside_f = cls == 2
     assert (brute[inside_f] < 0).all()
     assert ~(brute[outside_f] < 0).any()
+    # level tags are consistent: single-level renders only tag level 0
+    lvl = img.fill_level()
+    assert lvl.max() <= (len(sizes) - 1)
+    assert (lvl[img.fill == 0] == -1).all()
 
 
 @pytest.mark.parametrize("seed", range(3))

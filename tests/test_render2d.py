@@ -287,3 +287,40 @@ def test_specialized_render_matches_bucketed():
     np.testing.assert_allclose(
         a.distance[ev], b.distance[ev], rtol=1e-5, atol=1e-5
     )
+
+
+def test_fill_level_tags_two_level():
+    # two-level renders tag subtile-proven fills with level 1 and
+    # root-proven fills with level 0 (the reference's per-fill depth,
+    # fidget-raster/src/pixel.rs:176-230)
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    f = ctx.sub(ctx.sqrt(ctx.add(ctx.square(x), ctx.square(y))), 0.6)
+    tape = lower(ctx, [f])
+    r = PixelRenderer(
+        tape, ImageSize(256, 256), tile_sizes=(128, 32), interpret=True
+    )
+    img = r.render()
+    lvl = img.fill_level()
+    assert (lvl[img.fill == FILL_NONE] == -1).all()
+    assert (lvl == 1).any(), "expected some subtile-level fills"
+    # fill_class strips the tags back to the classic codes
+    assert set(np.unique(img.fill_class())) <= {0, 1, 2}
+    # occupancy still exact vs brute
+    brute = r.render_brute()
+    np.testing.assert_array_equal(img.inside(), brute < 0)
+
+
+def test_render_cancellation():
+    from fidget_tpu.render.config import CancelToken, RenderCancelled
+
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    tape = lower(ctx, [ctx.sub(ctx.sqrt(ctx.add(ctx.square(x), ctx.square(y))), 0.6)])
+    r = PixelRenderer(tape, ImageSize(64, 64), interpret=True)
+    tok = CancelToken()
+    tok.cancel()
+    with pytest.raises(RenderCancelled):
+        r.render(cancel=tok)
+    # un-fired token: renders normally
+    assert r.render(cancel=CancelToken()).distance.shape == (64, 64)

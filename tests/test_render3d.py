@@ -201,3 +201,40 @@ def test_fused_voxel_depth_configs():
             brute = r.render_brute()
         img = r.render(mode="heightmap")
         np.testing.assert_array_equal(img.depth, brute.depth)
+
+
+def test_crash_prone_config_refused():
+    # (tile=32, sub=16) at >=512^3 is a known XLA:TPU miscompile that
+    # kills the TPU worker; the constructor must refuse it on hardware
+    # (interpret mode is unaffected)
+    from fidget_tpu.render.region import VoxelSize
+
+    tape = gyroid_sphere_tape()
+    with pytest.raises(ValueError, match="crash"):
+        VoxelRenderer(
+            tape, VoxelSize(512, 512, 512), tile_size=32, sub_size=16,
+            interpret=False,
+        )
+    # the same config in interpret mode (CPU) constructs fine
+    VoxelRenderer(
+        tape, VoxelSize(512, 512, 512), tile_size=32, sub_size=16,
+        interpret=True,
+    )
+
+
+def test_mesh_and_3d_cancellation():
+    from fidget_tpu.mesh import Settings, build_mesh
+    from fidget_tpu.render.config import CancelToken, RenderCancelled
+    from fidget_tpu.render.region import VoxelSize
+
+    tape = gyroid_sphere_tape()
+    tok = CancelToken()
+    tok.cancel()
+    with pytest.raises(RenderCancelled):
+        build_mesh(tape, Settings(depth=3, cancel=tok, interpret=True))
+    r = VoxelRenderer(
+        tape, VoxelSize(32, 32, 32), tile_size=16, sub_size=8,
+        interpret=True,
+    )
+    with pytest.raises(RenderCancelled):
+        r.render(mode="heightmap", cancel=tok)
