@@ -23,5 +23,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the interpret-mode pipelines compile
+# 5-15 s XLA:CPU programs per (shape-bucket, size); caching them across
+# test processes cuts repeat suite runs several-fold on this 1-CPU box.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
