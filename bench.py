@@ -1,19 +1,24 @@
-"""Headline benchmark: prospero.vm 2D MPR render at 1024x1024.
+"""Headline benchmark: prospero.vm 2D render at 1024x1024.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-The metric is steady-state render throughput in Mpix/s. The reference
-baseline is fidget's published number — 14.489 ms/frame at 512^2 with
-the multithreaded VM evaluator (demos/README.md:8-13) = 18.1 Mpix/s.
+The metric is steady-state render throughput in Mpix/s via the
+tiled-unrolled pipeline (16-px interval culling + the whole tape
+compiled into XLA over the compacted active-tile worklist — the
+fidget-JIT-with-culling analog). The reference baseline is fidget's
+published number — 14.489 ms/frame at 512^2 with the multithreaded VM
+evaluator (demos/README.md:8-13) = 18.1 Mpix/s.
 
 Methodology: frames are rendered in batches of K inside one jitted
 fori_loop (one device dispatch per batch) to amortize the dev-tunnel's
 ~30 ms dispatch latency, with the transform perturbed per frame so no
-loop-invariant work can be hoisted; the batch result is forced via a
-scalar checksum transfer. Wall time over the whole batch / K = frame
-time. Every frame performs the full pipeline: root interval pass,
-choice capture, batched tape simplification, compaction, leaf
-evaluation, image assembly.
+loop-invariant work can be hoisted and no dispatch is cache-identical;
+the batch result is forced via a scalar checksum transfer. Wall time
+over the whole batch / K = frame time. Every frame performs the full
+pipeline: root interval cull, compaction, unrolled leaf evaluation,
+scatter-back, fill assembly. Two guards must pass before timing:
+occupancy AND evaluated distances of the exact timed path vs dense
+brute force (a wrong transform once made a blank-frame "187 Mpix/s").
 """
 
 import json
@@ -23,6 +28,15 @@ import time
 import numpy as np
 
 BASELINE_MPIX_S = 18.1  # fidget demos/README.md: 14.489 ms @ 512^2
+TILE = 16
+
+
+def fail(metric, value):
+    print(json.dumps({
+        "metric": metric, "value": float(value), "unit": "fraction",
+        "vs_baseline": 0.0,
+    }))
+    sys.exit(1)
 
 
 def main() -> None:
@@ -32,75 +46,69 @@ def main() -> None:
 
     from fidget_tpu.io.models import load_vm_tape
     from fidget_tpu.render.region import ImageSize
-    from fidget_tpu.render.render2d import PixelRenderer
+    from fidget_tpu.render.render2d import PixelRenderer, _frame_unrolled_fn
 
     N = 1024
     tape = load_vm_tape("prospero.vm")
-    r = PixelRenderer(tape, ImageSize(N, N), tile_size=128)
+    r = PixelRenderer(tape, ImageSize(N, N))
 
-    # sanity: tiled pipeline must agree with dense brute force
-    img = r.render()
+    # first render settles the worklist capacity and compiles the
+    # per-shape unrolled leaf (persistent-cached across processes)
+    img = r.render_unrolled(tile_size=TILE)
     brute = r.render_brute()
     agreement = float((img.inside() == (brute < 0)).mean())
     if agreement < 0.9999:
-        print(
-            json.dumps(
-                {
-                    "metric": "FAILED occupancy agreement",
-                    "value": agreement,
-                    "unit": "fraction",
-                    "vs_baseline": 0.0,
-                }
-            )
-        )
-        sys.exit(1)
+        fail("FAILED occupancy agreement", agreement)
+    ev = img.fill == 0
+    close = np.isclose(img.distance[ev], brute[ev], rtol=1e-5, atol=1e-5)
+    close |= np.isnan(img.distance[ev]) & np.isnan(brute[ev])
+    if close.mean() < 0.9999:
+        fail("FAILED distance agreement", close.mean())
+
+    # the exact (frame fn, transform) pair being timed
+    cap = r._ucap[TILE]
+    n0x = n0y = N // TILE
+    fn = _frame_unrolled_fn(
+        id(r.tape), TILE, n0x, n0y, cap, r.n_inputs, False, r.interpret
+    )
+    tx = np.arange(n0x) * TILE
+    gx, gy = np.meshgrid(tx, tx)
+    x0 = jnp.asarray(gx.reshape(-1).astype(np.float32))
+    y0 = jnp.asarray(gy.reshape(-1).astype(np.float32))
+    mat = jnp.asarray(r._mat4(None))
+    vec = jnp.zeros(r.n_inputs, jnp.float32)
+    d0, f0, na0 = fn(x0, y0, mat, jnp.float32(0.0), vec)
+    d0, f0 = np.asarray(d0)[:N, :N], np.asarray(f0)[:N, :N]
+    inside0 = np.where(f0 == 0, d0 < 0, (f0 - 1) % 2 + 1 == 1)
+    if abs(inside0.mean() - (brute < 0).mean()) > 1e-4:
+        fail("FAILED timed-path occupancy guard", inside0.mean())
+    if int(na0) > cap:
+        fail("FAILED timed-path capacity guard", int(na0))
 
     K = 32
 
-    def many(mat, z):
-        vec = jnp.zeros(r.n_inputs, jnp.float32)
-
+    def many(mat):
         def body(k, acc):
-            m = mat * (1.0 + 1e-7 * k)
-            dist, fill = r._frame_impl(m, z, vec, pixel_perfect=False)
-            return acc + jnp.sum(dist) + jnp.sum(fill.astype(jnp.float32))
+            m = mat * (1.0 + 1e-7 * k.astype(jnp.float32))
+            dist, fill, na = fn(x0, y0, m, jnp.float32(0.0), vec)
+            return acc + jnp.sum(dist) + na.astype(jnp.float32)
 
-        return lax.fori_loop(0, K, body, 0.0)
+        return lax.fori_loop(0, K, body, jnp.float32(0.0))
 
     f = jax.jit(many)
-    # the REAL composed screen->model transform (an identity here would
-    # feed raw pixel coordinates to the shape, prove every tile empty,
-    # and "render" blank frames at fantasy speed)
-    mat = jnp.asarray(r._mat4(None))
-    z = jnp.float32(0.0)
-    # guard: the exact (function, matrix) pair being timed must produce
-    # the same occupancy as brute force — a wrong transform here once
-    # made the interval pass cull everything and "render" blank frames
-    vec0 = jnp.zeros(r.n_inputs, jnp.float32)
-    dist0, fill0 = r._frame_impl(mat, z, vec0, pixel_perfect=False)
-    dist0, fill0 = np.asarray(dist0), np.asarray(fill0)
-    inside0 = np.where(fill0 == 0, dist0 < 0, fill0 == 1)
-    if abs(inside0.mean() - (brute < 0).mean()) > 1e-4:
-        print(json.dumps({
-            "metric": "FAILED timed-path occupancy guard",
-            "value": float(inside0.mean()),
-            "unit": "fraction",
-            "vs_baseline": 0.0,
-        }))
-        sys.exit(1)
-
-    _ = float(f(mat, z))  # compile + warm
+    _ = float(f(mat))  # compile + warm
     best = float("inf")
-    for _ in range(3):
+    for i in range(3):
         t0 = time.time()
-        _ = float(f(mat, z))
+        _ = float(f(mat * (1.0 + 1e-6 * (i + 1))))
         best = min(best, (time.time() - t0) / K)
 
     mpix_s = N * N / best / 1e6
     print(
         json.dumps(
             {
-                "metric": "prospero.vm 1024^2 2D MPR render throughput",
+                "metric": "prospero.vm 1024^2 2D tiled-unrolled render "
+                          "throughput",
                 "value": round(mpix_s, 2),
                 "unit": "Mpix/s",
                 "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 2),

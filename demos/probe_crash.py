@@ -2,6 +2,8 @@
 
 Usage: python demos/probe_crash.py <stage> <N> [tile] [sub]
 Runs ONE pipeline stage of the 3D renderer in this process and prints
+(valid stages: root, simplify, full — finer stages folded into the
+strata scan)
 OK; a worker crash identifies the faulting kernel. Run stages in
 separate processes, front to back.
 """

@@ -11,6 +11,30 @@ meshing — all expressed in JAX so pixel gradients with respect to shape
 parameters flow through the evaluator via autodiff.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the compiled-per-shape evaluators
+# (unrolled 2D leaf, dense mode) cost 1-3 min of XLA:TPU compile per
+# (shape, size) — cached, a shape compiles once EVER per machine and
+# subsequent processes load it in seconds (the interactive-compile
+# story of the reference's machine-code JIT, amortized differently).
+# Opt out with FIDGET_TPU_NO_CACHE=1; an explicit user-set cache dir
+# is respected.
+if _os.environ.get("FIDGET_TPU_NO_CACHE") != "1":
+    try:
+        if not _jax.config.jax_compilation_cache_dir:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.expanduser("~/.cache/fidget_tpu_xla"),
+            )
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 2.0
+            )
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from .core.context import Context
 from .core.ops import BinaryOp, UnaryOp
 from .core.tree import Tree, tree_max, tree_min

@@ -277,8 +277,12 @@ def _unrolled_cull_stage(
     tape_key, T0, n0, V, x0, y0, mat, z, var_vec, interpret,
 ):
     """Root interval pass over all tiles (tiles are kernel LANES, one
-    instance): returns (root_in, root_out) proof flags [n0]."""
-    tape, op_order, packed, axis_of, nf, c_words = _TAPE_REGISTRY[tape_key]
+    instance): returns (root_in, root_out) proof flags [n0]. Uses the
+    CANONICAL bucketed arena, so the Pallas interval kernel is shared
+    with the standard pipeline's bucket (no per-shape Pallas compile —
+    only the unrolled XLA leaf is shape-specific)."""
+    tape, packed, axis_of, nf, c_words = _TAPE_REGISTRY[tape_key]
+    op_order = None
     s0r = max(8, _ceil_to(-(-n0 // 128), 8))
     im = IntervalMode(jnp)
 
@@ -350,7 +354,7 @@ def _frame_unrolled_fn(
     host retries with the next capacity bucket, same pattern as the 3D
     renderer).
     """
-    tape, op_order, packed, axis_of, nf, c_words = _TAPE_REGISTRY[tape_key]
+    tape, packed, axis_of, nf, c_words = _TAPE_REGISTRY[tape_key]
     n0 = n0x * n0y
     pp = T0 * T0
 
@@ -506,13 +510,15 @@ class PixelRenderer:
         k = np.arange(self.m)
         self.sub_dx = ((k % self.r) * T1).astype(np.float32)
         self.sub_dy = ((k // self.r) * T1).astype(np.float32)
-        # single-level mode also has a bucketed tape-as-data path: the
-        # compiled frame is shared by every shape in the same bucket
+        # bucketed tape-as-data dims (canonical op order): the
+        # compiled kernels/frames are shared by every shape in the same
+        # (capacity, register-file, choice-words) bucket. Used by the
+        # single-level render() path and the unrolled mode's cull pass.
+        self.Lcap_b = max(64, 1 << (len(tape) - 1).bit_length())
+        self.nf_b = _ceil_to(max(self.nf, 64), 64)
+        self.cw_b = max(1, 1 << (self.c_words - 1).bit_length())
+        self.packed_b = pack_tapes([tape], capacity=self.Lcap_b)
         if not self.two_level:
-            self.Lcap_b = max(64, 1 << (len(tape) - 1).bit_length())
-            self.nf_b = _ceil_to(max(self.nf, 64), 64)
-            self.cw_b = max(1, 1 << (self.c_words - 1).bit_length())
-            self.packed_b = pack_tapes([tape], capacity=self.Lcap_b)
             self.axis_idx = np.array(
                 [
                     -1 if self.axis_of.get(k2) is None else self.axis_of[k2]
@@ -856,8 +862,8 @@ class PixelRenderer:
         key = id(self.tape)
         if key not in _TAPE_REGISTRY:
             _TAPE_REGISTRY[key] = (
-                self.tape, self.op_order, self.packed, self.axis_of,
-                self.nf, self.c_words,
+                self.tape, self.packed_b, self.axis_of,
+                self.nf_b, self.cw_b,
             )
         tx = np.arange(n0x) * T0
         ty = np.arange(n0y) * T0

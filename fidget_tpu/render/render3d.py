@@ -6,29 +6,33 @@ execution model (fidget-wgpu/src/voxel/mod.rs:2557-2596) under XLA's
 static-shape rules:
 
 1. **Root interval pass** — every `ts`^3 root tile is an interval lane
-   of one Pallas launch; tiles prove full (emit their top z into the
-   heightmap), empty, or stay active; choices feed the batched device
-   simplifier, producing one specialized tape per root tile.
-2. **Subtile interval pass** — grid instance per root tile; lanes are
-   its `sub`^3 subtiles, evaluated with the *simplified* tape (culled
-   roots get zero-length tapes and cost nothing).
-3. **Occlusion cull + compaction** — full tiles/subtiles build a
-   conservative per-column depth floor; active subtiles whose top lies
-   at or below the floor are dropped (the analog of the wgpu zmin
-   tests, interval_tiles.wgsl:20-129). Survivors sort front-to-back
-   into a fixed-capacity worklist (overflow is detected and the host
-   retries with doubled capacity — the graceful-degradation pattern of
-   the wgpu tape arena, tape_simplify.wgsl:13-17).
-4. **Voxel pass** — grid instance per compacted subtile; lanes are its
-   voxels, point-evaluated with the root tile's simplified tape; each
-   pixel column's deepest interior voxel scatter-maxes into the
-   heightmap (depth = z + 1, 0 = empty; voxel.rs:443-445).
-5. **Normals pass** — per-pixel forward-gradient evaluation at the
+   of one Pallas launch; tiles prove full, empty, or stay active;
+   choices feed the batched device simplifier, producing one
+   specialized tape per root tile.
+2. **Z-strata scan, front-to-back** — a `lax.scan` over root-tile
+   layers, nearest first, carrying the per-pixel depth floor (the wgpu
+   strata scheduler, fidget-wgpu/src/voxel/mod.rs:30-46). Per stratum:
+   a. subtile interval pass with the slab's simplified tapes (grid
+      instance per slab tile);
+   b. **result-driven occlusion** — subtiles whose top lies at or
+      below the floor built by NEARER strata's actual voxel hits (and
+      interval proofs) are dropped, the analog of the wgpu zmin tests
+      (interval_tiles.wgsl:20-129);
+   c. compaction of survivors into a fixed per-stratum worklist
+      (overflow detected; the host retries with a larger capacity —
+      the graceful-degradation pattern of the wgpu tape arena);
+   d. voxel pass — grid instance per compacted subtile, lanes are its
+      voxels, with a fused per-column depth-reduce epilogue; hits fold
+      into the floor (depth = z + 1, 0 = empty; voxel.rs:443-445).
+   Worklist and scatter memory scale with ONE slab (nl*H*W), not the
+   volume (nz2*H*W).
+3. **Normals pass** — per-pixel forward-gradient evaluation at the
    surface voxel, seeded with the world-frame Jacobian, mirroring the
    grad-slice normals pass (voxel.rs:447-482). Saturated pixels
    (depth == D) get normal [0,0,1] (voxel.rs:534-546).
 
-Everything is traced into a single XLA computation per frame.
+Everything (including the strata loop) is traced into a single XLA
+computation per frame.
 """
 
 from __future__ import annotations
@@ -273,7 +277,6 @@ class VoxelRenderer:
         nty = nt // (self.ntz * self.ntx)
         H = nty * ts                       # slab height in pixels
         ny2 = nty * nl
-        nsub = self.nz2 * ny2 * self.nx2
         s0r = max(8, _ceil_to(-(-nt // 128), 8))
         y_base = jnp.min(y0)               # slab's first global pixel row
         interpret = self.interpret
@@ -302,12 +305,6 @@ class VoxelRenderer:
         if stop_after == "root":
             return rlo, rhi, packed_choices
 
-        # full root tiles: column depth = tile top
-        fullv = jnp.where(root_full, z0 + ts, 0.0).reshape(
-            self.ntz, nty, self.ntx
-        )
-        depth_root = fullv.max(axis=0).astype(jnp.int32)  # [nty, ntx]
-
         # ---- stage 2: per-root-tile simplification --------------------
         w1s, w2s, imms, lens, _ncho = self.simplifier.simplify_packed(
             packed_choices, n_tiles=nt, interpret=interpret
@@ -316,174 +313,199 @@ class VoxelRenderer:
         if stop_after == "simplify":
             return w1s, w2s, lens
 
-        # ---- stage 3: subtile interval pass (instance per root tile) --
-        sx0 = x0[:, None] + jnp.asarray(self.sub_dx)[None, :]  # [nt, m]
-        sy0 = y0[:, None] + jnp.asarray(self.sub_dy)[None, :]
-        sz0 = z0[:, None] + jnp.asarray(self.sub_dz)[None, :]
-        var_lo1, var_hi1 = self._interval_vars(
-            im, mat, var_vec,
-            (sx0, sx0 + sub), (sy0, sy0 + sub), (sz0, sz0 + sub),
-            self.s0s, (nt,),
-        )
-        lens1 = jnp.where(root_active, lens, 0)
-        olo1, ohi1, choices1 = interp_interval(
-            w1s, w2s, imms, lens1, var_lo1, var_hi1,
-            nf=self.nf, n_inputs=self.n_inputs, n_outputs=1, s0=self.s0s,
-            c_words=self.c_words, interpret=interpret,
-            op_order=self.op_order,
-        )
-        slo = olo1[:, 0].reshape(nt, -1)[:, :m]
-        shi = ohi1[:, 0].reshape(nt, -1)[:, :m]
-        act = root_active[:, None]
-        sub_full = act & (shi < 0.0)
-        sub_active = act & ~(shi < 0.0) & ~(slo > 0.0)
+        # ---- stages 3-5: Z-strata scan, front-to-back -------------------
+        # One stratum = one root-tile layer (ts voxels deep). Strata are
+        # processed nearest-first inside a lax.scan whose carry is the
+        # per-pixel depth floor, so each stratum culls its subtiles
+        # against the RESULTS (actual voxel hits) of nearer strata —
+        # the wgpu strata scheduler (fidget-wgpu/src/voxel/mod.rs:30-46,
+        # interval_tiles.wgsl:20-129 zmin tests) — and worklist/scatter
+        # memory scales with one slab (nl*H*W), not the whole volume
+        # (nz2*H*W).
+        ntxy = nty * self.ntx
+        nsub_s = nl * ny2 * self.nx2      # subtiles per stratum
+        cap_s = min(cap, nsub_s)
 
-        def to_dense(flags):
-            """[nt, m] -> [nz2, ny2, nx2] subtile-granularity grid."""
-            g = flags.reshape(self.ntz, nty, self.ntx, nl, nl, nl)
-            return g.transpose(0, 3, 1, 4, 2, 5).reshape(
-                self.nz2, ny2, self.nx2
+        def slab_of(a):
+            """[nt, ...] (tz, ty, tx)-major -> [ntz, ntxy, ...] with
+            stratum 0 = NEAREST (largest z)."""
+            return a.reshape((self.ntz, ntxy) + a.shape[1:])[::-1]
+
+        xs = dict(
+            x0=slab_of(x0), y0=slab_of(y0), z0=slab_of(z0),
+            act=slab_of(root_active), full=slab_of(root_full),
+            w1s=slab_of(w1s), w2s=slab_of(w2s), imms=slab_of(imms),
+            lens=slab_of(jnp.where(root_active, lens, 0)),
+        )
+        sub_dx = jnp.asarray(self.sub_dx)
+        sub_dy = jnp.asarray(self.sub_dy)
+        sub_dz = jnp.asarray(self.sub_dz)
+        vox_dx = jnp.asarray(self.vox_dx)
+        vox_dy = jnp.asarray(self.vox_dy)
+        vox_dz = jnp.asarray(self.vox_dz)
+
+        def stratum(floor, s):
+            # floor: [H, W] int32 depth so far (result-driven occlusion)
+            x0s, y0s, z0s = s["x0"], s["y0"], s["z0"]
+            acts = s["act"][:, None]                      # [ntxy, 1]
+            lens1 = s["lens"]
+
+            # root-full proofs of THIS slab fill their whole footprint
+            full_px = jnp.repeat(
+                jnp.repeat(
+                    jnp.where(s["full"], z0s + ts, 0.0)
+                    .reshape(nty, self.ntx).astype(jnp.int32),
+                    ts, 0,
+                ),
+                ts, 1,
             )
+            floor = jnp.maximum(floor, full_px)
 
-        if stop_after == "subtile":
-            return slo, shi, choices1
-
-        full_d = to_dense(sub_full)
-        gz_col = jnp.arange(self.nz2, dtype=jnp.int32)[:, None, None]
-        depth_sub = (
-            jnp.where(full_d, gz_col * sub + sub, 0).max(axis=0)
-        )  # [ny2, nx2]
-
-        # conservative per-column depth floor at subtile granularity
-        coarse = jnp.maximum(
-            jnp.repeat(jnp.repeat(depth_root, nl, 0), nl, 1), depth_sub
-        )  # [ny2, nx2]
-
-        # ---- stage 4: occlusion cull + front-to-back compaction --------
-        active_d = to_dense(sub_active)
-        sub_top = gz_col * sub + sub
-        occluded = sub_top <= coarse[None, :, :]
-        active_d = active_d & ~occluded
-        act_flat = active_d.reshape(-1)
-        n_active = act_flat.sum()
-
-        gz_f = (
-            jnp.arange(nsub, dtype=jnp.int32) // (ny2 * self.nx2)
-        )
-        BIG = jnp.int32(1 << 30)
-        key = jnp.where(act_flat, (self.nz2 - gz_f).astype(jnp.int32), BIG)
-        order = jnp.argsort(key)[:cap]  # front-most first
-        valid = act_flat[order]
-
-        # decode compacted slots back to coordinates and parent tiles
-        gz = order // (ny2 * self.nx2)
-        rem = order % (ny2 * self.nx2)
-        gy = rem // self.nx2
-        gx = rem % self.nx2
-        t_idx = (
-            (gz // nl) * (nty * self.ntx)
-            + (gy // nl) * self.ntx
-            + (gx // nl)
-        )
-        w1p = jnp.take(w1s, t_idx, axis=0)
-        w2p = jnp.take(w2s, t_idx, axis=0)
-        immp = jnp.take(imms, t_idx, axis=0)
-
-        # second-level simplification: every compacted subtile's tape
-        # is re-specialized from its root's *dynamic* tape using the
-        # subtile interval pass's choice trace (the wgpu per-level
-        # tape_simplify loop, interval_tiles.wgsl:20-129)
-        perlane = DynamicSimplifier.codes(
-            w1s, w2s, lens1, choices1, nf=self.nf, interpret=interpret,
-            op_order=self.op_order,
-        )  # [nt, s0s*128, lw]
-        k_local = (
-            ((gz % nl) * nl + (gy % nl)) * nl + (gx % nl)
-        )  # (lz, ly, lx) row-major, matching sub_d* ordering
-        per_sub = perlane[t_idx, k_local]  # [cap, lw]
-        codes_u8 = DeviceSimplifier.unpack_codes(per_sub, w1s.shape[1])
-        w1_leaf, w2_leaf, imm_leaf, len_leaf, _ = (
-            DynamicSimplifier.reconstruct(
-                w1p, w2p, immp, codes_u8, op_order=self.op_order
+            # subtile interval pass with the slab's simplified tapes
+            sx0 = x0s[:, None] + sub_dx[None, :]          # [ntxy, m]
+            sy0 = y0s[:, None] + sub_dy[None, :]
+            sz0 = z0s[:, None] + sub_dz[None, :]
+            var_lo1, var_hi1 = self._interval_vars(
+                im, mat, var_vec,
+                (sx0, sx0 + sub), (sy0, sy0 + sub), (sz0, sz0 + sub),
+                self.s0s, (ntxy,),
             )
-        )
-        len_leaf = jnp.where(valid, len_leaf, 0)
-
-        if stop_after == "compact":
-            return w1_leaf, len_leaf, n_active
-
-        # ---- stage 5: voxel point pass (instance per subtile) -----------
-        bx = (gx * sub).astype(jnp.float32)[:, None]
-        by = (gy * sub).astype(jnp.float32)[:, None] + y_base
-        bz = (gz * sub).astype(jnp.float32)[:, None]
-        px = bx + jnp.asarray(self.vox_dx)[None, :]  # [cap, sub^3]
-        py = by + jnp.asarray(self.vox_dy)[None, :]
-        pz = bz + jnp.asarray(self.vox_dz)[None, :]
-        vars_v = self._point_vars(
-            mat, var_vec, px, py, pz, self.s0v, (cap,)
-        )
-        if stop_after == "vars":
-            return (vars_v,)
-        if sub * sub % 128 == 0:
-            # fused path: the kernel's epilogue reduces each pixel
-            # column's deepest interior voxel on the spot, returning
-            # [cap, PP, 128] local depths — 16x less HBM traffic than a
-            # full distance volume (and no [cap, sub^3] intermediate,
-            # which miscompiled at some sizes on TPU)
-            pp = (sub * sub) // 128
-            local = interp_voxel_depth(
-                w1_leaf, w2_leaf, imm_leaf, len_leaf, vars_v,
-                nf=self.nf, n_inputs=self.n_inputs, s0=self.s0v,
-                sub=sub, interpret=interpret, op_order=self.op_order,
-            )[:, :pp].reshape(cap, sub, sub)  # (vy, vx) local z+1
-            dcand = jnp.where(
-                (local > 0) & valid[:, None, None],
-                bz.astype(jnp.int32)[..., None] + local,
-                0,
-            )  # [cap, sub(vy), sub(vx)]
-        else:
-            dv = interp_float(
-                w1_leaf, w2_leaf, imm_leaf, len_leaf, vars_v,
+            olo1, ohi1, choices1 = interp_interval(
+                s["w1s"], s["w2s"], s["imms"], lens1, var_lo1, var_hi1,
                 nf=self.nf, n_inputs=self.n_inputs, n_outputs=1,
-                s0=self.s0v, interpret=interpret, op_order=self.op_order,
-            )[:, 0].reshape(cap, -1)[:, : sub**3]
-            inside = (dv < 0.0) & valid[:, None]
-            inside = inside.reshape(cap, sub, sub, sub)  # (vz, vy, vx)
-            vz_col = jnp.arange(sub, dtype=jnp.int32)[None, :, None, None]
-            dcand = (
-                jnp.where(
+                s0=self.s0s, c_words=self.c_words, interpret=interpret,
+                op_order=self.op_order,
+            )
+            slo = olo1[:, 0].reshape(ntxy, -1)[:, :m]
+            shi = ohi1[:, 0].reshape(ntxy, -1)[:, :m]
+            sub_full = acts & (shi < 0.0)
+            sub_active = acts & ~(shi < 0.0) & ~(slo > 0.0)
+
+            def to_dense(flags):
+                """[ntxy, m] -> [nl(z), ny2, nx2] slab-local grid."""
+                g = flags.reshape(nty, self.ntx, nl, nl, nl)
+                return g.transpose(2, 0, 3, 1, 4).reshape(
+                    nl, ny2, self.nx2
+                )
+
+            z_lo = z0s[0]  # slab z base (shared by all slab tiles)
+            lz_col = jnp.arange(nl, dtype=jnp.int32)[:, None, None]
+            sub_top = z_lo.astype(jnp.int32) + lz_col * sub + sub
+
+            # proof-driven fulls at subtile granularity
+            full_d = to_dense(sub_full)
+            proof_sub = jnp.where(full_d, sub_top, 0).max(0)  # [ny2,nx2]
+            floor = jnp.maximum(
+                floor, jnp.repeat(jnp.repeat(proof_sub, sub, 0), sub, 1)
+            )
+
+            # result-driven occlusion: a subtile is dead if its top is
+            # at or below the floor EVERYWHERE in its footprint
+            floor_min = (
+                floor.reshape(ny2, sub, self.nx2, sub).min((1, 3))
+            )  # [ny2, nx2]
+            active_d = to_dense(sub_active) & (sub_top > floor_min[None])
+            act_flat = active_d.reshape(-1)
+            n_active = act_flat.sum()
+
+            # compact to the per-stratum capacity (nearest-first)
+            BIG = jnp.int32(1 << 30)
+            lz_f = jnp.arange(nsub_s, dtype=jnp.int32) // (ny2 * self.nx2)
+            key = jnp.where(act_flat, nl - lz_f, BIG)
+            order = jnp.argsort(key)[:cap_s]
+            valid = act_flat[order]
+            lz = order // (ny2 * self.nx2)
+            rem = order % (ny2 * self.nx2)
+            gy = rem // self.nx2
+            gx = rem % self.nx2
+            t_idx = (gy // nl) * self.ntx + (gx // nl)
+            w1p = jnp.take(s["w1s"], t_idx, axis=0)
+            w2p = jnp.take(s["w2s"], t_idx, axis=0)
+            immp = jnp.take(s["imms"], t_idx, axis=0)
+
+            # per-subtile re-specialization from the root's dynamic
+            # tape (the wgpu per-level tape_simplify loop)
+            perlane = DynamicSimplifier.codes(
+                s["w1s"], s["w2s"], lens1, choices1, nf=self.nf,
+                interpret=interpret, op_order=self.op_order,
+            )  # [ntxy, s0s*128, lw]
+            k_local = ((lz % nl) * nl + (gy % nl)) * nl + (gx % nl)
+            per_sub = perlane[t_idx, k_local]
+            codes_u8 = DeviceSimplifier.unpack_codes(
+                per_sub, s["w1s"].shape[1]
+            )
+            w1_leaf, w2_leaf, imm_leaf, len_leaf, _ = (
+                DynamicSimplifier.reconstruct(
+                    w1p, w2p, immp, codes_u8, op_order=self.op_order
+                )
+            )
+            len_leaf = jnp.where(valid, len_leaf, 0)
+
+            # voxel point pass over the compacted slab worklist
+            bx = (gx * sub).astype(jnp.float32)[:, None]
+            by = (gy * sub).astype(jnp.float32)[:, None] + y_base
+            bz = (lz * sub).astype(jnp.float32)[:, None] + z_lo
+            px = bx + vox_dx[None, :]
+            py = by + vox_dy[None, :]
+            pz = bz + vox_dz[None, :]
+            vars_v = self._point_vars(
+                mat, var_vec, px, py, pz, self.s0v, (cap_s,)
+            )
+            if sub * sub % 128 == 0:
+                # fused depth-reduce epilogue (16x less HBM traffic)
+                pp = (sub * sub) // 128
+                local = interp_voxel_depth(
+                    w1_leaf, w2_leaf, imm_leaf, len_leaf, vars_v,
+                    nf=self.nf, n_inputs=self.n_inputs, s0=self.s0v,
+                    sub=sub, interpret=interpret, op_order=self.op_order,
+                )[:, :pp].reshape(cap_s, sub, sub)
+                dcand = jnp.where(
+                    (local > 0) & valid[:, None, None],
+                    bz.astype(jnp.int32)[..., None] + local,
+                    0,
+                )  # [cap_s, sub(vy), sub(vx)]
+            else:
+                dv = interp_float(
+                    w1_leaf, w2_leaf, imm_leaf, len_leaf, vars_v,
+                    nf=self.nf, n_inputs=self.n_inputs, n_outputs=1,
+                    s0=self.s0v, interpret=interpret,
+                    op_order=self.op_order,
+                )[:, 0].reshape(cap_s, -1)[:, : sub**3]
+                inside = (dv < 0.0) & valid[:, None]
+                inside = inside.reshape(cap_s, sub, sub, sub)
+                vz_col = jnp.arange(sub, dtype=jnp.int32)[None, :, None, None]
+                dcand = jnp.where(
                     inside,
                     bz.astype(jnp.int32)[..., None, None] + vz_col + 1,
                     0,
-                )
-                .max(axis=1)
-            )  # [cap, sub(vy), sub(vx)]
+                ).max(axis=1)
 
-        if stop_after == "dcand":
-            return (dcand,)
+            # scatter back through the compaction inverse and fold the
+            # slab's voxel hits into the floor (one slab in flight:
+            # memory is nl*H*W, not nz2*H*W)
+            slot_of = (
+                jnp.full(nsub_s, cap_s, jnp.int32)
+                .at[order]
+                .set(jnp.where(
+                    valid, jnp.arange(cap_s, dtype=jnp.int32), cap_s
+                ))
+            )
+            dcand_pad = jnp.concatenate(
+                [dcand, jnp.zeros((1, sub, sub), jnp.int32)], axis=0
+            )
+            dense = dcand_pad[slot_of]  # [nsub_s, sub, sub]
+            slab_vox = (
+                dense.reshape(nl, ny2, self.nx2, sub, sub)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(nl, H, W)
+                .max(axis=0)
+            )
+            floor = jnp.maximum(floor, slab_vox)
+            return floor, n_active
 
-        # max voxel depths into the per-pixel heightmap. XLA serializes
-        # element scatters on TPU (a 2M-element scatter-max here cost
-        # ~37 ms/frame), so instead invert the compaction with ONE
-        # cap-sized index scatter, gather the per-subtile depth blocks
-        # into a dense [nz2, H, W] grid, and reduce over z densely.
-        slot_of = (
-            jnp.full(nsub, cap, jnp.int32)
-            .at[order]
-            .set(jnp.where(valid, jnp.arange(cap, dtype=jnp.int32), cap))
-        )
-        dcand_pad = jnp.concatenate(
-            [dcand, jnp.zeros((1, sub, sub), jnp.int32)], axis=0
-        )
-        dense = dcand_pad[slot_of]  # [nsub, sub, sub]
-        depth = (
-            dense.reshape(self.nz2, ny2, self.nx2, sub, sub)
-            .transpose(0, 1, 3, 2, 4)
-            .reshape(self.nz2, H, W)
-            .max(axis=0)
-        )
-        coarse_px = jnp.repeat(jnp.repeat(coarse, sub, 0), sub, 1)
-        depth = jnp.maximum(depth, coarse_px).astype(jnp.int32)
+        floor0 = jnp.zeros((H, W), jnp.int32)
+        depth, n_active_s = jax.lax.scan(stratum, floor0, xs)
+        n_active = n_active_s.max()
 
         if mode == "heightmap":
             return depth, None, n_active

@@ -324,3 +324,52 @@ def test_render_cancellation():
         r.render(cancel=tok)
     # un-fired token: renders normally
     assert r.render(cancel=CancelToken()).distance.shape == (64, 64)
+
+
+def test_unrolled_mode_matches_brute():
+    # the tiled-unrolled pipeline (fidget-JIT analog with culling):
+    # cull at 16-px tiles, whole-tape XLA leaf over compacted actives
+    if not has_model("hi.vm"):
+        pytest.skip("model assets unavailable")
+    ctx, root = load_vm("hi.vm")
+    tape = lower(ctx, [root])
+    r = PixelRenderer(tape, ImageSize(192, 160), interpret=True)
+    img = r.render_unrolled()
+    brute = r.render_brute()
+    ev = img.fill == FILL_NONE
+    np.testing.assert_allclose(
+        img.distance[ev], brute[ev], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(img.inside(), brute < 0)
+    assert ev.mean() < 0.6, "culling should skip a large fraction"
+    # pixel_perfect: dense, every pixel evaluated
+    img2 = r.render_unrolled(pixel_perfect=True)
+    assert (img2.fill == FILL_NONE).all()
+    np.testing.assert_allclose(img2.distance, brute, rtol=1e-5, atol=1e-6)
+
+
+def test_unrolled_capacity_retry():
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    tape = lower(ctx, [ctx.sub(ctx.sqrt(ctx.add(ctx.square(x), ctx.square(y))), 0.7)])
+    r = PixelRenderer(tape, ImageSize(128, 128), interpret=True)
+    # absurdly small starting capacity: must retry to a fitting bucket
+    img = r.render_unrolled(cap=128 // 8)
+    brute = r.render_brute()
+    np.testing.assert_array_equal(img.inside(), brute < 0)
+    assert r._ucap[16] >= 16
+
+
+def test_unrolled_with_vars_and_transform():
+    from fidget_tpu import Tree, Var
+    from fidget_tpu.shape import Shape
+
+    rv = Var.new()
+    x, y, _ = Tree.axes()
+    shape = Shape.from_tree(
+        (x.square() + y.square()).sqrt() - Tree.var(rv)
+    ).apply_transform(np.diag([0.5, 0.5, 1.0, 1.0]))
+    r = PixelRenderer(shape, ImageSize(128, 128), interpret=True)
+    img = r.render_unrolled(vars={rv: 0.4})
+    brute = r.render_brute(vars={rv: 0.4})
+    np.testing.assert_array_equal(img.inside(), brute < 0)
