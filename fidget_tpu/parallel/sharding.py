@@ -212,6 +212,178 @@ def render_tiles_sharded(
     )
 
 
+def render_unrolled_sharded(
+    tape,
+    size: ImageSize,
+    mesh: Mesh,
+    *,
+    world_to_model: np.ndarray | None = None,
+    z: float = 0.0,
+    vars: dict | None = None,
+    tile_size: int = 16,
+    cap: int | None = None,
+    interpret: bool | None = None,
+    max_retries: int = 3,
+    _debug_counts: bool = False,
+):
+    """Tiled-unrolled 2D render with POST-CULL LOAD REBALANCING.
+
+    The static-slab pipelines shard tile rows with zero communication,
+    which strands devices whose slab culls to nothing (a scene whose
+    geometry lands in one slab leaves D-1 devices idle). This is the
+    TPU analog of the reference's rayon work-stealing
+    (fidget-raster/src/lib.rs:99-167), expressed with collectives:
+
+    1. each device interval-culls its OWN tile-row slab;
+    2. `all_gather` of the per-tile active flags (n0 bytes over ICI);
+    3. every device deterministically compacts the SAME global active
+       list and takes its equal C/D slice — perfect balance regardless
+       of where the geometry landed;
+    4. each device unroll-evaluates its slice (the expensive stage);
+    5. `all_gather` of the C/D distance blocks (the only bulk
+       exchange, ~C*T^2*4 bytes) lets every device assemble its own
+       image slab.
+
+    Returns an Image2D; worklist overflow retries with a larger
+    capacity bucket exactly like the single-device path.
+    """
+    from ..render.render2d import (
+        _TAPE_REGISTRY,
+        _unrolled_cull_stage,
+        _unrolled_leaf_stage,
+        FILL_INSIDE,
+        FILL_NONE,
+        FILL_OUTSIDE,
+        Image2D,
+        PixelRenderer,
+    )
+
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    T0 = int(tile_size)
+    r = PixelRenderer(tape, size, interpret=interpret)
+    n0x = -(-size.width // T0)
+    n0y = -(-size.height // T0)
+    n0 = n0x * n0y
+    if n0y % D != 0:
+        raise ValueError(
+            f"tile rows ({n0y}) must divide over {D} devices; pick an "
+            f"image height that is a multiple of {T0 * D}"
+        )
+    key = id(r.tape)
+    if key not in _TAPE_REGISTRY:
+        _TAPE_REGISTRY[key] = (
+            r.tape, r.packed_b, r.axis_of, r.nf_b, r.cw_b,
+        )
+    n0_loc = n0 // D
+    tx = np.arange(n0x) * T0
+    ty = np.arange(n0y) * T0
+    gx, gy = np.meshgrid(tx, ty)
+    x0g = gx.reshape(-1).astype(np.float32)
+    y0g = gy.reshape(-1).astype(np.float32)
+    x0 = jnp.asarray(x0g.reshape(n0y, n0x))
+    y0 = jnp.asarray(y0g.reshape(n0y, n0x))
+    mat = jnp.asarray(r._mat4(world_to_model))
+    vec = jnp.asarray(r._var_vec(vars))
+    V = r.n_inputs
+
+    def bucket(n):
+        q = max(128, -(-n0 // 8))
+        c = min(-(-max(int(n), 1) // q) * q, n0)
+        return -(-c // D) * D  # divisible slices per device
+
+    if cap is None:
+        cap = bucket(max(n0 // 2, 1))
+
+    def make(C):
+        C_loc = C // D
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis, None), P(axis, None)),
+            out_specs=(P(axis, None), P(axis, None), P(), P(axis)),
+            check_vma=False,
+        )
+        def run(mat, z, vec, x0s, y0s):
+            d = jax.lax.axis_index(axis)
+            x0f = x0s.reshape(-1)
+            y0f = y0s.reshape(-1)
+            # 1) cull my slab
+            root_in, root_out = _unrolled_cull_stage(
+                key, T0, n0_loc, V, x0f, y0f, mat, z, vec,
+                r.interpret,
+            )
+            act_loc = ~(root_in | root_out)
+            # 2) exchange flags; 3) identical global compaction
+            act = jax.lax.all_gather(act_loc, axis, tiled=True)  # [n0]
+            n_active = act.sum()
+            order = jnp.argsort(~act, stable=True)[:C]
+            # round-robin deal: active tiles sit at the FRONT of the
+            # compacted order, so contiguous slices would hand them all
+            # to device 0 — strided columns balance any skew
+            my = order[jnp.arange(C_loc) * D + d]
+            my_valid = act[my]
+            # 4) evaluate my balanced slice (global tile coords are
+            # static constants, gatherable on every device)
+            cx0 = jnp.asarray(x0g)[my]
+            cy0 = jnp.asarray(y0g)[my]
+            dist_loc = _unrolled_leaf_stage(
+                key, T0, cx0, cy0, my_valid, mat, z, vec
+            )  # [C_loc, pp]
+            # 5) exchange results; assemble my image slab
+            dist_all = jax.lax.all_gather(
+                dist_loc, axis, tiled=True
+            )  # [C, pp]
+            # global slot of compacted position p after the tiled
+            # all_gather of round-robin slices: device (p % D) holds it
+            # at local row p // D
+            pos = jnp.arange(C, dtype=jnp.int32)
+            slot_vals = (pos % D) * C_loc + pos // D
+            slot_of = (
+                jnp.full(n0, C, jnp.int32)
+                .at[order]
+                .set(jnp.where(act[order], slot_vals, C))
+            )
+            slot_loc = jax.lax.dynamic_slice(
+                slot_of, (d * n0_loc,), (n0_loc,)
+            )
+            dist_pad = jnp.concatenate(
+                [dist_all, jnp.zeros((1, T0 * T0), jnp.float32)], axis=0
+            )
+            slab = dist_pad[slot_loc].reshape(n0y // D, n0x, T0, T0)
+            img = slab.transpose(0, 2, 1, 3).reshape(
+                (n0y // D) * T0, n0x * T0
+            )
+            fill_tile = jnp.where(
+                act_loc,
+                np.int8(FILL_NONE),
+                jnp.where(
+                    root_in, np.int8(FILL_INSIDE), np.int8(FILL_OUTSIDE)
+                ),
+            ).astype(jnp.int8)
+            fill = jnp.repeat(
+                jnp.repeat(fill_tile.reshape(n0y // D, n0x), T0, 0),
+                T0, 1,
+            )
+            return img, fill, n_active, my_valid.sum().reshape(1)
+
+        return jax.jit(run)
+
+    for _ in range(max_retries + 1):
+        img, fill, n_active, counts = make(cap)(
+            mat, jnp.float32(z), vec, x0, y0
+        )
+        if int(n_active) <= cap or cap >= n0:
+            break
+        cap = bucket(int(n_active))
+    H, W = size.height, size.width
+    out = Image2D(np.asarray(img)[:H, :W], np.asarray(fill)[:H, :W])
+    if _debug_counts:
+        return out, np.asarray(counts)
+    return out
+
+
 def render_voxels_sharded(
     tape,
     size,

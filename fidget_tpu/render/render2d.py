@@ -320,6 +320,26 @@ def _unrolled_cull_stage(
     return rhi < 0.0, rlo > 0.0
 
 
+def _unrolled_leaf_stage(tape_key, T0, cx0, cy0, valid, mat, z, var_vec):
+    """Whole-tape XLA evaluation of a compacted tile worklist: returns
+    f32 [C, T0*T0] distances (0 where the slot is invalid padding)."""
+    tape, packed, axis_of, nf, c_words = _TAPE_REGISTRY[tape_key]
+    C = cx0.shape[0]
+    pp = T0 * T0
+    V = max(1, len(tape.var_map))
+    ii = jnp.arange(pp, dtype=jnp.float32)
+    px = cx0[:, None] + ii[None, :] % T0
+    py = cy0[:, None] + ii[None, :] // T0
+    mx, my, mz = transform_points(mat, px, py, z)
+    inputs = [jnp.broadcast_to(var_vec[i], (C, pp)) for i in range(V)]
+    for kind, plane in (("x", mx), ("y", my), ("z", mz)):
+        idx = axis_of.get(kind)
+        if idx is not None:
+            inputs[idx] = jnp.broadcast_to(plane, (C, pp))
+    outs = eval_tape_float_fast(tape, inputs)
+    return jnp.where(valid[:, None], outs[0], 0.0)
+
+
 @functools.lru_cache(maxsize=32)
 def _cull_unrolled_fn(tape_key, T0, n0x, n0y, V, interpret):
     """Standalone jitted cull pass; cheap to compile, used to size the
@@ -376,20 +396,9 @@ def _frame_unrolled_fn(
         cy0 = y0[order]
 
         # ---- stage 3: unrolled leaf over the compacted worklist ------
-        ii = jnp.arange(pp, dtype=jnp.float32)
-        px = cx0[:, None] + ii[None, :] % T0
-        py = cy0[:, None] + ii[None, :] // T0
-        mx, my, mz = transform_points(mat, px, py, z)
-        inputs = [
-            jnp.broadcast_to(var_vec[i], (C, pp)) for i in range(V)
-        ]
-        for kind, plane in (("x", mx), ("y", my), ("z", mz)):
-            idx = axis_of.get(kind)
-            if idx is not None:
-                inputs[idx] = jnp.broadcast_to(plane, (C, pp))
-        outs = eval_tape_float_fast(tape, inputs)
-        dist_c = outs[0]  # [C, pp]
-        dist_c = jnp.where(valid[:, None], dist_c, 0.0)
+        dist_c = _unrolled_leaf_stage(
+            tape_key, T0, cx0, cy0, valid, mat, z, var_vec
+        )
 
         # ---- stage 4: scatter back + assemble ------------------------
         slot_of = (

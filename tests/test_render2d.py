@@ -373,3 +373,45 @@ def test_unrolled_with_vars_and_transform():
     img = r.render_unrolled(vars={rv: 0.4})
     brute = r.render_brute(vars={rv: 0.4})
     np.testing.assert_array_equal(img.inside(), brute < 0)
+
+
+def test_unrolled_sharded_rebalances_skew():
+    """Post-cull load rebalancing (the rayon work-stealing analog,
+    fidget-raster/src/lib.rs:99-167): a scene whose geometry lands in
+    ONE tile-row slab must still deal active tiles evenly across the
+    mesh, and the result must stay exact."""
+    import jax
+
+    from fidget_tpu.parallel.sharding import (
+        make_mesh,
+        render_unrolled_sharded,
+    )
+
+    n_dev = min(4, jax.device_count())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = make_mesh(n_dev)
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    # all geometry in the top slab: static row-sharding would leave
+    # n_dev-1 devices idle
+    f = ctx.sub(
+        ctx.sqrt(ctx.add(ctx.square(x), ctx.square(ctx.sub(y, 0.85)))),
+        0.12,
+    )
+    tape = lower(ctx, [f])
+    size = ImageSize(128, 64 * n_dev)
+    img, counts = render_unrolled_sharded(
+        tape, size, mesh, interpret=True, _debug_counts=True
+    )
+    r = PixelRenderer(tape, size, interpret=True)
+    brute = r.render_brute()
+    np.testing.assert_array_equal(img.inside(), brute < 0)
+    ev = img.fill == FILL_NONE
+    np.testing.assert_allclose(
+        img.distance[ev], brute[ev], rtol=1e-5, atol=1e-6
+    )
+    total = counts.sum()
+    assert total > 0
+    # perfect deal: no device holds more than ceil(active / D)
+    assert counts.max() <= -(-int(total) // n_dev)
