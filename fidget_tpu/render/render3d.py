@@ -90,6 +90,13 @@ class VoxelRenderer:
         one leaf grid instance (default 16 -> 4096 lanes).
       cap: max active subtiles processed per frame (None = auto from
         the screen area); overflow triggers a host-side retry at 2x.
+      strata: "scan" traces the whole strata loop into one XLA program
+        (fastest, default for volumes <= 512^3); "loop" drives one
+        dispatch per stratum from the host — required at larger
+        volumes, where the composed scan program triggers an XLA:TPU
+        kernel fault (demos/probe_1024.py: every stage passes in
+        isolation at 1024^3, the fused scan kills the worker), and it
+        also polls the CancelToken between strata. "auto" picks.
     """
 
     def __init__(
@@ -101,7 +108,10 @@ class VoxelRenderer:
         sub_size: int = 16,
         cap: int | None = None,
         interpret: bool | None = None,
+        strata: str = "auto",
     ):
+        assert strata in ("auto", "scan", "loop")
+        self.strata = strata
         self.shape_transform = None
         if isinstance(tape, Shape):
             self.shape_transform = tape.transform
@@ -337,14 +347,51 @@ class VoxelRenderer:
             w1s=slab_of(w1s), w2s=slab_of(w2s), imms=slab_of(imms),
             lens=slab_of(jnp.where(root_active, lens, 0)),
         )
+        if stop_after == "strata_xs":
+            return xs, mat, jnp.min(y0)
+
+        def stratum(floor, s):
+            return self._stratum_body(
+                floor, s, mat=mat, var_vec=var_vec, y_base=y_base,
+                nty=nty, cap_s=cap_s,
+            )
+
+        floor0 = jnp.zeros((H, W), jnp.int32)
+        depth, n_active_s = jax.lax.scan(stratum, floor0, xs)
+        n_active = n_active_s.max()
+
+        if mode == "heightmap":
+            return depth, None, n_active
+
+        normal = self._normals_body(
+            depth, matM, var_vec, y_base=y_base, H=H, W=W
+        )
+        return depth, normal, n_active
+
+    def _stratum_body(self, floor, s, *, mat, var_vec, y_base, nty, cap_s):
+        """One Z-stratum: subtile interval pass with the slab's
+        simplified tapes, result-driven occlusion against `floor`,
+        compaction, per-subtile re-specialization, voxel pass, and the
+        floor fold. Shared by the fused `lax.scan` path and the
+        host-loop driver (`strata='loop'`) that works around the
+        XLA:TPU scan miscompile at large volumes (demos/probe_1024.py:
+        every stage passes in isolation at 1024^3, the composed scan
+        program kills the worker)."""
+        ts, sub, nl, m = self.ts, self.sub, self.nl, self.m
+        W = self.W
+        ntxy = nty * self.ntx
+        ny2 = nty * nl
+        H = nty * ts
+        nsub_s = nl * ny2 * self.nx2
+        interpret = self.interpret
+        im = IntervalMode(jnp)
         sub_dx = jnp.asarray(self.sub_dx)
         sub_dy = jnp.asarray(self.sub_dy)
         sub_dz = jnp.asarray(self.sub_dz)
         vox_dx = jnp.asarray(self.vox_dx)
         vox_dy = jnp.asarray(self.vox_dy)
         vox_dz = jnp.asarray(self.vox_dz)
-
-        def stratum(floor, s):
+        if True:
             # floor: [H, W] int32 depth so far (result-driven occlusion)
             x0s, y0s, z0s = s["x0"], s["y0"], s["z0"]
             acts = s["act"][:, None]                      # [ntxy, 1]
@@ -503,14 +550,12 @@ class VoxelRenderer:
             floor = jnp.maximum(floor, slab_vox)
             return floor, n_active
 
-        floor0 = jnp.zeros((H, W), jnp.int32)
-        depth, n_active_s = jax.lax.scan(stratum, floor0, xs)
-        n_active = n_active_s.max()
-
-        if mode == "heightmap":
-            return depth, None, n_active
-
-        # ---- stage 6: normals pass (dense per-pixel gradients) ----------
+    def _normals_body(self, depth, matM, var_vec, *, y_base, H, W):
+        """Stage 6: dense per-pixel forward-gradient normals at the
+        surface voxels (voxel.rs:447-482). Shared by the fused frame
+        and the host-loop driver."""
+        D = self.D
+        interpret = self.interpret
         s0n = self.s0n
         npix = H * W
         lanes = _ceil_to(npix, s0n * 128)
@@ -566,7 +611,7 @@ class VoxelRenderer:
         normal = jnp.where(
             saturated, jnp.asarray([0.0, 0.0, 1.0], jnp.float32), normal
         )
-        return depth, normal.reshape(H, W, 3), n_active
+        return normal.reshape(H, W, 3)
 
     # ------------------------------------------------------------------
 
@@ -595,6 +640,74 @@ class VoxelRenderer:
             raise ValueError(f"unbound shape variables: {missing}")
         return vec
 
+    def _use_loop(self) -> bool:
+        if self.strata != "auto":
+            return self.strata == "loop"
+        return self.W * self.H * self.D > 512**3
+
+    def _loop_fn(self, name: str, build):
+        fns = getattr(self, "_loop_cache", None)
+        if fns is None:
+            fns = self._loop_cache = {}
+        if name not in fns:
+            fns[name] = build()
+        return fns[name]
+
+    def _render_loop(self, matM, vec, *, mode: str, cap: int, cancel=None):
+        """Host-driven strata loop: one dispatch per Z-stratum,
+        carrying the depth floor between dispatches. ~self.ntz extra
+        dispatch latencies (~28 ms each over the axon tunnel) — noise
+        at the volume sizes that need it — in exchange for avoiding
+        the fused-scan miscompile and gaining per-stratum cancellation
+        polls."""
+        from .config import check_cancel
+
+        nsub_s = self.nl * (self.nty * self.nl) * self.nx2
+        cap_s = min(cap, nsub_s)
+        x0 = jnp.asarray(self.tile_x0)
+        y0 = jnp.asarray(self.tile_y0)
+        z0 = jnp.asarray(self.tile_z0)
+
+        prelude = self._loop_fn(
+            ("prelude", cap_s),
+            lambda: jax.jit(
+                lambda m, v: self._frame_tiles(
+                    m, v, x0, y0, z0,
+                    mode="heightmap", cap=cap_s, stop_after="strata_xs",
+                )
+            ),
+        )
+        step = self._loop_fn(
+            ("step", cap_s),
+            lambda: jax.jit(
+                lambda floor, s, m, v, yb: self._stratum_body(
+                    floor, s, mat=m @ jnp.asarray(self.s2w, jnp.float32),
+                    var_vec=v, y_base=yb, nty=self.nty, cap_s=cap_s,
+                )
+            ),
+        )
+        xs, _mat, y_base = prelude(matM, vec)
+        floor = jnp.zeros((self.H, self.W), jnp.int32)
+        n_acts = []
+        for k in range(self.ntz):
+            check_cancel(cancel)
+            s = {key: v[k] for key, v in xs.items()}
+            floor, n_act = step(floor, s, matM, vec, y_base)
+            n_acts.append(n_act)
+        n_active = jnp.stack(n_acts).max()
+        if mode == "heightmap":
+            return floor, None, n_active
+        check_cancel(cancel)
+        normals = self._loop_fn(
+            ("normals",),
+            lambda: jax.jit(
+                lambda depth, m, v, yb: self._normals_body(
+                    depth, m, v, y_base=yb, H=self.H, W=self.W
+                )
+            ),
+        )
+        return floor, normals(floor, matM, vec, y_base), n_active
+
     def render(
         self,
         world_to_model: np.ndarray | None = None,
@@ -617,9 +730,14 @@ class VoxelRenderer:
         vec = jnp.asarray(self._var_vec(vars))
         for _ in range(max_retries + 1):
             check_cancel(cancel)
-            depth, normal, n_active = self._frame(
-                matM, vec, mode=mode, cap=self.cap
-            )
+            if self._use_loop():
+                depth, normal, n_active = self._render_loop(
+                    matM, vec, mode=mode, cap=self.cap, cancel=cancel
+                )
+            else:
+                depth, normal, n_active = self._frame(
+                    matM, vec, mode=mode, cap=self.cap
+                )
             if int(n_active) <= self.cap or self.cap >= self.nsub:
                 break
             # jump straight to a sufficient power-of-two capacity —

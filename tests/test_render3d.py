@@ -48,6 +48,42 @@ def test_gyroid_sphere_depth_matches_brute():
     _check_depth_matches_brute(gyroid_sphere_tape())
 
 
+def test_strata_loop_matches_scan_and_brute():
+    """The host-loop strata driver (one dispatch per stratum, used at
+    volumes > 512^3 where the fused lax.scan program faults the TPU —
+    demos/probe_1024.py) must produce bit-identical depth to the fused
+    scan path and the brute oracle, including normals."""
+    tape = gyroid_sphere_tape()
+    n = 64
+    r_scan = VoxelRenderer(
+        tape, VoxelSize(n, n, n), tile_size=32, sub_size=8,
+        interpret=True, strata="scan",
+    )
+    r_loop = VoxelRenderer(
+        tape, VoxelSize(n, n, n), tile_size=32, sub_size=8,
+        interpret=True, strata="loop",
+    )
+    a = r_scan.render(mode="normals")
+    b = r_loop.render(mode="normals")
+    np.testing.assert_array_equal(a.depth, b.depth)
+    np.testing.assert_allclose(a.normal, b.normal, rtol=1e-6, atol=1e-6)
+    brute = r_loop.render_brute()
+    np.testing.assert_array_equal(b.depth, brute.depth)
+
+
+def test_strata_loop_overflow_retry():
+    """Capacity overflow inside the loop driver retries exactly like
+    the fused path."""
+    tape = gyroid_sphere_tape()
+    r = VoxelRenderer(
+        tape, VoxelSize(64, 64, 64), tile_size=32, sub_size=8,
+        interpret=True, strata="loop", cap=8,
+    )
+    img = r.render(mode="heightmap")
+    brute = r.render_brute()
+    np.testing.assert_array_equal(img.depth, brute.depth)
+
+
 def test_sphere_depth_closed_form():
     n = 64
     r = VoxelRenderer(
