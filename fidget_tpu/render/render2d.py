@@ -108,160 +108,354 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pad_plane(a, s0):
+    """[..., K] -> [..., s0, 128] zero-padded lane planes."""
+    K = a.shape[-1]
+    padn = s0 * 128 - K
+    if padn:
+        a = jnp.concatenate(
+            [a, jnp.zeros(a.shape[:-1] + (padn,), a.dtype)], axis=-1
+        )
+    return a.reshape(a.shape[:-1] + (s0, 128))
+
+
+class _TracedBind:
+    """Tape binding for the zero-recompile bucketed pipeline: the
+    arena words AND the x/y/z input indices are *traced operands*, so
+    every shape in the same (capacity, register-file, choice-words)
+    bucket shares one compiled frame (the editor / CLI hot path — the
+    Pallas kernels were always tape-as-data, this extends that to the
+    glue). Canonical opcode order, single level only."""
+
+    two_level = False
+    op_order = None
+
+    def __init__(self, w1, w2, imm, lens, axis_idx, Lcap, nf, V,
+                 c_words, interpret, leaf_coded):
+        self.arena = (w1, w2, imm, lens)
+        self.axis_idx = axis_idx
+        self.Lcap, self.nf, self.V = Lcap, nf, V
+        self.c_words, self.interpret = c_words, interpret
+        self.leaf_coded = leaf_coded
+        self._per_tile = None
+        self._root_active = None
+
+    def set_axes(self, planes, triples):
+        """planes: tuple of [..., V, s0, 128] arrays; triples: one
+        padded plane (or (lo, hi)) per axis k=0,1,2. The input index of
+        each axis is a traced i32 (-1 = unused), selected with
+        where-masked dynamic writes."""
+        for k, plane_k in enumerate(triples):
+            idx = self.axis_idx[k]
+            ok = idx >= 0
+            i = jnp.maximum(idx, 0)
+            planes = tuple(
+                p.at[..., i, :, :].set(
+                    jnp.where(ok, pk, p[..., i, :, :])
+                )
+                for p, pk in zip(planes, plane_k)
+            )
+        return planes
+
+    def simplify_root(self, choices0, n0, root_active):
+        from ..eval.simplify_device import (
+            DeviceSimplifier,
+            DynamicSimplifier,
+            _liveness_codes,
+        )
+
+        w1, w2, imm, lens = self.arena
+        Lcap = self.Lcap
+        perlane = _liveness_codes(
+            w1.reshape(1, 1, Lcap).astype(jnp.int32),
+            w2.reshape(1, 1, Lcap).astype(jnp.int32),
+            lens.reshape(1, 1, 1).astype(jnp.int32),
+            choices0, nf=self.nf, L=Lcap, shared_tape=True,
+            interpret=self.interpret,
+        )  # [B, lw, s0r, 128]
+        B = choices0.shape[0]
+        lw = -(-Lcap // 16)
+        s0r = choices0.shape[2]
+        per_tile = jnp.moveaxis(
+            perlane.reshape(B, lw, s0r * 128), 1, 2
+        ).reshape(B * s0r * 128, lw)[:n0]
+        self._per_tile = per_tile
+        self._root_active = root_active
+        if self.leaf_coded:
+            return None, None, None, None
+        codes_u8 = DeviceSimplifier.unpack_codes(per_tile, Lcap)
+        w1p = jnp.broadcast_to(w1.astype(jnp.int32), (n0, Lcap))
+        w2p = jnp.broadcast_to(w2.astype(jnp.int32), (n0, Lcap))
+        immp = jnp.broadcast_to(imm, (n0, Lcap))
+        w1c, w2c, immc, lensc, _ = DynamicSimplifier.reconstruct(
+            w1p, w2p, immp, codes_u8
+        )
+        return w1c, w2c, immc, lensc
+
+    def leaf_eval(self, w1c, w2c, immc, lensc, vars_, s0l):
+        if self.leaf_coded:
+            # skip tape materialization: the leaf walks the shared
+            # parent tape with per-tile 2-bit action codes (measured 3x
+            # slower than reconstruct+interp_float — kept for the
+            # experiment harness)
+            from ..eval.pallas_interp import interp_float_coded
+
+            w1, w2, imm, lens = self.arena
+            n0 = vars_.shape[0]
+            lens_t = jnp.where(
+                self._root_active, jnp.broadcast_to(lens, (n0,)), 0
+            )
+            return interp_float_coded(
+                w1.reshape(1, self.Lcap), w2.reshape(1, self.Lcap),
+                imm.reshape(1, self.Lcap), lens_t, self._per_tile, vars_,
+                nf=self.nf, n_inputs=self.V, n_outputs=1, s0=s0l,
+                interpret=self.interpret,
+            )[:, 0]
+        return interp_float(
+            w1c, w2c, immc, lensc, vars_,
+            nf=self.nf, n_inputs=self.V, n_outputs=1, s0=s0l,
+            interpret=self.interpret,
+        )[:, 0]
+
+
+class _ConstBind:
+    """Tape binding for the compile-per-shape pipeline: arenas are
+    Python constants with per-shape opcode renumbering (pack.
+    frequency_op_order), and the optional second tile level
+    re-specializes leaf tapes per subtile."""
+
+    def __init__(self, r):
+        self.rend = r
+        self.arena = (
+            r.packed.w1, r.packed.w2, r.packed.imm, r.packed.lengths,
+        )
+        self.nf, self.V = r.nf, r.n_inputs
+        self.c_words, self.interpret = r.c_words, r.interpret
+        self.op_order = r.op_order
+        self.two_level = r.two_level
+
+    def set_axes(self, planes, triples):
+        for kind, plane_k in zip(("x", "y", "z"), triples):
+            idx = self.rend.axis_of.get(kind)
+            if idx is not None:
+                planes = tuple(
+                    p.at[..., idx, :, :].set(pk)
+                    for p, pk in zip(planes, plane_k)
+                )
+        return planes
+
+    def simplify_root(self, choices0, n0, root_active):
+        w1s, w2s, imms, lens0, _ = self.rend.simplifier.simplify_packed(
+            choices0, n_tiles=n0, interpret=self.interpret
+        )
+        return w1s, w2s, imms, lens0
+
+    def leaf_eval(self, w1c, w2c, immc, lensc, vars_, s0l):
+        return interp_float(
+            w1c, w2c, immc, lensc, vars_,
+            nf=self.nf, n_inputs=self.V, n_outputs=1, s0=s0l,
+            interpret=self.interpret, op_order=self.op_order,
+        )[:, 0]
+
+    def second_level(self, w1s, w2s, imms, lens0a, x0, y0,
+                     root_active, root_in, pixel_perfect,
+                     im, mat, z, var_vec):
+        """Stages 3-4 of the two-level mode: subtile interval pass with
+        the per-tile simplified arenas, then per-subtile
+        re-specialization from the dynamic tapes (the wgpu per-level
+        tape_simplify loop)."""
+        r = self.rend
+        T1, m = r.T1, r.m
+        n0 = x0.shape[0]
+        nc = n0 * m
+        sx0 = x0[:, None] + jnp.asarray(r.sub_dx)[None, :]  # [n0, m]
+        sy0 = y0[:, None] + jnp.asarray(r.sub_dy)[None, :]
+        var_lo1, var_hi1 = r._interval_vars(
+            im, mat, z, var_vec, (sx0, sx0 + T1), (sy0, sy0 + T1),
+            r.s0s, (n0,),
+        )
+        olo1, ohi1, choices1 = interp_interval(
+            w1s, w2s, imms, lens0a, var_lo1, var_hi1,
+            nf=self.nf, n_inputs=self.V, n_outputs=1, s0=r.s0s,
+            c_words=self.c_words, interpret=self.interpret,
+            op_order=self.op_order,
+        )
+        slo = olo1[:, 0].reshape(n0, -1)[:, :m]
+        shi = ohi1[:, 0].reshape(n0, -1)[:, :m]
+        act = root_active[:, None]
+        sub_in = act & (shi < 0.0)
+        sub_out = act & (slo > 0.0)
+        sub_active = act & ~sub_in & ~sub_out
+        if pixel_perfect:
+            sub_active = jnp.ones_like(sub_active)
+
+        perlane = DynamicSimplifier.codes(
+            w1s, w2s, lens0a, choices1, nf=self.nf,
+            interpret=self.interpret, op_order=self.op_order,
+        )  # [n0, s0s*128, lw]
+        per_child = perlane[:, :m].reshape(nc, -1)
+        codes_u8 = DeviceSimplifier.unpack_codes(per_child, w1s.shape[1])
+        parent = jnp.arange(nc) // m
+        w1p = jnp.take(w1s, parent, axis=0)
+        w2p = jnp.take(w2s, parent, axis=0)
+        immp = jnp.take(imms, parent, axis=0)
+        w1c, w2c, immc, lensc, _ = DynamicSimplifier.reconstruct(
+            w1p, w2p, immp, codes_u8, op_order=self.op_order
+        )
+        # subtile-level proofs carry level tag 1; fills inherited from
+        # a culled root tile keep level 0
+        fill_child = jnp.where(
+            sub_active,
+            np.int8(FILL_NONE),
+            jnp.where(
+                act,
+                jnp.where(sub_in, np.int8(FILL_INSIDE + 2),
+                          np.int8(FILL_OUTSIDE + 2)),
+                jnp.where(root_in[:, None], np.int8(FILL_INSIDE),
+                          np.int8(FILL_OUTSIDE)),
+            ),
+        ).astype(jnp.int8).reshape(-1)
+        return (
+            w1c, w2c, immc, lensc,
+            sx0.reshape(-1), sy0.reshape(-1),
+            sub_active.reshape(-1), fill_child,
+        )
+
+
+def _frame_core(
+    b, T0, T1, n0x, x0, y0, mat, z, var_vec, *,
+    pixel_perfect: bool, stop_after: str | None = None,
+):
+    """THE 2D frame pipeline: root interval cull -> per-tile tape
+    simplification -> (optional second level) -> dense leaf pass ->
+    assembly, parameterized on the tape binding `b` (_TracedBind |
+    _ConstBind). Every pipeline fix lands here once; the bucketed,
+    specialized, and two-level paths are bindings, and the sharded
+    renderers map this same core over device-mesh slabs."""
+    m = (T0 // T1) ** 2
+    n0 = x0.shape[0]
+    n0y = n0 // n0x
+    s0r = max(8, _ceil_to(-(-n0 // 128), 8))
+    s0l = (T1 * T1) // 128
+    V = b.V
+    im = IntervalMode(jnp)
+
+    # ---- stage 1: root interval pass (lanes = root tiles) -----------
+    mxi, myi, mzi = transform_intervals(
+        im, mat, (x0, x0 + T0), (y0, y0 + T0), (z, z)
+    )
+    var_lo = jnp.broadcast_to(
+        var_vec[None, :, None, None], (1, V, s0r, 128)
+    ).astype(jnp.float32)
+    var_hi = var_lo
+    triples = [
+        (
+            _pad_plane(jnp.broadcast_to(ivl[0], x0.shape), s0r),
+            _pad_plane(jnp.broadcast_to(ivl[1], x0.shape), s0r),
+        )
+        for ivl in (mxi, myi, mzi)
+    ]
+    var_lo, var_hi = b.set_axes((var_lo, var_hi), triples)
+    w1r, w2r, immr, lensr = b.arena
+    olo, ohi, choices0 = interp_interval(
+        w1r, w2r, immr, lensr, var_lo, var_hi,
+        nf=b.nf, n_inputs=V, n_outputs=1, s0=s0r,
+        c_words=b.c_words, interpret=b.interpret, op_order=b.op_order,
+    )
+    rlo = olo[0, 0].reshape(-1)[:n0]
+    rhi = ohi[0, 0].reshape(-1)[:n0]
+    root_in = rhi < 0.0
+    root_out = rlo > 0.0
+    root_active = ~(root_in | root_out)
+    if pixel_perfect:
+        root_active = jnp.ones_like(root_active)
+    if stop_after == "root":
+        return rlo, choices0
+
+    # ---- stage 2: per-root-tile simplification -----------------------
+    w1s, w2s, imms, lens0 = b.simplify_root(choices0, n0, root_active)
+    if stop_after == "codes":
+        return b._per_tile, root_active
+    lens0a = (
+        None if lens0 is None else jnp.where(root_active, lens0, 0)
+    )
+    if stop_after == "simplify":
+        return lens0a, w1s
+
+    if not b.two_level:
+        w1c, w2c, immc, lensc = w1s, w2s, imms, lens0a
+        cx0, cy0 = x0, y0
+        leaf_active = root_active
+        fill_child = jnp.where(
+            root_active,
+            np.int8(FILL_NONE),
+            jnp.where(root_in, np.int8(FILL_INSIDE),
+                      np.int8(FILL_OUTSIDE)),
+        ).astype(jnp.int8)
+    else:
+        # ---- stages 3-4: subtile cull + re-specialization ------------
+        (w1c, w2c, immc, lensc, cx0, cy0, leaf_active, fill_child) = (
+            b.second_level(
+                w1s, w2s, imms, lens0a, x0, y0, root_active, root_in,
+                pixel_perfect, im, mat, z, var_vec,
+            )
+        )
+
+    # ---- stage 5: leaf pass (one instance per leaf tile) -------------
+    lensc = None if lensc is None else jnp.where(leaf_active, lensc, 0)
+    ii = jnp.arange(T1, dtype=jnp.float32)
+    px = cx0[:, None, None] + ii[None, None, :]
+    py = cy0[:, None, None] + ii[None, :, None]
+    TC = cx0.shape[0]
+    px = jnp.broadcast_to(px, (TC, T1, T1)).reshape(TC, s0l, 128)
+    py = jnp.broadcast_to(py, (TC, T1, T1)).reshape(TC, s0l, 128)
+    mx, my, mz = transform_points(mat, px, py, z)
+    vars_ = jnp.broadcast_to(
+        var_vec[None, :, None, None], (TC, V, s0l, 128)
+    ).astype(jnp.float32)
+    (vars_,) = b.set_axes(
+        (vars_,),
+        [(jnp.broadcast_to(p, (TC, s0l, 128)),) for p in (mx, my, mz)],
+    )
+    dist = b.leaf_eval(w1c, w2c, immc, lensc, vars_, s0l)
+    if stop_after == "leaf":
+        return (dist,)
+
+    # ---- stage 6: assemble -------------------------------------------
+    r = T0 // T1
+    dist = dist.reshape(n0y, n0x, r, r, T1, T1)
+    img = dist.transpose(0, 2, 4, 1, 3, 5).reshape(n0y * T0, n0x * T0)
+    fg = fill_child.reshape(n0y, n0x, r, r)
+    fill = jnp.repeat(
+        jnp.repeat(
+            fg.transpose(0, 2, 1, 3).reshape(n0y * r, n0x * r), T1, 0
+        ),
+        T1, 1,
+    )
+    return img, fill
+
+
 @functools.lru_cache(maxsize=64)
 def _frame_single_fn(
     T0: int, n0x: int, n0y: int, Lcap: int, nf: int, V: int,
     c_words: int, pixel_perfect: bool, interpret: bool,
     stop_after: str | None = None, leaf_coded: bool = False,
 ):
-    """Builds (and caches) one jitted single-level 2D frame function
-    per shape bucket. The tape is a *traced operand* — every shape
-    whose packed tape fits the same (capacity, register-file, inputs)
-    bucket reuses the compiled pipeline, so constructing a renderer for
-    a new shape costs nothing after the bucket is warm (the editor /
-    CLI hot path; the Pallas kernels were always tape-as-data, this
-    extends that to the glue).
-    """
-    from ..eval.simplify_device import (
-        DeviceSimplifier,
-        DynamicSimplifier,
-        _liveness_codes,
-    )
-
-    n0 = n0x * n0y
-    s0r = max(8, _ceil_to(-(-n0 // 128), 8))
-    s0l = (T0 * T0) // 128
-    im_cls = IntervalMode
+    """Builds (and caches) one jitted single-level 2D frame per shape
+    bucket — `_frame_core` under a `_TracedBind` (tape words and axis
+    indices as traced operands), so every shape whose packed tape fits
+    the same (capacity, register-file, inputs) bucket reuses the
+    compiled pipeline."""
 
     def frame(w1, w2, imm, lens, x0, y0, axis_idx, mat, z, var_vec):
-        # axis_idx: i32[3] input index of x/y/z (-1 when unused)
-        im = im_cls(jnp)
-
-        def set_axis(planes, k, plane_lo, plane_hi=None):
-            idx = axis_idx[k]
-            ok = idx >= 0
-            i = jnp.maximum(idx, 0)
-            lo = planes[0].at[..., i, :, :].set(
-                jnp.where(ok, plane_lo, planes[0][..., i, :, :])
-            )
-            if plane_hi is None:
-                return (lo,)
-            hi = planes[1].at[..., i, :, :].set(
-                jnp.where(ok, plane_hi, planes[1][..., i, :, :])
-            )
-            return lo, hi
-
-        def pad_plane(a, s0):
-            K = a.shape[-1]
-            padn = s0 * 128 - K
-            if padn:
-                a = jnp.concatenate(
-                    [a, jnp.zeros(a.shape[:-1] + (padn,), a.dtype)], axis=-1
-                )
-            return a.reshape(a.shape[:-1] + (s0, 128))
-
-        def tpoints(xs, ys):
-            return transform_points(mat, xs, ys, z)
-
-        # ---- stage 1: root interval pass ---------------------------
-        mxi, myi, mzi = transform_intervals(
-            im, mat, (x0, x0 + T0), (y0, y0 + T0), (z, z)
+        b = _TracedBind(
+            w1, w2, imm, lens, axis_idx, Lcap, nf, V, c_words,
+            interpret, leaf_coded,
         )
-        var_lo = jnp.broadcast_to(
-            var_vec[None, :, None, None], (1, V, s0r, 128)
-        ).astype(jnp.float32)
-        var_hi = var_lo
-        for k, ivl in enumerate((mxi, myi, mzi)):
-            lo = pad_plane(jnp.broadcast_to(ivl[0], x0.shape), s0r)
-            hi = pad_plane(jnp.broadcast_to(ivl[1], x0.shape), s0r)
-            var_lo, var_hi = set_axis((var_lo, var_hi), k, lo, hi)
-        olo, ohi, choices0 = interp_interval(
-            w1, w2, imm, lens, var_lo, var_hi,
-            nf=nf, n_inputs=V, n_outputs=1, s0=s0r,
-            c_words=c_words, interpret=interpret,
+        return _frame_core(
+            b, T0, T0, n0x, x0, y0, mat, z, var_vec,
+            pixel_perfect=pixel_perfect, stop_after=stop_after,
         )
-        rlo = olo[0, 0].reshape(-1)[:n0]
-        rhi = ohi[0, 0].reshape(-1)[:n0]
-        root_in = rhi < 0.0
-        root_out = rlo > 0.0
-        root_active = ~(root_in | root_out)
-        if pixel_perfect:
-            root_active = jnp.ones_like(root_active)
-        if stop_after == "root":
-            return rlo, choices0
-
-        # ---- stage 2: per-tile simplification (tape-as-data) --------
-        perlane = _liveness_codes(
-            w1.reshape(1, 1, Lcap).astype(jnp.int32),
-            w2.reshape(1, 1, Lcap).astype(jnp.int32),
-            lens.reshape(1, 1, 1).astype(jnp.int32),
-            choices0, nf=nf, L=Lcap, shared_tape=True, interpret=interpret,
-        )  # [B, lw, s0r, 128]
-        B = choices0.shape[0]
-        lw = -(-Lcap // 16)
-        per_tile = jnp.moveaxis(
-            perlane.reshape(B, lw, s0r * 128), 1, 2
-        ).reshape(B * s0r * 128, lw)[:n0]
-        if stop_after == "codes":
-            return per_tile, root_active
-        if not leaf_coded:
-            codes_u8 = DeviceSimplifier.unpack_codes(per_tile, Lcap)
-            w1p = jnp.broadcast_to(w1.astype(jnp.int32), (n0, Lcap))
-            w2p = jnp.broadcast_to(w2.astype(jnp.int32), (n0, Lcap))
-            immp = jnp.broadcast_to(imm, (n0, Lcap))
-            w1c, w2c, immc, lensc, _ = DynamicSimplifier.reconstruct(
-                w1p, w2p, immp, codes_u8
-            )
-            lensc = jnp.where(root_active, lensc, 0)
-            if stop_after == "simplify":
-                return lensc, w1c
-
-        # ---- stage 3: leaf pass --------------------------------------
-        ii = jnp.arange(T0, dtype=jnp.float32)
-        px = x0[:, None, None] + ii[None, None, :]
-        py = y0[:, None, None] + ii[None, :, None]
-        px = jnp.broadcast_to(px, (n0, T0, T0)).reshape(n0, s0l, 128)
-        py = jnp.broadcast_to(py, (n0, T0, T0)).reshape(n0, s0l, 128)
-        mx, my, mz = tpoints(px, py)
-        vars_ = jnp.broadcast_to(
-            var_vec[None, :, None, None], (n0, V, s0l, 128)
-        ).astype(jnp.float32)
-        for k, plane in enumerate((mx, my, mz)):
-            (vars_,) = set_axis(
-                (vars_,), k, jnp.broadcast_to(plane, (n0, s0l, 128))
-            )
-        if leaf_coded:
-            # skip tape materialization: the leaf walks the shared
-            # parent tape with per-tile 2-bit action codes
-            from ..eval.pallas_interp import interp_float_coded
-
-            lens_t = jnp.where(
-                root_active, jnp.broadcast_to(lens, (n0,)), 0
-            )
-            dist = interp_float_coded(
-                w1.reshape(1, Lcap), w2.reshape(1, Lcap),
-                imm.reshape(1, Lcap), lens_t, per_tile, vars_,
-                nf=nf, n_inputs=V, n_outputs=1, s0=s0l,
-                interpret=interpret,
-            )[:, 0]
-        else:
-            dist = interp_float(
-                w1c, w2c, immc, lensc, vars_,
-                nf=nf, n_inputs=V, n_outputs=1, s0=s0l, interpret=interpret,
-            )[:, 0]
-
-        # ---- stage 4: assemble --------------------------------------
-        dist = dist.reshape(n0y, n0x, 1, 1, T0, T0)
-        img = dist.transpose(0, 2, 4, 1, 3, 5).reshape(n0y * T0, n0x * T0)
-        fill_tile = jnp.where(
-            root_active,
-            np.int8(FILL_NONE),
-            jnp.where(root_in, np.int8(FILL_INSIDE), np.int8(FILL_OUTSIDE)),
-        ).astype(jnp.int8)
-        fill = jnp.repeat(
-            jnp.repeat(fill_tile.reshape(n0y, n0x), T0, 0), T0, 1
-        )
-        return img, fill
 
     return jax.jit(frame)
 
@@ -622,157 +816,17 @@ class PixelRenderer:
         self, mat, z, var_vec, x0, y0, *, pixel_perfect: bool,
         stop_after: str | None = None,
     ):
-        """Runs the pipeline over an arbitrary set of root tiles whose
-        corner coordinates are *traced* inputs — the shardable core:
+        """Runs the unified pipeline (`_frame_core` under a
+        `_ConstBind`) over an arbitrary set of root tiles whose corner
+        coordinates are *traced* inputs — the shardable core:
         `parallel.sharding` maps this over tile-row slabs of a device
         mesh with zero cross-device communication. Tiles are row-major
         with `n0x` columns; returns the uncropped (img, fill) slab."""
-        T0, T1, m = self.T0, self.T1, self.m
-        n0 = x0.shape[0]
-        n0x = self.n0x
-        n0y = n0 // n0x
-        nc = n0 * m
-        s0r = max(8, _ceil_to(-(-n0 // 128), 8))
-        im = IntervalMode(jnp)
-        interpret = self.interpret
-        V = self.n_inputs
-
-        # ---- stage 1: root interval pass (lanes = root tiles) ---------
-        var_lo, var_hi = self._interval_vars(
-            im, mat, z, var_vec, (x0, x0 + T0), (y0, y0 + T0),
-            s0r, (1,),
+        return _frame_core(
+            _ConstBind(self), self.T0, self.T1, self.n0x,
+            x0, y0, mat, z, var_vec,
+            pixel_perfect=pixel_perfect, stop_after=stop_after,
         )
-        olo, ohi, choices0 = interp_interval(
-            self.packed.w1, self.packed.w2, self.packed.imm,
-            self.packed.lengths, var_lo, var_hi,
-            nf=self.nf, n_inputs=V, n_outputs=1, s0=s0r,
-            c_words=self.c_words, interpret=interpret,
-            op_order=self.op_order,
-        )
-        rlo = olo[0, 0].reshape(-1)[:n0]
-        rhi = ohi[0, 0].reshape(-1)[:n0]
-        root_in = rhi < 0.0
-        root_out = rlo > 0.0
-        root_active = ~(root_in | root_out)
-        if pixel_perfect:
-            root_active = jnp.ones_like(root_active)
-
-        if stop_after == "root":
-            return rlo, choices0
-
-        # ---- stage 2: per-root-tile simplification ---------------------
-        w1s, w2s, imms, lens0, _ = self.simplifier.simplify_packed(
-            choices0, n_tiles=n0, interpret=interpret
-        )
-        lens0a = jnp.where(root_active, lens0, 0)
-        if stop_after == "simplify":
-            return lens0a, w1s
-
-        if not self.two_level:
-            w1c, w2c, immc, lensc = w1s, w2s, imms, lens0a
-            cx0, cy0 = x0, y0
-            leaf_active = root_active
-            fill_child = jnp.where(
-                root_active,
-                np.int8(FILL_NONE),
-                jnp.where(root_in, np.int8(FILL_INSIDE),
-                          np.int8(FILL_OUTSIDE)),
-            ).astype(jnp.int8)
-        else:
-            # ---- stage 3: subtile interval pass ------------------------
-            sx0 = x0[:, None] + jnp.asarray(self.sub_dx)[None, :]  # [n0, m]
-            sy0 = y0[:, None] + jnp.asarray(self.sub_dy)[None, :]
-            var_lo1, var_hi1 = self._interval_vars(
-                im, mat, z, var_vec, (sx0, sx0 + T1), (sy0, sy0 + T1),
-                self.s0s, (n0,),
-            )
-            olo1, ohi1, choices1 = interp_interval(
-                w1s, w2s, imms, lens0a, var_lo1, var_hi1,
-                nf=self.nf, n_inputs=V, n_outputs=1, s0=self.s0s,
-                c_words=self.c_words, interpret=interpret,
-                op_order=self.op_order,
-            )
-            slo = olo1[:, 0].reshape(n0, -1)[:, :m]
-            shi = ohi1[:, 0].reshape(n0, -1)[:, :m]
-            act = root_active[:, None]
-            sub_in = act & (shi < 0.0)
-            sub_out = act & (slo > 0.0)
-            sub_active = act & ~sub_in & ~sub_out
-            if pixel_perfect:
-                sub_active = jnp.ones_like(sub_active)
-
-            # ---- stage 4: per-subtile re-simplification ----------------
-            perlane = DynamicSimplifier.codes(
-                w1s, w2s, lens0a, choices1, nf=self.nf, interpret=interpret,
-                op_order=self.op_order,
-            )  # [n0, s0s*128, lw]
-            per_child = perlane[:, :m].reshape(nc, -1)
-            codes_u8 = DeviceSimplifier.unpack_codes(per_child, w1s.shape[1])
-            parent = jnp.arange(nc) // m
-            w1p = jnp.take(w1s, parent, axis=0)
-            w2p = jnp.take(w2s, parent, axis=0)
-            immp = jnp.take(imms, parent, axis=0)
-            w1c, w2c, immc, lensc, _ = DynamicSimplifier.reconstruct(
-                w1p, w2p, immp, codes_u8, op_order=self.op_order
-            )
-            leaf_active = sub_active.reshape(-1)
-            cx0 = sx0.reshape(-1)
-            cy0 = sy0.reshape(-1)
-            # subtile-level proofs carry level tag 1; fills inherited
-            # from a culled root tile keep level 0
-            fill_child = jnp.where(
-                sub_active,
-                np.int8(FILL_NONE),
-                jnp.where(
-                    act,
-                    jnp.where(sub_in, np.int8(FILL_INSIDE + 2),
-                              np.int8(FILL_OUTSIDE + 2)),
-                    jnp.where(root_in[:, None], np.int8(FILL_INSIDE),
-                              np.int8(FILL_OUTSIDE)),
-                ),
-            ).astype(jnp.int8).reshape(-1)
-
-        # ---- stage 5: leaf pass (one instance per leaf tile) ------------
-        lensc = jnp.where(leaf_active, lensc, 0)
-        ii = jnp.arange(T1, dtype=jnp.float32)
-        px = cx0[:, None, None] + ii[None, None, :]
-        py = cy0[:, None, None] + ii[None, :, None]
-        TC = cx0.shape[0]
-        px = jnp.broadcast_to(px, (TC, T1, T1)).reshape(TC, self.s0l, 128)
-        py = jnp.broadcast_to(py, (TC, T1, T1)).reshape(TC, self.s0l, 128)
-        mx, my, mz = self._transform_points(mat, px, py, z)
-        vars_ = jnp.broadcast_to(
-            var_vec[None, :, None, None], (TC, V, self.s0l, 128)
-        ).astype(jnp.float32)
-        for kind, plane in (("x", mx), ("y", my), ("z", mz)):
-            idx2 = self.axis_of.get(kind)
-            if idx2 is not None:
-                vars_ = vars_.at[:, idx2].set(
-                    jnp.broadcast_to(plane, (TC, self.s0l, 128))
-                )
-
-        dist = interp_float(
-            w1c, w2c, immc, lensc, vars_,
-            nf=self.nf, n_inputs=V, n_outputs=1, s0=self.s0l,
-            interpret=interpret, op_order=self.op_order,
-        )[:, 0]  # [TC, s0l, 128]
-        if stop_after == "leaf":
-            return (dist,)
-
-        # ---- stage 6: assemble -------------------------------------------
-        r = self.r
-        dist = dist.reshape(n0y, n0x, r, r, T1, T1)
-        img = dist.transpose(0, 2, 4, 1, 3, 5).reshape(
-            n0y * T0, n0x * T0
-        )
-        fg = fill_child.reshape(n0y, n0x, r, r)
-        fill = jnp.repeat(
-            jnp.repeat(
-                fg.transpose(0, 2, 1, 3).reshape(n0y * r, n0x * r), T1, 0
-            ),
-            T1, 1,
-        )
-        return img, fill
 
     # ------------------------------------------------------------------
 
