@@ -177,9 +177,9 @@ def collapse_and_walk(
         # boundary — the classic restricted-octree condition)
         small_rows = np.nonzero(c_size < s)[0]
         if len(small_rows) and len(cand):
-            blocked = set()
             sc = c_coord[small_rows]
             ss = c_size[small_rows]
+            key_blocks = []
             for dx in (0, 1):
                 for dy in (0, 1):
                     for dz in (0, 1):
@@ -189,13 +189,12 @@ def collapse_and_walk(
                         )
                         np.clip(p, 0, G - 1, out=p)
                         pkk = p // ps
-                        keys = (
-                            pkk[:, 0] * (G // ps) + pkk[:, 1]
-                        ) * (G // ps) + pkk[:, 2]
-                        blocked.update(keys.tolist())
-            cand = cand[~np.isin(uk[cand], np.fromiter(
-                blocked, np.int64, len(blocked)
-            ))]
+                        key_blocks.append(
+                            (pkk[:, 0] * (G // ps) + pkk[:, 1])
+                            * (G // ps) + pkk[:, 2]
+                        )
+            blocked = np.unique(np.concatenate(key_blocks))
+            cand = cand[~np.isin(uk[cand], blocked)]
         if len(cand) == 0:
             s = ps
             continue
@@ -248,9 +247,6 @@ def collapse_and_walk(
         mms = seg(vms)
         mmc = seg(vmc)
         cerr = seg(verr)
-        members = [
-            idx_sorted[starts[i] : starts[i] + counts[i]] for i in cand
-        ]
         mmass = mms / np.maximum(mmc, 1.0)[:, None]
         mv = _solve_qef(mAtA, mAtb, mmass)
         lo = pbase.astype(np.float64) * h - 1.0
@@ -261,9 +257,15 @@ def collapse_and_walk(
         # apply accepted merges: drop members, batch-append merged cells
         acc = np.nonzero(accept)[0]
         if len(acc):
+            # vectorized member drop: map each sorted member row to its
+            # parent group, then test group acceptance
+            parent_of_member = np.repeat(
+                np.arange(len(uk), dtype=np.int64), counts
+            )
+            acc_parent = np.zeros(len(uk), bool)
+            acc_parent[cand[acc]] = True
             drop = np.zeros(len(c_size), bool)
-            for j in acc:
-                drop[members[j]] = True
+            drop[idx_sorted[acc_parent[parent_of_member]]] = True
             new_vids = len(vpos) + np.arange(len(acc))
             vpos = np.concatenate([vpos, mv[acc]])
             vAtA = np.concatenate([vAtA, mAtA[acc]])
