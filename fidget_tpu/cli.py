@@ -67,7 +67,7 @@ def _parse_vec(s: str, n: int):
 def _interp(args):
     return {
         "auto": None, "interpret": True, "compiled": False,
-        "unrolled": False,
+        "unrolled": False, "dense": False,
     }[args.eval]
 
 
@@ -147,7 +147,15 @@ def run2d(args) -> int:
             d = r.render_brute(mat)
             img = None
         elif args.eval == "unrolled":
-            # compiled-per-shape dense path (the --eval=jit analog)
+            # tiled-unrolled path (the --eval=jit analog): interval
+            # culling + whole-tape XLA leaf — the fastest 2D mode
+            img = r.render_unrolled(
+                mat, pixel_perfect=(args.mode == "sdf")
+            )
+            d = img.distance
+        elif args.eval == "dense":
+            # compiled-per-shape dense path (no culling; every pixel
+            # carries a true distance — the differentiable mode)
             img = r.render_dense(mat)
             d = img.distance
         else:
@@ -306,13 +314,16 @@ def main(argv=None) -> int:
         p.add_argument("--center", default="0")
         p.add_argument("--eval", default="auto",
                        choices=["auto", "interpret", "compiled",
-                                "unrolled"],
+                                "unrolled", "dense"],
                        help="evaluator backend: Pallas interpret mode "
                             "(portable, the reference's 'vm' analog), "
-                            "compiled TPU kernels, or (2D) the whole "
-                            "tape unrolled into one XLA program per "
-                            "shape — the closest 'jit' analog, fastest "
-                            "steady-state, slow first compile")
+                            "compiled TPU kernels, (2D) 'unrolled' = "
+                            "interval culling + the whole tape as one "
+                            "XLA program per shape — the closest 'jit' "
+                            "analog, fastest steady-state, slow first "
+                            "compile — or (2D) 'dense' = the same "
+                            "unrolled program over every pixel "
+                            "(differentiable, no culling)")
         if three_d:
             p.add_argument("--pitch", type=float, default=0.0,
                            help="camera pitch (degrees)")

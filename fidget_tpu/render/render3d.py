@@ -33,10 +33,20 @@ static-shape rules:
 
 Everything (including the strata loop) is traced into a single XLA
 computation per frame.
+
+Like the 2D renderer, the pipeline is parameterized on a *tape
+binding*: `_ConstBind3` bakes the shape's renumbered arena into the
+trace (compile-per-shape, fastest steady-state), while the 2D
+`_TracedBind` passes the arena and axis indices as traced operands so
+every shape in the same (capacity, register-file, choice-words) bucket
+shares ONE compiled pipeline — the zero-recompile interactive path
+(`VoxelRenderer(..., specialize=False)`), matching how the reference's
+VM evaluator renders any new tape without code generation.
 """
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -56,6 +66,7 @@ from ..eval.pallas_interp import (
 from ..eval.simplify_device import DeviceSimplifier, DynamicSimplifier
 from ..shape import Shape, ShapeVars
 from .region import VoxelSize
+from .render2d import _TracedBind
 from .transform import transform_duals, transform_intervals, transform_points
 
 
@@ -77,143 +88,105 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-class VoxelRenderer:
-    """Compiled 3D renderer for one shape at one volume size.
+class _ConstBind3:
+    """Tape binding for the compile-per-shape 3D pipeline: arenas are
+    Python constants with per-shape opcode renumbering."""
 
-    Args:
-      tape: register tape or Shape (single output).
-      size: volume size in voxels; all extents must be multiples of
-        `tile_size`.
-      tile_size: root tile edge (voxels), default 64 (the JIT 3D root
-        hint, fidget-jit/src/lib.rs:959-965).
-      sub_size: leaf subtile edge; sub_size**3 voxels form the lanes of
-        one leaf grid instance (default 16 -> 4096 lanes).
-      cap: max active subtiles processed per frame (None = auto from
-        the screen area); overflow triggers a host-side retry at 2x.
-      strata: "scan" traces the whole strata loop into one XLA program
-        (fastest, default for volumes <= 512^3); "loop" drives one
-        dispatch per stratum from the host — required at larger
-        volumes, where the composed scan program triggers an XLA:TPU
-        kernel fault (demos/probe_1024.py: every stage passes in
-        isolation at 1024^3, the fused scan kills the worker), and it
-        also polls the CancelToken between strata. "auto" picks.
-    """
+    def __init__(self, r: "VoxelRenderer"):
+        self.arena = (
+            r.packed.w1, r.packed.w2, r.packed.imm, r.packed.lengths,
+        )
+        self.nf, self.V = r.nf, r.n_inputs
+        self.c_words, self.interpret = r.c_words, r.interpret
+        self.op_order = r.op_order
+        self.axis_of = r.axis_of
+        self.simplifier = r.simplifier
 
-    def __init__(
-        self,
-        tape: Tape | Shape,
-        size: VoxelSize,
-        *,
-        tile_size: int = 64,
-        sub_size: int = 16,
-        cap: int | None = None,
-        interpret: bool | None = None,
-        strata: str = "auto",
-    ):
-        assert strata in ("auto", "scan", "loop")
-        self.strata = strata
-        self.shape_transform = None
-        if isinstance(tape, Shape):
-            self.shape_transform = tape.transform
-            tape = tape.tape()
-        assert tape.output_count == 1, "3D rendering expects a single output"
-        self.tape = tape
-        self.size = size
-        self.ts = tile_size
-        self.sub = sub_size
-        assert tile_size % sub_size == 0
-        self.interpret = default_interpret() if interpret is None else interpret
-        if (
-            not self.interpret
-            and tile_size == 32
-            and sub_size == 16
-            and max(size.width, size.height, size.depth) >= 512
-        ):
-            # (tile=32, sub=16) at >=512^3 triggers an XLA:TPU
-            # program-level miscompile that kills the TPU worker (every
-            # stage passes in isolation; identical kernel shapes work
-            # at tile_size=64 — see demos/probe_crash.py). A crashed
-            # worker takes minutes to recover, so refuse the config
-            # outright rather than let a user hit it.
-            raise ValueError(
-                "VoxelRenderer(tile_size=32, sub_size=16) at volumes >= "
-                "512 crashes the TPU runtime (known XLA:TPU miscompile; "
-                "demos/probe_crash.py). Use tile_size=64 (default) or a "
-                "different sub_size."
-            )
+    def set_axes(self, planes, triples):
+        for kind, plane_k in zip(("x", "y", "z"), triples):
+            idx = self.axis_of.get(kind)
+            if idx is not None:
+                planes = tuple(
+                    p.at[..., idx, :, :].set(pk)
+                    for p, pk in zip(planes, plane_k)
+                )
+        return planes
 
-        W, H, D = size.width, size.height, size.depth
-        assert W % tile_size == 0 and H % tile_size == 0 and D % tile_size == 0, (
+    def simplify_root(self, choices0, n0, root_active):
+        w1s, w2s, imms, lens, _ncho = self.simplifier.simplify_packed(
+            choices0, n_tiles=n0, interpret=self.interpret
+        )
+        return w1s, w2s, imms, lens
+
+
+@functools.lru_cache(maxsize=32)
+def _geo3(W: int, H: int, D: int, ts: int, sub: int) -> "_Pipeline3":
+    return _Pipeline3(W, H, D, ts, sub)
+
+
+class _Pipeline3:
+    """Geometry + pipeline for one (volume size, tile config): every
+    static that does NOT depend on the shape's tape lives here, so the
+    bucketed (traced-tape) frame builder can be cached module-level and
+    shared across renderer instances / shapes."""
+
+    def __init__(self, W: int, H: int, D: int, ts: int, sub: int):
+        assert ts % sub == 0
+        assert W % ts == 0 and H % ts == 0 and D % ts == 0, (
             "volume extents must be multiples of tile_size"
         )
         self.W, self.H, self.D = W, H, D
-        self.ntx, self.nty, self.ntz = W // tile_size, H // tile_size, D // tile_size
+        self.ts, self.sub = ts, sub
+        self.ntx, self.nty, self.ntz = W // ts, H // ts, D // ts
         self.nt = self.ntx * self.nty * self.ntz
-        self.nl = tile_size // sub_size            # subtiles per tile edge
+        self.nl = ts // sub                        # subtiles per tile edge
         self.m = self.nl**3                        # subtiles per root tile
-        self.nx2, self.ny2, self.nz2 = W // sub_size, H // sub_size, D // sub_size
+        self.nx2, self.ny2, self.nz2 = W // sub, H // sub, D // sub
         self.nsub = self.nx2 * self.ny2 * self.nz2
 
         # lane layouts (the root pass's s0 is slab-local, computed in
-        # _frame_tiles from the traced tile count)
+        # frame_tiles from the traced tile count)
         self.s0s = max(1, -(-self.m // 128))                   # subtile pass
-        self.s0v = max(1, -(-sub_size**3 // 128))              # voxel pass
-        if cap is None:
-            # generous default: surface ~ O(columns), slack 8x, rounded
-            # to a power of two so capacity retries hit few variants
-            cap = max(256, 8 * self.nx2 * self.ny2)
-        cap = 1 << (int(cap) - 1).bit_length()
-        self.cap = min(cap, self.nsub)
-
-        from ..compiler.pack import frequency_op_order
-
-        self.op_order = frequency_op_order(tape)
-        self.packed = pack_tapes([tape], op_order=self.op_order)
-        self.simplifier = DeviceSimplifier(tape, self.op_order)
-        self.nf = self.simplifier.nf
-        # padded to >= 1 so constant-only shapes still build var planes
-        self.n_inputs = max(1, len(tape.var_map))
-        self.c_words = max(1, -(-tape.choice_count // 16))
-        self.axis_of = {v.kind: i for v, i in tape.var_map.items()}
-
-        # normals-pass lane block sized so 4 dual register scratches fit VMEM
-        budget = 8 * 2**20
-        s0n = budget // (max(1, self.nf) * 4 * 128 * 4)
-        self.s0n = int(max(8, min(64, 1 << max(3, s0n.bit_length() - 1))))
+        self.s0v = max(1, -(-sub**3 // 128))                   # voxel pass
 
         # static root-tile corner coordinates, (tz, ty, tx) row-major
         tzz, tyy, txx = np.meshgrid(
             np.arange(self.ntz), np.arange(self.nty), np.arange(self.ntx),
             indexing="ij",
         )
-        self.tile_x0 = (txx.reshape(-1) * tile_size).astype(np.float32)
-        self.tile_y0 = (tyy.reshape(-1) * tile_size).astype(np.float32)
-        self.tile_z0 = (tzz.reshape(-1) * tile_size).astype(np.float32)
+        self.tile_x0 = (txx.reshape(-1) * ts).astype(np.float32)
+        self.tile_y0 = (tyy.reshape(-1) * ts).astype(np.float32)
+        self.tile_z0 = (tzz.reshape(-1) * ts).astype(np.float32)
         # local subtile offsets within a root tile, (lz, ly, lx) row-major
         lz, ly, lx = np.meshgrid(
             np.arange(self.nl), np.arange(self.nl), np.arange(self.nl),
             indexing="ij",
         )
-        self.sub_dx = (lx.reshape(-1) * sub_size).astype(np.float32)
-        self.sub_dy = (ly.reshape(-1) * sub_size).astype(np.float32)
-        self.sub_dz = (lz.reshape(-1) * sub_size).astype(np.float32)
+        self.sub_dx = (lx.reshape(-1) * sub).astype(np.float32)
+        self.sub_dy = (ly.reshape(-1) * sub).astype(np.float32)
+        self.sub_dz = (lz.reshape(-1) * sub).astype(np.float32)
         # voxel offsets within a subtile, (vz, vy, vx) row-major
         vz, vy, vx = np.meshgrid(
-            np.arange(sub_size), np.arange(sub_size), np.arange(sub_size),
-            indexing="ij",
+            np.arange(sub), np.arange(sub), np.arange(sub), indexing="ij",
         )
         self.vox_dx = vx.reshape(-1).astype(np.float32)
         self.vox_dy = vy.reshape(-1).astype(np.float32)
         self.vox_dz = vz.reshape(-1).astype(np.float32)
 
-        self.s2w = size.screen_to_world()
-        self._frame = jax.jit(
-            self._frame_impl, static_argnames=("mode", "cap")
-        )
+        self.s2w = VoxelSize(W, H, D).screen_to_world()
 
     # ------------------------------------------------------------------
 
-    def _pad_plane(self, a, s0):
+    @staticmethod
+    def s0n_of(nf: int) -> int:
+        """Normals-pass lane block sized so 4 dual register scratches
+        fit VMEM."""
+        budget = 8 * 2**20
+        s0n = budget // (max(1, nf) * 4 * 128 * 4)
+        return int(max(8, min(64, 1 << max(3, s0n.bit_length() - 1))))
+
+    @staticmethod
+    def pad_plane(a, s0):
         """[..., K] -> [..., s0, 128] zero-padded planes."""
         K = a.shape[-1]
         pad = s0 * 128 - K
@@ -223,56 +196,43 @@ class VoxelRenderer:
             )
         return a.reshape(a.shape[:-1] + (s0, 128))
 
-    def _interval_vars(self, im, mat, var_vec, xi, yi, zi, s0, lead):
+    def interval_vars(self, b, im, mat, var_vec, xi, yi, zi, s0, lead):
         """Builds [lead..., V, s0, 128] interval var planes from screen
         interval triples of shape [lead..., K]."""
         mxi, myi, mzi = transform_intervals(im, mat, xi, yi, zi)
-        V = self.n_inputs
+        V = b.V
         shape = lead + (V, s0, 128)
         var_lo = jnp.broadcast_to(
             var_vec.reshape((1,) * len(lead) + (V, 1, 1)), shape
         ).astype(jnp.float32)
         var_hi = var_lo
-        for kind, ivl in (("x", mxi), ("y", myi), ("z", mzi)):
-            idx = self.axis_of.get(kind)
-            if idx is not None:
-                lo = self._pad_plane(ivl[0], s0)
-                hi = self._pad_plane(ivl[1], s0)
-                sel = (slice(None),) * len(lead) + (idx,)
-                var_lo = var_lo.at[sel].set(lo)
-                var_hi = var_hi.at[sel].set(hi)
-        return var_lo, var_hi
+        triples = [
+            (
+                self.pad_plane(jnp.broadcast_to(ivl[0], xi[0].shape), s0),
+                self.pad_plane(jnp.broadcast_to(ivl[1], xi[0].shape), s0),
+            )
+            for ivl in (mxi, myi, mzi)
+        ]
+        return b.set_axes((var_lo, var_hi), triples)
 
-    def _point_vars(self, mat, var_vec, px, py, pz, s0, lead):
+    def point_vars(self, b, mat, var_vec, px, py, pz, s0, lead):
         mx, my, mz = transform_points(mat, px, py, pz)
-        V = self.n_inputs
+        V = b.V
         shape = lead + (V, s0, 128)
         vars_ = jnp.broadcast_to(
             var_vec.reshape((1,) * len(lead) + (V, 1, 1)), shape
         ).astype(jnp.float32)
-        for kind, plane in (("x", mx), ("y", my), ("z", mz)):
-            idx = self.axis_of.get(kind)
-            if idx is not None:
-                sel = (slice(None),) * len(lead) + (idx,)
-                vars_ = vars_.at[sel].set(self._pad_plane(plane, s0))
+        triples = [
+            (self.pad_plane(jnp.broadcast_to(p, px.shape), s0),)
+            for p in (mx, my, mz)
+        ]
+        (vars_,) = b.set_axes((vars_,), triples)
         return vars_
 
     # ------------------------------------------------------------------
 
-    def _frame_impl(self, matM, var_vec, *, mode: str, cap: int):
-        """matM: traced world->model 4x4 (incl. shape transform);
-        var_vec: f32 [V] custom-variable values; cap: static worklist
-        capacity (a jit cache key, so capacity retries only compile the
-        new variant)."""
-        return self._frame_tiles(
-            matM, var_vec,
-            jnp.asarray(self.tile_x0), jnp.asarray(self.tile_y0),
-            jnp.asarray(self.tile_z0),
-            mode=mode, cap=cap,
-        )
-
-    def _frame_tiles(
-        self, matM, var_vec, x0, y0, z0, *, mode: str, cap: int,
+    def frame_tiles(
+        self, b, matM, var_vec, x0, y0, z0, *, mode: str, cap: int,
         stop_after: str | None = None,
     ):
         """The shardable pipeline core over an arbitrary y-slab of root
@@ -289,22 +249,20 @@ class VoxelRenderer:
         ny2 = nty * nl
         s0r = max(8, _ceil_to(-(-nt // 128), 8))
         y_base = jnp.min(y0)               # slab's first global pixel row
-        interpret = self.interpret
         im = IntervalMode(jnp)
         mat = matM @ jnp.asarray(self.s2w, jnp.float32)  # screen -> model
 
         # ---- stage 1: root interval pass (lanes = root tiles) ---------
-        var_lo, var_hi = self._interval_vars(
-            im, mat, var_vec,
+        var_lo, var_hi = self.interval_vars(
+            b, im, mat, var_vec,
             (x0, x0 + ts), (y0, y0 + ts), (z0, z0 + ts),
             s0r, (1,),
         )
+        w1r, w2r, immr, lensr = b.arena
         olo, ohi, packed_choices = interp_interval(
-            self.packed.w1, self.packed.w2, self.packed.imm,
-            self.packed.lengths, var_lo, var_hi,
-            nf=self.nf, n_inputs=self.n_inputs, n_outputs=1, s0=s0r,
-            c_words=self.c_words, interpret=interpret,
-            op_order=self.op_order,
+            w1r, w2r, immr, lensr, var_lo, var_hi,
+            nf=b.nf, n_inputs=b.V, n_outputs=1, s0=s0r,
+            c_words=b.c_words, interpret=b.interpret, op_order=b.op_order,
         )
         rlo = olo[0, 0].reshape(-1)[:nt]
         rhi = ohi[0, 0].reshape(-1)[:nt]
@@ -316,8 +274,8 @@ class VoxelRenderer:
             return rlo, rhi, packed_choices
 
         # ---- stage 2: per-root-tile simplification --------------------
-        w1s, w2s, imms, lens, _ncho = self.simplifier.simplify_packed(
-            packed_choices, n_tiles=nt, interpret=interpret
+        w1s, w2s, imms, lens = b.simplify_root(
+            packed_choices, nt, root_active
         )
 
         if stop_after == "simplify":
@@ -351,8 +309,8 @@ class VoxelRenderer:
             return xs, mat, jnp.min(y0)
 
         def stratum(floor, s):
-            return self._stratum_body(
-                floor, s, mat=mat, var_vec=var_vec, y_base=y_base,
+            return self.stratum_body(
+                b, floor, s, mat=mat, var_vec=var_vec, y_base=y_base,
                 nty=nty, cap_s=cap_s,
             )
 
@@ -363,12 +321,12 @@ class VoxelRenderer:
         if mode == "heightmap":
             return depth, None, n_active
 
-        normal = self._normals_body(
-            depth, matM, var_vec, y_base=y_base, H=H, W=W
+        normal = self.normals_body(
+            b, depth, matM, var_vec, y_base=y_base, H=H, W=W
         )
         return depth, normal, n_active
 
-    def _stratum_body(self, floor, s, *, mat, var_vec, y_base, nty, cap_s):
+    def stratum_body(self, b, floor, s, *, mat, var_vec, y_base, nty, cap_s):
         """One Z-stratum: subtile interval pass with the slab's
         simplified tapes, result-driven occlusion against `floor`,
         compaction, per-subtile re-specialization, voxel pass, and the
@@ -383,7 +341,7 @@ class VoxelRenderer:
         ny2 = nty * nl
         H = nty * ts
         nsub_s = nl * ny2 * self.nx2
-        interpret = self.interpret
+        interpret = b.interpret
         im = IntervalMode(jnp)
         sub_dx = jnp.asarray(self.sub_dx)
         sub_dy = jnp.asarray(self.sub_dy)
@@ -412,16 +370,16 @@ class VoxelRenderer:
             sx0 = x0s[:, None] + sub_dx[None, :]          # [ntxy, m]
             sy0 = y0s[:, None] + sub_dy[None, :]
             sz0 = z0s[:, None] + sub_dz[None, :]
-            var_lo1, var_hi1 = self._interval_vars(
-                im, mat, var_vec,
+            var_lo1, var_hi1 = self.interval_vars(
+                b, im, mat, var_vec,
                 (sx0, sx0 + sub), (sy0, sy0 + sub), (sz0, sz0 + sub),
                 self.s0s, (ntxy,),
             )
             olo1, ohi1, choices1 = interp_interval(
                 s["w1s"], s["w2s"], s["imms"], lens1, var_lo1, var_hi1,
-                nf=self.nf, n_inputs=self.n_inputs, n_outputs=1,
-                s0=self.s0s, c_words=self.c_words, interpret=interpret,
-                op_order=self.op_order,
+                nf=b.nf, n_inputs=b.V, n_outputs=1,
+                s0=self.s0s, c_words=b.c_words, interpret=interpret,
+                op_order=b.op_order,
             )
             slo = olo1[:, 0].reshape(ntxy, -1)[:, :m]
             shi = ohi1[:, 0].reshape(ntxy, -1)[:, :m]
@@ -473,8 +431,8 @@ class VoxelRenderer:
             # per-subtile re-specialization from the root's dynamic
             # tape (the wgpu per-level tape_simplify loop)
             perlane = DynamicSimplifier.codes(
-                s["w1s"], s["w2s"], lens1, choices1, nf=self.nf,
-                interpret=interpret, op_order=self.op_order,
+                s["w1s"], s["w2s"], lens1, choices1, nf=b.nf,
+                interpret=interpret, op_order=b.op_order,
             )  # [ntxy, s0s*128, lw]
             k_local = ((lz % nl) * nl + (gy % nl)) * nl + (gx % nl)
             per_sub = perlane[t_idx, k_local]
@@ -483,7 +441,7 @@ class VoxelRenderer:
             )
             w1_leaf, w2_leaf, imm_leaf, len_leaf, _ = (
                 DynamicSimplifier.reconstruct(
-                    w1p, w2p, immp, codes_u8, op_order=self.op_order
+                    w1p, w2p, immp, codes_u8, op_order=b.op_order
                 )
             )
             len_leaf = jnp.where(valid, len_leaf, 0)
@@ -495,16 +453,16 @@ class VoxelRenderer:
             px = bx + vox_dx[None, :]
             py = by + vox_dy[None, :]
             pz = bz + vox_dz[None, :]
-            vars_v = self._point_vars(
-                mat, var_vec, px, py, pz, self.s0v, (cap_s,)
+            vars_v = self.point_vars(
+                b, mat, var_vec, px, py, pz, self.s0v, (cap_s,)
             )
             if sub * sub % 128 == 0:
                 # fused depth-reduce epilogue (16x less HBM traffic)
                 pp = (sub * sub) // 128
                 local = interp_voxel_depth(
                     w1_leaf, w2_leaf, imm_leaf, len_leaf, vars_v,
-                    nf=self.nf, n_inputs=self.n_inputs, s0=self.s0v,
-                    sub=sub, interpret=interpret, op_order=self.op_order,
+                    nf=b.nf, n_inputs=b.V, s0=self.s0v,
+                    sub=sub, interpret=interpret, op_order=b.op_order,
                 )[:, :pp].reshape(cap_s, sub, sub)
                 dcand = jnp.where(
                     (local > 0) & valid[:, None, None],
@@ -514,9 +472,9 @@ class VoxelRenderer:
             else:
                 dv = interp_float(
                     w1_leaf, w2_leaf, imm_leaf, len_leaf, vars_v,
-                    nf=self.nf, n_inputs=self.n_inputs, n_outputs=1,
+                    nf=b.nf, n_inputs=b.V, n_outputs=1,
                     s0=self.s0v, interpret=interpret,
-                    op_order=self.op_order,
+                    op_order=b.op_order,
                 )[:, 0].reshape(cap_s, -1)[:, : sub**3]
                 inside = (dv < 0.0) & valid[:, None]
                 inside = inside.reshape(cap_s, sub, sub, sub)
@@ -550,13 +508,13 @@ class VoxelRenderer:
             floor = jnp.maximum(floor, slab_vox)
             return floor, n_active
 
-    def _normals_body(self, depth, matM, var_vec, *, y_base, H, W):
+    def normals_body(self, b, depth, matM, var_vec, *, y_base, H, W):
         """Stage 6: dense per-pixel forward-gradient normals at the
         surface voxels (voxel.rs:447-482). Shared by the fused frame
         and the host-loop driver."""
         D = self.D
-        interpret = self.interpret
-        s0n = self.s0n
+        interpret = b.interpret
+        s0n = self.s0n_of(b.nf)
         npix = H * W
         lanes = _ceil_to(npix, s0n * 128)
         Tn = lanes // (s0n * 128)
@@ -568,7 +526,7 @@ class VoxelRenderer:
         pzf = (dflat - 1).astype(jnp.float32)
 
         def padl(a):
-            return jnp.pad(a, (0, lanes - npix)).reshape(Tn, s0n * 128)
+            return jnp.pad(a, (0, lanes - npix)).reshape(Tn, s0n, 128)
 
         pxl, pyl, pzl = padl(cols_p), padl(rows_p), padl(pzf)
         # world-frame coordinates (static affine screen->world)
@@ -577,30 +535,26 @@ class VoxelRenderer:
         wy = s2w[1, 1] * pyl + s2w[1, 3]
         wz = s2w[2, 2] * pzl + s2w[2, 3]
         dx_, dy_, dz_ = transform_duals(matM, wx, wy, wz)
-        V = self.n_inputs
-        zero = jnp.zeros_like(pxl)
-        vars_n = jnp.zeros((Tn, V, 4, s0n, 128), jnp.float32)
-        for k in range(V):
-            vars_n = vars_n.at[:, k, 0].set(
-                jnp.broadcast_to(var_vec[k], (Tn, s0n, 128))
-            )
-        for kind, duals in (("x", dx_), ("y", dy_), ("z", dz_)):
-            idx = self.axis_of.get(kind)
-            if idx is not None:
-                for k in range(4):
-                    vars_n = vars_n.at[:, idx, k].set(
-                        duals[k].reshape(Tn, s0n, 128)
-                    )
-        w1f = jnp.broadcast_to(self.packed.w1, (Tn,) + self.packed.w1.shape[1:])
-        w2f = jnp.broadcast_to(self.packed.w2, (Tn,) + self.packed.w2.shape[1:])
-        immf = jnp.broadcast_to(
-            self.packed.imm, (Tn,) + self.packed.imm.shape[1:]
-        )
-        lensn = jnp.broadcast_to(self.packed.lengths, (Tn,))
+        V = b.V
+        # four dual components as separate [Tn, V, s0n, 128] planes so
+        # the binding's set_axes handles the axis writes
+        comp0 = jnp.broadcast_to(
+            var_vec.reshape(1, V, 1, 1), (Tn, V, s0n, 128)
+        ).astype(jnp.float32)
+        zeros = jnp.zeros((Tn, V, s0n, 128), jnp.float32)
+        planes = (comp0, zeros, zeros, zeros)
+        triples = [dx_, dy_, dz_]  # each a 4-tuple of [Tn, s0n, 128]
+        planes = b.set_axes(planes, triples)
+        vars_n = jnp.stack(planes, axis=2)  # [Tn, V, 4, s0n, 128]
+        w1r, w2r, immr, lensr = b.arena
+        w1f = jnp.broadcast_to(w1r, (Tn,) + w1r.shape[1:])
+        w2f = jnp.broadcast_to(w2r, (Tn,) + w2r.shape[1:])
+        immf = jnp.broadcast_to(immr, (Tn,) + immr.shape[1:])
+        lensn = jnp.broadcast_to(lensr, (Tn,))
         g = interp_grad(
             w1f, w2f, immf, lensn, vars_n,
-            nf=self.nf, n_inputs=V, n_outputs=1, s0=s0n, interpret=interpret,
-            op_order=self.op_order,
+            nf=b.nf, n_inputs=V, n_outputs=1, s0=s0n, interpret=interpret,
+            op_order=b.op_order,
         )[:, 0]  # [Tn, 4, s0n, 128]
         grads = g.reshape(Tn, 4, s0n * 128).transpose(0, 2, 1).reshape(-1, 4)
         grads = grads[:npix, 1:4]
@@ -612,6 +566,236 @@ class VoxelRenderer:
             saturated, jnp.asarray([0.0, 0.0, 1.0], jnp.float32), normal
         )
         return normal.reshape(H, W, 3)
+
+
+@functools.lru_cache(maxsize=16)
+def _frame3_bucketed_fn(
+    W: int, H: int, D: int, ts: int, sub: int,
+    Lcap: int, nf: int, cw: int, V: int,
+    mode: str, cap: int, interpret: bool,
+):
+    """Builds (and caches) one jitted 3D frame per shape *bucket*: the
+    arena words and axis indices are traced operands (the 2D
+    `_TracedBind` under the 3D pipeline), so every shape whose packed
+    tape fits the same (capacity, register-file, choice-words, inputs)
+    bucket reuses the compiled pipeline — no per-shape compile, the
+    interactive-editor hot path."""
+    geo = _geo3(W, H, D, ts, sub)
+
+    def frame(w1, w2, imm, lens, axis_idx, matM, var_vec):
+        b = _TracedBind(
+            w1, w2, imm, lens, axis_idx, Lcap, nf, V, cw, interpret, False,
+        )
+        return geo.frame_tiles(
+            b, matM, var_vec,
+            jnp.asarray(geo.tile_x0), jnp.asarray(geo.tile_y0),
+            jnp.asarray(geo.tile_z0),
+            mode=mode, cap=cap,
+        )
+
+    return jax.jit(frame)
+
+
+class VoxelRenderer:
+    """Compiled 3D renderer for one shape at one volume size.
+
+    Args:
+      tape: register tape or Shape (single output).
+      size: volume size in voxels; all extents must be multiples of
+        `tile_size`.
+      tile_size: root tile edge (voxels), default 64 (the JIT 3D root
+        hint, fidget-jit/src/lib.rs:959-965).
+      sub_size: leaf subtile edge; sub_size**3 voxels form the lanes of
+        one leaf grid instance (default 16 -> 4096 lanes).
+      cap: max active subtiles processed per frame (None = auto from
+        the screen area); overflow triggers a host-side retry at 2x.
+      strata: "scan" traces the whole strata loop into one XLA program
+        (fastest, default for volumes <= 512^3); "loop" drives one
+        dispatch per stratum from the host — required at larger
+        volumes, where the composed scan program triggers an XLA:TPU
+        kernel fault (demos/probe_1024.py: every stage passes in
+        isolation at 1024^3, the fused scan kills the worker), and it
+        also polls the CancelToken between strata. "auto" picks.
+      specialize: True (default) compiles the pipeline per shape with
+        per-shape opcode renumbering — fastest steady-state, used by
+        the benchmarks. False uses the zero-recompile bucketed
+        pipeline (canonical opcode order, arena as traced data): any
+        shape whose tape fits the same capacity bucket renders through
+        ONE shared compiled frame — the interactive/editor path.
+        Volumes that need the host strata loop (> 512^3) always use
+        the specialized path.
+    """
+
+    def __init__(
+        self,
+        tape: Tape | Shape,
+        size: VoxelSize,
+        *,
+        tile_size: int = 64,
+        sub_size: int = 16,
+        cap: int | None = None,
+        interpret: bool | None = None,
+        strata: str = "auto",
+        specialize: bool = True,
+    ):
+        assert strata in ("auto", "scan", "loop")
+        self.strata = strata
+        self.specialize = specialize
+        self.shape_transform = None
+        if isinstance(tape, Shape):
+            self.shape_transform = tape.transform
+            tape = tape.tape()
+        assert tape.output_count == 1, "3D rendering expects a single output"
+        self.tape = tape
+        self.size = size
+        self.ts = tile_size
+        self.sub = sub_size
+        assert tile_size % sub_size == 0
+        self.interpret = default_interpret() if interpret is None else interpret
+        if (
+            not self.interpret
+            and tile_size == 32
+            and sub_size == 16
+            and max(size.width, size.height, size.depth) >= 512
+        ):
+            # (tile=32, sub=16) at >=512^3 triggers an XLA:TPU
+            # program-level miscompile that kills the TPU worker (every
+            # stage passes in isolation; identical kernel shapes work
+            # at tile_size=64 — see demos/probe_crash.py). A crashed
+            # worker takes minutes to recover, so refuse the config
+            # outright rather than let a user hit it.
+            raise ValueError(
+                "VoxelRenderer(tile_size=32, sub_size=16) at volumes >= "
+                "512 crashes the TPU runtime (known XLA:TPU miscompile; "
+                "demos/probe_crash.py). Use tile_size=64 (default) or a "
+                "different sub_size."
+            )
+
+        W, H, D = size.width, size.height, size.depth
+        self.geo = _geo3(W, H, D, tile_size, sub_size)
+        g = self.geo
+        self.W, self.H, self.D = W, H, D
+        self.ntx, self.nty, self.ntz = g.ntx, g.nty, g.ntz
+        self.nt = g.nt
+        self.nl = g.nl
+        self.m = g.m
+        self.nx2, self.ny2, self.nz2 = g.nx2, g.ny2, g.nz2
+        self.nsub = g.nsub
+        self.s0s, self.s0v = g.s0s, g.s0v
+        self.tile_x0, self.tile_y0, self.tile_z0 = (
+            g.tile_x0, g.tile_y0, g.tile_z0,
+        )
+        self.sub_dx, self.sub_dy, self.sub_dz = g.sub_dx, g.sub_dy, g.sub_dz
+        self.vox_dx, self.vox_dy, self.vox_dz = g.vox_dx, g.vox_dy, g.vox_dz
+        self.s2w = g.s2w
+
+        if cap is None:
+            # generous default: surface ~ O(columns), slack 8x, rounded
+            # to a power of two so capacity retries hit few variants
+            cap = max(256, 8 * self.nx2 * self.ny2)
+        cap = 1 << (int(cap) - 1).bit_length()
+        self.cap = min(cap, self.nsub)
+
+        # per-shape (constant-tape) artifacts are built lazily: the
+        # bucketed path never needs them
+        self._op_order = None
+        self._packed = None
+        self._simplifier = None
+        self.nf = tape.reg_count + tape.mem_count
+        # padded to >= 1 so constant-only shapes still build var planes
+        self.n_inputs = max(1, len(tape.var_map))
+        self.c_words = max(1, -(-tape.choice_count // 16))
+        self.axis_of = {v.kind: i for v, i in tape.var_map.items()}
+        self.s0n = _Pipeline3.s0n_of(self.nf)
+
+        # bucketed tape-as-data dims (canonical op order), shared with
+        # the 2D renderer's bucket scheme
+        self.Lcap_b = max(64, 1 << (len(tape) - 1).bit_length())
+        self.nf_b = _ceil_to(max(self.nf, 64), 64)
+        self.cw_b = max(1, 1 << (self.c_words - 1).bit_length())
+        self.packed_b = pack_tapes([tape], capacity=self.Lcap_b)
+        self.axis_idx = np.array(
+            [
+                -1 if self.axis_of.get(k2) is None else self.axis_of[k2]
+                for k2 in ("x", "y", "z")
+            ],
+            np.int32,
+        )
+
+        self._frame = jax.jit(
+            self._frame_impl, static_argnames=("mode", "cap")
+        )
+
+    # ------------------------------------------------------------------
+
+    @property
+    def op_order(self):
+        if self._op_order is None:
+            from ..compiler.pack import frequency_op_order
+
+            self._op_order = frequency_op_order(self.tape)
+        return self._op_order
+
+    @property
+    def packed(self):
+        if self._packed is None:
+            self._packed = pack_tapes([self.tape], op_order=self.op_order)
+        return self._packed
+
+    @property
+    def simplifier(self):
+        if self._simplifier is None:
+            self._simplifier = DeviceSimplifier(self.tape, self.op_order)
+        return self._simplifier
+
+    # ---- thin compatibility delegates to the shared pipeline ---------
+
+    def _pad_plane(self, a, s0):
+        return _Pipeline3.pad_plane(a, s0)
+
+    def _interval_vars(self, im, mat, var_vec, xi, yi, zi, s0, lead):
+        return self.geo.interval_vars(
+            _ConstBind3(self), im, mat, var_vec, xi, yi, zi, s0, lead
+        )
+
+    def _point_vars(self, mat, var_vec, px, py, pz, s0, lead):
+        return self.geo.point_vars(
+            _ConstBind3(self), mat, var_vec, px, py, pz, s0, lead
+        )
+
+    def _frame_tiles(
+        self, matM, var_vec, x0, y0, z0, *, mode: str, cap: int,
+        stop_after: str | None = None,
+    ):
+        return self.geo.frame_tiles(
+            _ConstBind3(self), matM, var_vec, x0, y0, z0,
+            mode=mode, cap=cap, stop_after=stop_after,
+        )
+
+    def _stratum_body(self, floor, s, *, mat, var_vec, y_base, nty, cap_s):
+        return self.geo.stratum_body(
+            _ConstBind3(self), floor, s, mat=mat, var_vec=var_vec,
+            y_base=y_base, nty=nty, cap_s=cap_s,
+        )
+
+    def _normals_body(self, depth, matM, var_vec, *, y_base, H, W):
+        return self.geo.normals_body(
+            _ConstBind3(self), depth, matM, var_vec, y_base=y_base, H=H, W=W
+        )
+
+    # ------------------------------------------------------------------
+
+    def _frame_impl(self, matM, var_vec, *, mode: str, cap: int):
+        """matM: traced world->model 4x4 (incl. shape transform);
+        var_vec: f32 [V] custom-variable values; cap: static worklist
+        capacity (a jit cache key, so capacity retries only compile the
+        new variant)."""
+        return self._frame_tiles(
+            matM, var_vec,
+            jnp.asarray(self.tile_x0), jnp.asarray(self.tile_y0),
+            jnp.asarray(self.tile_z0),
+            mode=mode, cap=cap,
+        )
 
     # ------------------------------------------------------------------
 
@@ -733,6 +917,18 @@ class VoxelRenderer:
             if self._use_loop():
                 depth, normal, n_active = self._render_loop(
                     matM, vec, mode=mode, cap=self.cap, cancel=cancel
+                )
+            elif not self.specialize:
+                fn = _frame3_bucketed_fn(
+                    self.W, self.H, self.D, self.ts, self.sub,
+                    self.Lcap_b, self.nf_b, self.cw_b, self.n_inputs,
+                    mode, min(self.cap, self.nsub), self.interpret,
+                )
+                p = self.packed_b
+                depth, normal, n_active = fn(
+                    jnp.asarray(p.w1), jnp.asarray(p.w2),
+                    jnp.asarray(p.imm), jnp.asarray(p.lengths),
+                    jnp.asarray(self.axis_idx), matM, vec,
                 )
             else:
                 depth, normal, n_active = self._frame(

@@ -48,6 +48,33 @@ def test_gyroid_sphere_depth_matches_brute():
     _check_depth_matches_brute(gyroid_sphere_tape())
 
 
+def test_bucketed_mode_shares_compiles_and_is_exact():
+    """specialize=False runs the zero-recompile bucketed pipeline
+    (arena + axis indices as traced operands, like the 2D default
+    render() path): two different shapes in the same capacity bucket
+    must share one compiled frame and still match brute force exactly,
+    including normals."""
+    from fidget_tpu.render import render3d
+
+    n = 32
+    sph = sphere_tape()
+    gyr = gyroid_sphere_tape()
+    misses0 = render3d._frame3_bucketed_fn.cache_info().misses
+    for tape in (sph, gyr):
+        r = VoxelRenderer(
+            tape, VoxelSize(n, n, n), tile_size=16, sub_size=8,
+            interpret=True, specialize=False,
+        )
+        img = r.render(mode="heightmap")
+        np.testing.assert_array_equal(img.depth, r.render_brute().depth)
+        nm = r.render(mode="normals")
+        np.testing.assert_array_equal(nm.depth, img.depth)
+    # both shapes hit the same bucket: exactly one builder per mode
+    assert (
+        render3d._frame3_bucketed_fn.cache_info().misses - misses0 == 2
+    ), "bucketed pipeline did not share compiled frames across shapes"
+
+
 def test_strata_loop_matches_scan_and_brute():
     """The host-loop strata driver (one dispatch per stratum, used at
     volumes > 512^3 where the fused lax.scan program faults the TPU —
