@@ -158,7 +158,8 @@ class EditorApp:
             if mode == "3d":
                 n = max(64, min(256, size))
                 r = VoxelRenderer(
-                    Shape.from_tree(res.tree).tape(), VoxelSize(n, n, n)
+                    Shape.from_tree(res.tree).tape(), VoxelSize(n, n, n),
+                    specialize=False,  # edits re-render, zero recompiles
                 )
                 img = r.render(mode="normals")
                 rgb = apply_shading(img.depth, img.normal, vdepth=n)[::-1]

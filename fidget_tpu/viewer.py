@@ -69,7 +69,11 @@ def watch(
         try:
             if mode3d:
                 tape = _tape(_load(str(p)))
-                r = VoxelRenderer(tape, VoxelSize(size, size, size))
+                # bucketed pipeline: shape edits re-render without a
+                # per-shape pipeline compile (matches the 2D default)
+                r = VoxelRenderer(
+                    tape, VoxelSize(size, size, size), specialize=False
+                )
                 img = r.render(mode="normals")
                 rgb = apply_shading(img.depth, img.normal, vdepth=size)
                 frame = rgb[::-1]
