@@ -1,0 +1,95 @@
+"""Measure XLA compile-effort dials on the unrolled-leaf compile.
+
+The tiled-unrolled pipeline pays a per-shape XLA:TPU compile (~44 s
+cold for prospero's 7,867-op tape). jax 0.9 exposes per-jit
+`compiler_options` effort dials (exec_time_optimization_effort,
+memory_fitting_effort in [-1, 1], default 0). This measures, per dial
+setting: cold compile wall time (via .lower().compile(), persistent
+cache disabled) and steady-state frame throughput (K-slope method per
+the bench.py methodology).
+
+Run on TPU: python demos/exp_compile_effort.py
+"""
+
+import os
+import sys
+import time
+
+os.environ["FIDGET_TPU_NO_CACHE"] = "1"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from fidget_tpu.io.models import load_vm_tape
+    from fidget_tpu.render.region import ImageSize
+    from fidget_tpu.render.render2d import PixelRenderer, _frame_unrolled_fn
+
+    N = 1024
+    TILE = 16
+    tape = load_vm_tape("prospero.vm")
+    r = PixelRenderer(tape, ImageSize(N, N))
+    # size the worklist once (cheap cull pass compile)
+    img = r.render_unrolled(tile_size=TILE)
+    cap = r._ucap[TILE]
+    n0x = n0y = N // TILE
+    print(f"cap={cap} n0={n0x * n0y}", flush=True)
+
+    base = _frame_unrolled_fn(
+        id(r.tape), TILE, n0x, n0y, cap, r.n_inputs, False, r.interpret
+    )
+    raw = base.__wrapped__
+
+    tx = np.arange(n0x) * TILE
+    gx, gy = np.meshgrid(tx, tx)
+    x0 = jnp.asarray(gx.reshape(-1).astype(np.float32))
+    y0 = jnp.asarray(gy.reshape(-1).astype(np.float32))
+    mat = jnp.asarray(r._mat4(None))
+    vec = jnp.zeros(r.n_inputs, jnp.float32)
+
+    configs = [
+        ("default", None),
+        ("exec=-0.5", {"exec_time_optimization_effort": -0.5}),
+        ("exec=-1.0", {"exec_time_optimization_effort": -1.0}),
+        ("exec=-1,mem=-1", {"exec_time_optimization_effort": -1.0,
+                            "memory_fitting_effort": -1.0}),
+    ]
+    K = 16
+    for name, opts in configs:
+        fn = jax.jit(raw, compiler_options=opts)
+        t0 = time.time()
+        lowered = fn.lower(x0, y0, mat, jnp.float32(0.0), vec)
+        t1 = time.time()
+        compiled = lowered.compile()
+        t2 = time.time()
+
+        def many(mat, k0):
+            def body(k, acc):
+                m = mat * (1.0 + 1e-7 * (k + k0).astype(jnp.float32))
+                dist, fill, na = fn(x0, y0, m, jnp.float32(0.0), vec)
+                return acc + jnp.sum(dist) + na.astype(jnp.float32)
+
+            return lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+        f = jax.jit(many, compiler_options=opts)
+        _ = float(f(mat, jnp.float32(0.0)))  # compile+warm (2nd compile!)
+        best = float("inf")
+        for i in range(3):
+            t = time.time()
+            _ = float(f(mat, jnp.float32(100.0 + i)))
+            best = min(best, (time.time() - t) / K)
+        mpix = N * N / best / 1e6
+        print(
+            f"{name:16s} trace {t1 - t0:6.1f}s  compile {t2 - t1:6.1f}s  "
+            f"steady {best * 1e3:6.2f} ms/frame = {mpix:7.1f} Mpix/s",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -258,12 +258,25 @@ def interp_voxel_depth(
 
         lax.fori_loop(0, jnp.minimum(n, lcap), step, 0)
 
-        # depth-reduce epilogue: planes [vz*pp + q] hold z-slice vz
-        acc = jnp.zeros((pp, 128), jnp.int32)
-        for vz in range(sub):
-            block = dist[vz * pp:(vz + 1) * pp, :]
-            acc = jnp.maximum(
-                acc, jnp.where(block < 0.0, jnp.int32(vz + 1), 0)
+        # depth-reduce epilogue: planes [vz*pp + q] hold z-slice vz.
+        # Static unroll for small subtiles (measured path); a fori_loop
+        # above 16 z-slices keeps kernel size bounded for sub=32/64.
+        if sub <= 16:
+            acc = jnp.zeros((pp, 128), jnp.int32)
+            for vz in range(sub):
+                block = dist[vz * pp:(vz + 1) * pp, :]
+                acc = jnp.maximum(
+                    acc, jnp.where(block < 0.0, jnp.int32(vz + 1), 0)
+                )
+        else:
+            def zstep(vz, acc):
+                block = dist[pl.ds(vz * pp, pp), :]
+                return jnp.maximum(
+                    acc, jnp.where(block < 0.0, vz + 1, 0)
+                )
+
+            acc = lax.fori_loop(
+                0, sub, zstep, jnp.zeros((pp, 128), jnp.int32)
             )
         if pp == pp_out:
             out_ref[0] = acc

@@ -30,6 +30,10 @@ def gyroid_sphere_tape(scale=4.0):
 
 
 def _check_depth_matches_brute(tape, n=64, **kw):
+    # bucketed (specialize=False) so every shape in this file shares
+    # one compiled frame per geometry — the specialized path has its
+    # own dedicated tests below
+    kw.setdefault("specialize", False)
     r = VoxelRenderer(
         tape, VoxelSize(n, n, n), tile_size=32, sub_size=8,
         interpret=True, **kw,
@@ -160,7 +164,7 @@ def test_empty_and_full_volumes():
     t_full = lower(ctx, [ctx.sub(ctx.z(), 10.0)])
     r = VoxelRenderer(
         t_full, VoxelSize(64, 64, 64), tile_size=32, sub_size=8,
-        interpret=True,
+        interpret=True, specialize=False,
     )
     img = r.render(mode="normals")
     assert (img.depth == 64).all()
@@ -171,7 +175,7 @@ def test_empty_and_full_volumes():
     t_empty = lower(ctx2, [ctx2.sub(10.0, ctx2.z())])
     r2 = VoxelRenderer(
         t_empty, VoxelSize(64, 64, 64), tile_size=32, sub_size=8,
-        interpret=True,
+        interpret=True, specialize=False,
     )
     img2 = r2.render(mode="normals")
     assert (img2.depth == 0).all()
@@ -183,7 +187,7 @@ def test_overflow_retry():
     tape = gyroid_sphere_tape()
     r = VoxelRenderer(
         tape, VoxelSize(64, 64, 64), tile_size=32, sub_size=8, cap=8,
-        interpret=True,
+        interpret=True, specialize=False,
     )
     img = r.render(mode="heightmap", max_retries=8)
     brute = r.render_brute()
@@ -200,7 +204,8 @@ def test_shape_var_and_transform():
     )
     n = 64
     r = VoxelRenderer(
-        shape, VoxelSize(n, n, n), tile_size=32, sub_size=8, interpret=True
+        shape, VoxelSize(n, n, n), tile_size=32, sub_size=8,
+        interpret=True, specialize=False,
     )
     img = r.render(vars={rv: 0.8}, mode="heightmap")
     brute = r.render_brute(vars={rv: 0.8})
@@ -216,7 +221,10 @@ def test_sharded_voxels_matches_single_device():
 
     from fidget_tpu.parallel.sharding import make_mesh, render_voxels_sharded
 
-    n_dev = min(4, jax.device_count())
+    # 2 devices keep the volume at the suite's shared 64^3 geometry
+    # (cross-device logic errors already show at 2; the 8-device case
+    # is exercised by dryrun_multichip)
+    n_dev = min(2, jax.device_count())
     if n_dev < 2:
         pytest.skip("needs a multi-device mesh")
     mesh = make_mesh(n_dev)
@@ -227,7 +235,8 @@ def test_sharded_voxels_matches_single_device():
         interpret=True,
     )
     single = VoxelRenderer(
-        tape, size, tile_size=32, sub_size=8, interpret=True
+        tape, size, tile_size=32, sub_size=8, interpret=True,
+        specialize=False,
     )
     ref = single.render(mode="normals")
     np.testing.assert_array_equal(img.depth, ref.depth)
@@ -241,7 +250,7 @@ def test_perspective_camera_matches_brute():
     mat[3, 2] = 0.3
     r = VoxelRenderer(
         sphere_tape(0.6), VoxelSize(64, 64, 64), tile_size=32, sub_size=8,
-        interpret=True,
+        interpret=True, specialize=False,
     )
     img = r.render(mat, mode="heightmap")
     brute = r.render_brute(mat)
