@@ -53,7 +53,10 @@ from ..eval.pallas_interp import (
 )
 from ..eval.simplify_device import DeviceSimplifier, DynamicSimplifier
 from ..eval.unrolled import eval_tape
-from ..eval.unrolled_fast import eval_tape_float_fast
+from ..eval.unrolled_fast import (
+    eval_tape_float_fast,
+    eval_tape_interval_fast,
+)
 from ..shape import Shape, ShapeVars
 from .region import ImageSize, compose2, mat3_to_mat4
 from .transform import transform_intervals, transform_points
@@ -470,11 +473,49 @@ _TAPE_REGISTRY: dict[int, tuple] = {}
 def _unrolled_cull_stage(
     tape_key, T0, n0, V, x0, y0, mat, z, var_vec, interpret,
 ):
-    """Root interval pass over all tiles (tiles are kernel LANES, one
-    instance): returns (root_in, root_out) proof flags [n0]. Uses the
-    CANONICAL bucketed arena, so the Pallas interval kernel is shared
-    with the standard pipeline's bucket (no per-shape Pallas compile —
-    only the unrolled XLA leaf is shape-specific)."""
+    """Root interval pass over all tiles, UNROLLED into straight-line
+    XLA interval arithmetic (eval_tape_interval_fast): returns
+    (root_in, root_out) proof flags [n0].
+
+    The cull used to run through the shared Pallas interval
+    interpreter, whose cost is ~90 ns x tape-length per *instance*
+    regardless of lane count — ~1 ms of the frame on prospero. The
+    unrolled form pays no per-step dispatch and its cost is pure
+    VPU arithmetic over [n0] lanes, which also makes fine cull tiles
+    (8 px -> 34% active vs 51% at 16 px on prospero 1024^2) free:
+    tile count only widens the lanes. Proofs are sound and, on
+    NaN-free paths, identical to the interpreter's (see
+    eval_tape_interval_fast's docstring for the NaN relaxation)."""
+    tape, packed, axis_of, nf, c_words = _TAPE_REGISTRY[tape_key]
+    im = IntervalMode(jnp)
+    mxi, myi, mzi = transform_intervals(
+        im, mat, (x0, x0 + T0), (y0, y0 + T0), (z, z)
+    )
+    V = max(1, len(tape.var_map))
+    like = x0
+    inputs = []
+    for i in range(V):
+        c = jnp.broadcast_to(var_vec[i], like.shape).astype(jnp.float32)
+        inputs.append((c, c))
+    for kind, ivl in (("x", mxi), ("y", myi), ("z", mzi)):
+        idx = axis_of.get(kind)
+        if idx is not None:
+            inputs[idx] = (
+                jnp.broadcast_to(ivl[0], like.shape),
+                jnp.broadcast_to(ivl[1], like.shape),
+            )
+    los, his = eval_tape_interval_fast(tape, inputs)
+    return his[0] < 0.0, los[0] > 0.0
+
+
+def _cull_sizing_stage(
+    tape_key, T0, n0, V, x0, y0, mat, z, var_vec, interpret,
+):
+    """Pallas-interpreter root interval pass, used ONLY by the cheap
+    standalone capacity-sizing dispatch (`_cull_unrolled_fn`): the
+    CANONICAL bucketed arena means the kernel is shared with the
+    standard pipeline's bucket, so sizing a new shape's worklist costs
+    no per-shape compile before the big unrolled-leaf compile."""
     tape, packed, axis_of, nf, c_words = _TAPE_REGISTRY[tape_key]
     op_order = None
     s0r = max(8, _ceil_to(-(-n0 // 128), 8))
@@ -525,13 +566,18 @@ def _unrolled_leaf_stage(tape_key, T0, cx0, cy0, valid, mat, z, var_vec):
     px = cx0[:, None] + ii[None, :] % T0
     py = cy0[:, None] + ii[None, :] // T0
     mx, my, mz = transform_points(mat, px, py, z)
-    inputs = [jnp.broadcast_to(var_vec[i], (C, pp)) for i in range(V)]
+    # flatten to 1D lanes: XLA tiles a [C*pp] vector densely even when
+    # pp < 128 (8-px tiles have 64-px leaves), where [C, pp] would
+    # waste (128 - pp)/128 of every vreg
+    inputs = [
+        jnp.broadcast_to(var_vec[i], (C * pp,)) for i in range(V)
+    ]
     for kind, plane in (("x", mx), ("y", my), ("z", mz)):
         idx = axis_of.get(kind)
         if idx is not None:
-            inputs[idx] = jnp.broadcast_to(plane, (C, pp))
+            inputs[idx] = jnp.broadcast_to(plane, (C, pp)).reshape(C * pp)
     outs = eval_tape_float_fast(tape, inputs)
-    return jnp.where(valid[:, None], outs[0], 0.0)
+    return jnp.where(valid[:, None], outs[0].reshape(C, pp), 0.0)
 
 
 @functools.lru_cache(maxsize=32)
@@ -541,7 +587,7 @@ def _cull_unrolled_fn(tape_key, T0, n0x, n0y, V, interpret):
     n0 = n0x * n0y
 
     def cull(x0, y0, mat, z, var_vec):
-        root_in, root_out = _unrolled_cull_stage(
+        root_in, root_out = _cull_sizing_stage(
             tape_key, T0, n0, V, x0, y0, mat, z, var_vec, interpret
         )
         return (~(root_in | root_out)).sum()
