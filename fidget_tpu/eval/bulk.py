@@ -131,15 +131,30 @@ class BulkEvaluator:
 
     def __init__(self, tape: Tape, *, interpret: bool | None = None):
         self.tape = tape
-        self.op_order = frequency_op_order(tape)
-        self.packed = pack_tapes([tape], op_order=self.op_order)
-        self.nf = tape.reg_count + tape.mem_count
+        self.interpret = default_interpret() if interpret is None else interpret
+        if self.interpret:
+            # interpret mode (CPU tests): per-shape opcode renumbering
+            # buys nothing, but every distinct static-arg combo costs
+            # an XLA:CPU compile of the interpreted kernel — use the
+            # canonical order and bucket the register-file / arena
+            # dims so different shapes share compiled kernels
+            self.op_order = None
+            self.packed = pack_tapes(
+                [tape],
+                capacity=max(
+                    64, 1 << (len(tape) - 1).bit_length()
+                ),
+            )
+            self.nf = _ceil_to(max(tape.reg_count + tape.mem_count, 8), 8)
+        else:
+            self.op_order = frequency_op_order(tape)
+            self.packed = pack_tapes([tape], op_order=self.op_order)
+            self.nf = tape.reg_count + tape.mem_count
         # padded to >= 1 so constant-only tapes still build var planes
         self.n_inputs = max(1, len(tape.var_map))
         self.n_outputs = tape.output_count
         self.c_words = max(1, -(-tape.choice_count // 16))
         self.axis_of = {v.kind: i for v, i in tape.var_map.items()}
-        self.interpret = default_interpret() if interpret is None else interpret
 
     # ------------------------------------------------------------------
 

@@ -119,6 +119,30 @@ class _ConstBind3:
         return w1s, w2s, imms, lens
 
 
+def _compact_stratum(act_flat, *, nl, ny2, nx2, cap_s, xp):
+    """Nearest-first compaction of a stratum's active flags into a
+    fixed-capacity worklist: returns the selection order, its validity
+    mask, and the decoded (lz, gy, gx) slab-local subtile coordinates.
+    Runs traced (xp=jnp, inside the fused scan/loop stratum body) or
+    on host (xp=numpy, for the `strata='stages'` driver)."""
+    nsub_s = nl * ny2 * nx2
+    lz_f = xp.arange(nsub_s, dtype=xp.int32) // (ny2 * nx2)
+    key = xp.where(act_flat, nl - lz_f, xp.int32(1 << 30))
+    if xp is jnp:
+        order = jnp.argsort(key)[:cap_s]
+    else:
+        order = np.argsort(key, kind="stable")[:cap_s].astype(np.int32)
+    valid = act_flat[order]
+    rem = order % (ny2 * nx2)
+    return dict(
+        order=order,
+        valid=valid,
+        lz=order // (ny2 * nx2),
+        gy=rem // nx2,
+        gx=rem % nx2,
+    )
+
+
 @functools.lru_cache(maxsize=32)
 def _geo3(W: int, H: int, D: int, ts: int, sub: int) -> "_Pipeline3":
     return _Pipeline3(W, H, D, ts, sub)
@@ -330,183 +354,208 @@ class _Pipeline3:
         """One Z-stratum: subtile interval pass with the slab's
         simplified tapes, result-driven occlusion against `floor`,
         compaction, per-subtile re-specialization, voxel pass, and the
-        floor fold. Shared by the fused `lax.scan` path and the
-        host-loop driver (`strata='loop'`) that works around the
-        XLA:TPU scan miscompile at large volumes (demos/probe_1024.py:
-        every stage passes in isolation at 1024^3, the composed scan
-        program kills the worker)."""
+        floor fold. Composed from the stage methods below; shared by
+        the fused `lax.scan` path, the host-loop driver
+        (`strata='loop'`), and — stage by stage, with host compaction —
+        the `strata='stages'` driver that works around the XLA:TPU
+        program-level faults at very large volumes (demos/probe_1024.py:
+        every stage passes in isolation at 1024^3, the fused
+        compositions kill the worker)."""
+        floor, aux = self.stratum_proofs(
+            b, floor, s, mat=mat, var_vec=var_vec, nty=nty
+        )
+        idx = _compact_stratum(
+            aux["act_flat"], nl=self.nl, ny2=nty * self.nl,
+            nx2=self.nx2, cap_s=cap_s, xp=jnp,
+        )
+        dcand = self.stratum_leaf(
+            b, s, aux, idx, mat=mat, var_vec=var_vec, y_base=y_base,
+            cap_s=cap_s,
+        )
+        floor = self.stratum_fold(floor, dcand, idx, nty=nty, cap_s=cap_s)
+        return floor, aux["n_active"]
+
+    def stratum_proofs(self, b, floor, s, *, mat, var_vec, nty):
+        """Stratum stage A: root-full fold, subtile interval pass,
+        proof-driven fulls, and result-driven occlusion against the
+        floor. Returns (floor', aux) where aux carries the active-flag
+        vector (compaction input), the packed choices (leaf tape
+        re-specialization input), and the slab z base."""
         ts, sub, nl, m = self.ts, self.sub, self.nl, self.m
-        W = self.W
         ntxy = nty * self.ntx
         ny2 = nty * nl
-        H = nty * ts
-        nsub_s = nl * ny2 * self.nx2
-        interpret = b.interpret
         im = IntervalMode(jnp)
         sub_dx = jnp.asarray(self.sub_dx)
         sub_dy = jnp.asarray(self.sub_dy)
         sub_dz = jnp.asarray(self.sub_dz)
+
+        x0s, y0s, z0s = s["x0"], s["y0"], s["z0"]
+        acts = s["act"][:, None]                      # [ntxy, 1]
+        lens1 = s["lens"]
+
+        # root-full proofs of THIS slab fill their whole footprint
+        full_px = jnp.repeat(
+            jnp.repeat(
+                jnp.where(s["full"], z0s + ts, 0.0)
+                .reshape(nty, self.ntx).astype(jnp.int32),
+                ts, 0,
+            ),
+            ts, 1,
+        )
+        floor = jnp.maximum(floor, full_px)
+
+        # subtile interval pass with the slab's simplified tapes
+        sx0 = x0s[:, None] + sub_dx[None, :]          # [ntxy, m]
+        sy0 = y0s[:, None] + sub_dy[None, :]
+        sz0 = z0s[:, None] + sub_dz[None, :]
+        var_lo1, var_hi1 = self.interval_vars(
+            b, im, mat, var_vec,
+            (sx0, sx0 + sub), (sy0, sy0 + sub), (sz0, sz0 + sub),
+            self.s0s, (ntxy,),
+        )
+        olo1, ohi1, choices1 = interp_interval(
+            s["w1s"], s["w2s"], s["imms"], lens1, var_lo1, var_hi1,
+            nf=b.nf, n_inputs=b.V, n_outputs=1,
+            s0=self.s0s, c_words=b.c_words, interpret=b.interpret,
+            op_order=b.op_order,
+        )
+        slo = olo1[:, 0].reshape(ntxy, -1)[:, :m]
+        shi = ohi1[:, 0].reshape(ntxy, -1)[:, :m]
+        sub_full = acts & (shi < 0.0)
+        sub_active = acts & ~(shi < 0.0) & ~(slo > 0.0)
+
+        def to_dense(flags):
+            """[ntxy, m] -> [nl(z), ny2, nx2] slab-local grid."""
+            g = flags.reshape(nty, self.ntx, nl, nl, nl)
+            return g.transpose(2, 0, 3, 1, 4).reshape(nl, ny2, self.nx2)
+
+        z_lo = z0s[0]  # slab z base (shared by all slab tiles)
+        lz_col = jnp.arange(nl, dtype=jnp.int32)[:, None, None]
+        sub_top = z_lo.astype(jnp.int32) + lz_col * sub + sub
+
+        # proof-driven fulls at subtile granularity
+        full_d = to_dense(sub_full)
+        proof_sub = jnp.where(full_d, sub_top, 0).max(0)  # [ny2, nx2]
+        floor = jnp.maximum(
+            floor, jnp.repeat(jnp.repeat(proof_sub, sub, 0), sub, 1)
+        )
+
+        # result-driven occlusion: a subtile is dead if its top is
+        # at or below the floor EVERYWHERE in its footprint
+        floor_min = (
+            floor.reshape(ny2, sub, self.nx2, sub).min((1, 3))
+        )  # [ny2, nx2]
+        active_d = to_dense(sub_active) & (sub_top > floor_min[None])
+        act_flat = active_d.reshape(-1)
+        aux = dict(
+            act_flat=act_flat,
+            n_active=act_flat.sum(),
+            choices1=choices1,
+            lens1=lens1,
+            z_lo=z_lo,
+        )
+        return floor, aux
+
+    def stratum_leaf(self, b, s, aux, idx, *, mat, var_vec, y_base, cap_s):
+        """Stratum stage B: gather the compacted worklist's parent
+        tapes, re-specialize them per subtile from the packed choices
+        (the wgpu per-level tape_simplify loop), and run the voxel
+        point pass. Returns local depth candidates [cap_s, sub, sub]."""
+        sub, nl = self.sub, self.nl
         vox_dx = jnp.asarray(self.vox_dx)
         vox_dy = jnp.asarray(self.vox_dy)
         vox_dz = jnp.asarray(self.vox_dz)
-        if True:
-            # floor: [H, W] int32 depth so far (result-driven occlusion)
-            x0s, y0s, z0s = s["x0"], s["y0"], s["z0"]
-            acts = s["act"][:, None]                      # [ntxy, 1]
-            lens1 = s["lens"]
+        lz, gy, gx, valid = idx["lz"], idx["gy"], idx["gx"], idx["valid"]
+        t_idx = (gy // nl) * self.ntx + (gx // nl)
+        w1p = jnp.take(s["w1s"], t_idx, axis=0)
+        w2p = jnp.take(s["w2s"], t_idx, axis=0)
+        immp = jnp.take(s["imms"], t_idx, axis=0)
 
-            # root-full proofs of THIS slab fill their whole footprint
-            full_px = jnp.repeat(
-                jnp.repeat(
-                    jnp.where(s["full"], z0s + ts, 0.0)
-                    .reshape(nty, self.ntx).astype(jnp.int32),
-                    ts, 0,
-                ),
-                ts, 1,
+        perlane = DynamicSimplifier.codes(
+            s["w1s"], s["w2s"], aux["lens1"], aux["choices1"], nf=b.nf,
+            interpret=b.interpret, op_order=b.op_order,
+        )  # [ntxy, s0s*128, lw]
+        k_local = ((lz % nl) * nl + (gy % nl)) * nl + (gx % nl)
+        per_sub = perlane[t_idx, k_local]
+        codes_u8 = DeviceSimplifier.unpack_codes(
+            per_sub, s["w1s"].shape[1]
+        )
+        w1_leaf, w2_leaf, imm_leaf, len_leaf, _ = (
+            DynamicSimplifier.reconstruct(
+                w1p, w2p, immp, codes_u8, op_order=b.op_order
             )
-            floor = jnp.maximum(floor, full_px)
+        )
+        len_leaf = jnp.where(valid, len_leaf, 0)
 
-            # subtile interval pass with the slab's simplified tapes
-            sx0 = x0s[:, None] + sub_dx[None, :]          # [ntxy, m]
-            sy0 = y0s[:, None] + sub_dy[None, :]
-            sz0 = z0s[:, None] + sub_dz[None, :]
-            var_lo1, var_hi1 = self.interval_vars(
-                b, im, mat, var_vec,
-                (sx0, sx0 + sub), (sy0, sy0 + sub), (sz0, sz0 + sub),
-                self.s0s, (ntxy,),
-            )
-            olo1, ohi1, choices1 = interp_interval(
-                s["w1s"], s["w2s"], s["imms"], lens1, var_lo1, var_hi1,
+        # voxel point pass over the compacted slab worklist
+        bx = (gx * sub).astype(jnp.float32)[:, None]
+        by = (gy * sub).astype(jnp.float32)[:, None] + y_base
+        bz = (lz * sub).astype(jnp.float32)[:, None] + aux["z_lo"]
+        px = bx + vox_dx[None, :]
+        py = by + vox_dy[None, :]
+        pz = bz + vox_dz[None, :]
+        vars_v = self.point_vars(
+            b, mat, var_vec, px, py, pz, self.s0v, (cap_s,)
+        )
+        if sub * sub % 128 == 0:
+            # fused depth-reduce epilogue (16x less HBM traffic)
+            pp = (sub * sub) // 128
+            local = interp_voxel_depth(
+                w1_leaf, w2_leaf, imm_leaf, len_leaf, vars_v,
+                nf=b.nf, n_inputs=b.V, s0=self.s0v,
+                sub=sub, interpret=b.interpret, op_order=b.op_order,
+            )[:, :pp].reshape(cap_s, sub, sub)
+            dcand = jnp.where(
+                (local > 0) & valid[:, None, None],
+                bz.astype(jnp.int32)[..., None] + local,
+                0,
+            )  # [cap_s, sub(vy), sub(vx)]
+        else:
+            dv = interp_float(
+                w1_leaf, w2_leaf, imm_leaf, len_leaf, vars_v,
                 nf=b.nf, n_inputs=b.V, n_outputs=1,
-                s0=self.s0s, c_words=b.c_words, interpret=interpret,
+                s0=self.s0v, interpret=b.interpret,
                 op_order=b.op_order,
-            )
-            slo = olo1[:, 0].reshape(ntxy, -1)[:, :m]
-            shi = ohi1[:, 0].reshape(ntxy, -1)[:, :m]
-            sub_full = acts & (shi < 0.0)
-            sub_active = acts & ~(shi < 0.0) & ~(slo > 0.0)
+            )[:, 0].reshape(cap_s, -1)[:, : sub**3]
+            inside = (dv < 0.0) & valid[:, None]
+            inside = inside.reshape(cap_s, sub, sub, sub)
+            vz_col = jnp.arange(sub, dtype=jnp.int32)[None, :, None, None]
+            dcand = jnp.where(
+                inside,
+                bz.astype(jnp.int32)[..., None, None] + vz_col + 1,
+                0,
+            ).max(axis=1)
+        return dcand
 
-            def to_dense(flags):
-                """[ntxy, m] -> [nl(z), ny2, nx2] slab-local grid."""
-                g = flags.reshape(nty, self.ntx, nl, nl, nl)
-                return g.transpose(2, 0, 3, 1, 4).reshape(
-                    nl, ny2, self.nx2
-                )
-
-            z_lo = z0s[0]  # slab z base (shared by all slab tiles)
-            lz_col = jnp.arange(nl, dtype=jnp.int32)[:, None, None]
-            sub_top = z_lo.astype(jnp.int32) + lz_col * sub + sub
-
-            # proof-driven fulls at subtile granularity
-            full_d = to_dense(sub_full)
-            proof_sub = jnp.where(full_d, sub_top, 0).max(0)  # [ny2,nx2]
-            floor = jnp.maximum(
-                floor, jnp.repeat(jnp.repeat(proof_sub, sub, 0), sub, 1)
-            )
-
-            # result-driven occlusion: a subtile is dead if its top is
-            # at or below the floor EVERYWHERE in its footprint
-            floor_min = (
-                floor.reshape(ny2, sub, self.nx2, sub).min((1, 3))
-            )  # [ny2, nx2]
-            active_d = to_dense(sub_active) & (sub_top > floor_min[None])
-            act_flat = active_d.reshape(-1)
-            n_active = act_flat.sum()
-
-            # compact to the per-stratum capacity (nearest-first)
-            BIG = jnp.int32(1 << 30)
-            lz_f = jnp.arange(nsub_s, dtype=jnp.int32) // (ny2 * self.nx2)
-            key = jnp.where(act_flat, nl - lz_f, BIG)
-            order = jnp.argsort(key)[:cap_s]
-            valid = act_flat[order]
-            lz = order // (ny2 * self.nx2)
-            rem = order % (ny2 * self.nx2)
-            gy = rem // self.nx2
-            gx = rem % self.nx2
-            t_idx = (gy // nl) * self.ntx + (gx // nl)
-            w1p = jnp.take(s["w1s"], t_idx, axis=0)
-            w2p = jnp.take(s["w2s"], t_idx, axis=0)
-            immp = jnp.take(s["imms"], t_idx, axis=0)
-
-            # per-subtile re-specialization from the root's dynamic
-            # tape (the wgpu per-level tape_simplify loop)
-            perlane = DynamicSimplifier.codes(
-                s["w1s"], s["w2s"], lens1, choices1, nf=b.nf,
-                interpret=interpret, op_order=b.op_order,
-            )  # [ntxy, s0s*128, lw]
-            k_local = ((lz % nl) * nl + (gy % nl)) * nl + (gx % nl)
-            per_sub = perlane[t_idx, k_local]
-            codes_u8 = DeviceSimplifier.unpack_codes(
-                per_sub, s["w1s"].shape[1]
-            )
-            w1_leaf, w2_leaf, imm_leaf, len_leaf, _ = (
-                DynamicSimplifier.reconstruct(
-                    w1p, w2p, immp, codes_u8, op_order=b.op_order
-                )
-            )
-            len_leaf = jnp.where(valid, len_leaf, 0)
-
-            # voxel point pass over the compacted slab worklist
-            bx = (gx * sub).astype(jnp.float32)[:, None]
-            by = (gy * sub).astype(jnp.float32)[:, None] + y_base
-            bz = (lz * sub).astype(jnp.float32)[:, None] + z_lo
-            px = bx + vox_dx[None, :]
-            py = by + vox_dy[None, :]
-            pz = bz + vox_dz[None, :]
-            vars_v = self.point_vars(
-                b, mat, var_vec, px, py, pz, self.s0v, (cap_s,)
-            )
-            if sub * sub % 128 == 0:
-                # fused depth-reduce epilogue (16x less HBM traffic)
-                pp = (sub * sub) // 128
-                local = interp_voxel_depth(
-                    w1_leaf, w2_leaf, imm_leaf, len_leaf, vars_v,
-                    nf=b.nf, n_inputs=b.V, s0=self.s0v,
-                    sub=sub, interpret=interpret, op_order=b.op_order,
-                )[:, :pp].reshape(cap_s, sub, sub)
-                dcand = jnp.where(
-                    (local > 0) & valid[:, None, None],
-                    bz.astype(jnp.int32)[..., None] + local,
-                    0,
-                )  # [cap_s, sub(vy), sub(vx)]
-            else:
-                dv = interp_float(
-                    w1_leaf, w2_leaf, imm_leaf, len_leaf, vars_v,
-                    nf=b.nf, n_inputs=b.V, n_outputs=1,
-                    s0=self.s0v, interpret=interpret,
-                    op_order=b.op_order,
-                )[:, 0].reshape(cap_s, -1)[:, : sub**3]
-                inside = (dv < 0.0) & valid[:, None]
-                inside = inside.reshape(cap_s, sub, sub, sub)
-                vz_col = jnp.arange(sub, dtype=jnp.int32)[None, :, None, None]
-                dcand = jnp.where(
-                    inside,
-                    bz.astype(jnp.int32)[..., None, None] + vz_col + 1,
-                    0,
-                ).max(axis=1)
-
-            # scatter back through the compaction inverse and fold the
-            # slab's voxel hits into the floor (one slab in flight:
-            # memory is nl*H*W, not nz2*H*W)
-            slot_of = (
-                jnp.full(nsub_s, cap_s, jnp.int32)
-                .at[order]
-                .set(jnp.where(
-                    valid, jnp.arange(cap_s, dtype=jnp.int32), cap_s
-                ))
-            )
-            dcand_pad = jnp.concatenate(
-                [dcand, jnp.zeros((1, sub, sub), jnp.int32)], axis=0
-            )
-            dense = dcand_pad[slot_of]  # [nsub_s, sub, sub]
-            slab_vox = (
-                dense.reshape(nl, ny2, self.nx2, sub, sub)
-                .transpose(0, 1, 3, 2, 4)
-                .reshape(nl, H, W)
-                .max(axis=0)
-            )
-            floor = jnp.maximum(floor, slab_vox)
-            return floor, n_active
+    def stratum_fold(self, floor, dcand, idx, *, nty, cap_s):
+        """Stratum stage C: scatter the worklist's depth candidates
+        back through the compaction inverse and fold the slab's voxel
+        hits into the floor (one slab in flight: memory is nl*H*W, not
+        nz2*H*W)."""
+        sub, nl = self.sub, self.nl
+        ny2 = nty * nl
+        H = nty * self.ts
+        W = self.W
+        nsub_s = nl * ny2 * self.nx2
+        order, valid = idx["order"], idx["valid"]
+        slot_of = (
+            jnp.full(nsub_s, cap_s, jnp.int32)
+            .at[order]
+            .set(jnp.where(
+                valid, jnp.arange(cap_s, dtype=jnp.int32), cap_s
+            ))
+        )
+        dcand_pad = jnp.concatenate(
+            [dcand, jnp.zeros((1, sub, sub), jnp.int32)], axis=0
+        )
+        dense = dcand_pad[slot_of]  # [nsub_s, sub, sub]
+        slab_vox = (
+            dense.reshape(nl, ny2, self.nx2, sub, sub)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(nl, H, W)
+            .max(axis=0)
+        )
+        return jnp.maximum(floor, slab_vox)
 
     def normals_body(self, b, depth, matM, var_vec, *, y_base, H, W):
         """Stage 6: dense per-pixel forward-gradient normals at the
@@ -610,19 +659,20 @@ class VoxelRenderer:
       cap: max active subtiles processed per frame (None = auto from
         the screen area); overflow triggers a host-side retry at 2x.
       strata: "scan" traces the whole strata loop into one XLA program
-        (fastest, default for volumes <= 512^3); "loop" drives one
-        dispatch per stratum from the host — required at larger
-        volumes, where the composed scan program triggers an XLA:TPU
-        kernel fault (demos/probe_1024.py: every stage passes in
-        isolation at 1024^3, the fused scan kills the worker), and it
-        also polls the CancelToken between strata. "auto" picks.
+        (fastest, default for volumes <= 512^3). "loop" drives one
+        fused dispatch per stratum from the host and polls the
+        CancelToken between strata. "stages" additionally splits each
+        stratum into proofs | host compaction | leaf | fold dispatches
+        — the compositions demos/probe_1024.py verified fault-free at
+        1024^3, where both fused drivers hit XLA:TPU program-level
+        faults; "auto" picks scan up to 512^3 and stages beyond.
       specialize: True (default) compiles the pipeline per shape with
         per-shape opcode renumbering — fastest steady-state, used by
         the benchmarks. False uses the zero-recompile bucketed
         pipeline (canonical opcode order, arena as traced data): any
         shape whose tape fits the same capacity bucket renders through
         ONE shared compiled frame — the interactive/editor path.
-        Volumes that need the host strata loop (> 512^3) always use
+        Volumes that need a host strata driver (> 512^3) always use
         the specialized path.
     """
 
@@ -638,7 +688,7 @@ class VoxelRenderer:
         strata: str = "auto",
         specialize: bool = True,
     ):
-        assert strata in ("auto", "scan", "loop")
+        assert strata in ("auto", "scan", "loop", "stages")
         self.strata = strata
         self.specialize = specialize
         self.shape_transform = None
@@ -824,10 +874,16 @@ class VoxelRenderer:
             raise ValueError(f"unbound shape variables: {missing}")
         return vec
 
-    def _use_loop(self) -> bool:
+    def _strata_mode(self) -> str:
         if self.strata != "auto":
-            return self.strata == "loop"
-        return self.W * self.H * self.D > 512**3
+            return self.strata
+        # >512^3 volumes fault the XLA:TPU compiler in BOTH fused
+        # drivers (scan AND per-stratum loop, demos/probe_1024.py);
+        # the stages driver keeps every dispatch inside the
+        # probe-verified-safe compositions
+        if self.W * self.H * self.D > 512**3:
+            return "stages"
+        return "scan"
 
     def _loop_fn(self, name: str, build):
         fns = getattr(self, "_loop_cache", None)
@@ -892,6 +948,91 @@ class VoxelRenderer:
         )
         return floor, normals(floor, matM, vec, y_base), n_active
 
+    def _render_stages(self, matM, vec, *, mode: str, cap: int, cancel=None):
+        """Host-driven strata loop with per-stage dispatches: proofs |
+        (host compaction) | leaf | fold, each its own XLA program.
+
+        These are exactly the compositions demos/probe_1024.py verified
+        fault-free at 1024^3, where BOTH fused drivers (the lax.scan
+        frame and the composed per-stratum step) hit XLA:TPU
+        program-level faults. Costs ~3 dispatch latencies per stratum
+        (~0.1 s at 1024^3 over the axon tunnel) — the correctness path
+        for very large volumes until the miscompile is bisected."""
+        from .config import check_cancel
+
+        nl = self.nl
+        ny2 = self.nty * nl
+        nsub_s = nl * ny2 * self.nx2
+        cap_s = min(cap, nsub_s)
+        x0 = jnp.asarray(self.tile_x0)
+        y0 = jnp.asarray(self.tile_y0)
+        z0 = jnp.asarray(self.tile_z0)
+        s2w = jnp.asarray(self.s2w, jnp.float32)
+
+        prelude = self._loop_fn(
+            ("prelude", cap_s),
+            lambda: jax.jit(
+                lambda m, v: self._frame_tiles(
+                    m, v, x0, y0, z0,
+                    mode="heightmap", cap=cap_s, stop_after="strata_xs",
+                )
+            ),
+        )
+        proofs = self._loop_fn(
+            ("proofs",),
+            lambda: jax.jit(
+                lambda floor, s, m, v: self.geo.stratum_proofs(
+                    _ConstBind3(self), floor, s, mat=m @ s2w,
+                    var_vec=v, nty=self.nty,
+                )
+            ),
+        )
+        leaf = self._loop_fn(
+            ("leaf", cap_s),
+            lambda: jax.jit(
+                lambda s, aux, idx, m, v, yb: self.geo.stratum_leaf(
+                    _ConstBind3(self), s, aux, idx, mat=m @ s2w,
+                    var_vec=v, y_base=yb, cap_s=cap_s,
+                )
+            ),
+        )
+        fold = self._loop_fn(
+            ("fold", cap_s),
+            lambda: jax.jit(
+                lambda floor, dcand, idx: self.geo.stratum_fold(
+                    floor, dcand, idx, nty=self.nty, cap_s=cap_s
+                )
+            ),
+        )
+
+        xs, _mat, y_base = prelude(matM, vec)
+        floor = jnp.zeros((self.H, self.W), jnp.int32)
+        n_active = 0
+        for k in range(self.ntz):
+            check_cancel(cancel)
+            s = {key: v[k] for key, v in xs.items()}
+            floor, aux = proofs(floor, s, matM, vec)
+            act_np = np.asarray(aux["act_flat"])
+            n_active = max(n_active, int(act_np.sum()))
+            idx_np = _compact_stratum(
+                act_np, nl=nl, ny2=ny2, nx2=self.nx2, cap_s=cap_s, xp=np
+            )
+            idx = {k2: jnp.asarray(v2) for k2, v2 in idx_np.items()}
+            dcand = leaf(s, aux, idx, matM, vec, y_base)
+            floor = fold(floor, dcand, idx)
+        if mode == "heightmap":
+            return floor, None, jnp.int32(n_active)
+        check_cancel(cancel)
+        normals = self._loop_fn(
+            ("normals",),
+            lambda: jax.jit(
+                lambda depth, m, v, yb: self._normals_body(
+                    depth, m, v, y_base=yb, H=self.H, W=self.W
+                )
+            ),
+        )
+        return floor, normals(floor, matM, vec, y_base), jnp.int32(n_active)
+
     def render(
         self,
         world_to_model: np.ndarray | None = None,
@@ -914,7 +1055,12 @@ class VoxelRenderer:
         vec = jnp.asarray(self._var_vec(vars))
         for _ in range(max_retries + 1):
             check_cancel(cancel)
-            if self._use_loop():
+            smode = self._strata_mode()
+            if smode == "stages":
+                depth, normal, n_active = self._render_stages(
+                    matM, vec, mode=mode, cap=self.cap, cancel=cancel
+                )
+            elif smode == "loop":
                 depth, normal, n_active = self._render_loop(
                     matM, vec, mode=mode, cap=self.cap, cancel=cancel
                 )

@@ -80,26 +80,31 @@ def test_bucketed_mode_shares_compiles_and_is_exact():
 
 
 def test_strata_loop_matches_scan_and_brute():
-    """The host-loop strata driver (one dispatch per stratum, used at
-    volumes > 512^3 where the fused lax.scan program faults the TPU —
-    demos/probe_1024.py) must produce bit-identical depth to the fused
-    scan path and the brute oracle, including normals."""
+    """The host-side strata drivers — 'loop' (one fused dispatch per
+    stratum) and 'stages' (proofs | host compaction | leaf | fold
+    dispatches, the 1024^3 correctness path where both fused drivers
+    hit XLA:TPU faults, demos/probe_1024.py) — must produce
+    bit-identical depth to the fused scan path and the brute oracle,
+    including normals."""
     tape = gyroid_sphere_tape()
     n = 64
     r_scan = VoxelRenderer(
         tape, VoxelSize(n, n, n), tile_size=32, sub_size=8,
         interpret=True, strata="scan",
     )
-    r_loop = VoxelRenderer(
-        tape, VoxelSize(n, n, n), tile_size=32, sub_size=8,
-        interpret=True, strata="loop",
-    )
     a = r_scan.render(mode="normals")
-    b = r_loop.render(mode="normals")
-    np.testing.assert_array_equal(a.depth, b.depth)
-    np.testing.assert_allclose(a.normal, b.normal, rtol=1e-6, atol=1e-6)
-    brute = r_loop.render_brute()
-    np.testing.assert_array_equal(b.depth, brute.depth)
+    brute = r_scan.render_brute()
+    for strata in ("loop", "stages"):
+        r = VoxelRenderer(
+            tape, VoxelSize(n, n, n), tile_size=32, sub_size=8,
+            interpret=True, strata=strata,
+        )
+        b = r.render(mode="normals")
+        np.testing.assert_array_equal(a.depth, b.depth)
+        np.testing.assert_allclose(
+            a.normal, b.normal, rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_array_equal(b.depth, brute.depth)
 
 
 def test_strata_loop_overflow_retry():
