@@ -32,7 +32,10 @@ jax.config.update("jax_platforms", "cpu")
 # test processes cuts repeat suite runs several-fold on this 1-CPU box.
 jax.config.update(
     "jax_compilation_cache_dir",
-    str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"),
+    os.environ.get(
+        "FIDGET_TPU_TEST_CACHE",
+        str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"),
+    ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
