@@ -14,15 +14,24 @@ from fidget_tpu.render.region import VoxelSize
 from fidget_tpu.render.render3d import VoxelRenderer
 
 
+_SPHERE_IMAGE = None
+
+
 def _sphere_image(n=64):
-    ctx = Context()
-    x, y, z = ctx.x(), ctx.y(), ctx.z()
-    r2 = ctx.add(ctx.square(x), ctx.add(ctx.square(y), ctx.square(z)))
-    tape = lower(ctx, [ctx.sub(ctx.sqrt(r2), 0.6)])
-    r = VoxelRenderer(
-        tape, VoxelSize(n, n, n), tile_size=32, sub_size=8, interpret=True
-    )
-    return r.render(mode="normals")
+    # one shared render (the input is identical for every consumer);
+    # specialize=False shares the suite-wide bucketed (32, 8) frame
+    global _SPHERE_IMAGE
+    if _SPHERE_IMAGE is None:
+        ctx = Context()
+        x, y, z = ctx.x(), ctx.y(), ctx.z()
+        r2 = ctx.add(ctx.square(x), ctx.add(ctx.square(y), ctx.square(z)))
+        tape = lower(ctx, [ctx.sub(ctx.sqrt(r2), 0.6)])
+        r = VoxelRenderer(
+            tape, VoxelSize(n, n, n), tile_size=32, sub_size=8,
+            interpret=True, specialize=False,
+        )
+        _SPHERE_IMAGE = r.render(mode="normals")
+    return _SPHERE_IMAGE
 
 
 def test_ssao_kernel_properties():

@@ -79,7 +79,9 @@ def random_tape(seed: int, n_ops: int = 40, dims: int = 2):
 @pytest.mark.parametrize("seed", range(6))
 def test_fuzz_2d_matches_brute(seed):
     tape = random_tape(seed, dims=2)
-    sizes = (64, 16) if seed % 2 else (32,)
+    # seed 1 fuzzes the two-level path (a per-shape compile each);
+    # every other seed rides the shared single-level bucketed frame
+    sizes = (64, 16) if seed == 1 else (32,)
     r = PixelRenderer(
         tape, ImageSize(128, 128), tile_sizes=sizes, interpret=True
     )
@@ -105,9 +107,10 @@ def test_fuzz_2d_matches_brute(seed):
 @pytest.mark.parametrize("seed", range(3))
 def test_fuzz_3d_depth_matches_brute(seed):
     tape = random_tape(100 + seed, dims=3)
+    # specialize=False: all seeds share one bucketed (16, 8) frame
     r = VoxelRenderer(
         tape, VoxelSize(32, 32, 32), tile_size=16, sub_size=8,
-        interpret=True,
+        interpret=True, specialize=False,
     )
     img = r.render(mode="heightmap", max_retries=6)
     brute = r.render_brute()

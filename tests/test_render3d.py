@@ -87,16 +87,16 @@ def test_strata_loop_matches_scan_and_brute():
     bit-identical depth to the fused scan path and the brute oracle,
     including normals."""
     tape = gyroid_sphere_tape()
-    n = 64
+    n = 32  # (16, 8) keeps 2 strata; driver logic is size-independent
     r_scan = VoxelRenderer(
-        tape, VoxelSize(n, n, n), tile_size=32, sub_size=8,
+        tape, VoxelSize(n, n, n), tile_size=16, sub_size=8,
         interpret=True, strata="scan",
     )
     a = r_scan.render(mode="normals")
     brute = r_scan.render_brute()
     for strata in ("loop", "stages"):
         r = VoxelRenderer(
-            tape, VoxelSize(n, n, n), tile_size=32, sub_size=8,
+            tape, VoxelSize(n, n, n), tile_size=16, sub_size=8,
             interpret=True, strata=strata,
         )
         b = r.render(mode="normals")
@@ -112,7 +112,7 @@ def test_strata_loop_overflow_retry():
     the fused path."""
     tape = gyroid_sphere_tape()
     r = VoxelRenderer(
-        tape, VoxelSize(64, 64, 64), tile_size=32, sub_size=8,
+        tape, VoxelSize(32, 32, 32), tile_size=16, sub_size=8,
         interpret=True, strata="loop", cap=8,
     )
     img = r.render(mode="heightmap")
@@ -124,7 +124,7 @@ def test_sphere_depth_closed_form():
     n = 64
     r = VoxelRenderer(
         sphere_tape(0.6), VoxelSize(n, n, n), tile_size=32, sub_size=8,
-        interpret=True,
+        interpret=True, specialize=False,
     )
     img = r.render(mode="heightmap")
     # closed form: depth = floor(z_surface in voxel coords) + 1
@@ -146,7 +146,7 @@ def test_sphere_normals_radial():
     n = 64
     r = VoxelRenderer(
         sphere_tape(0.6), VoxelSize(n, n, n), tile_size=32, sub_size=8,
-        interpret=True,
+        interpret=True, specialize=False,
     )
     img = r.render(mode="normals")
     s2w = r.s2w
@@ -234,13 +234,13 @@ def test_sharded_voxels_matches_single_device():
         pytest.skip("needs a multi-device mesh")
     mesh = make_mesh(n_dev)
     tape = gyroid_sphere_tape()
-    size = VoxelSize(64, 32 * n_dev, 64)
+    size = VoxelSize(32, 16 * n_dev, 32)
     img = render_voxels_sharded(
-        tape, size, mesh, tile_size=32, sub_size=8, mode="normals",
+        tape, size, mesh, tile_size=16, sub_size=8, mode="normals",
         interpret=True,
     )
     single = VoxelRenderer(
-        tape, size, tile_size=32, sub_size=8, interpret=True,
+        tape, size, tile_size=16, sub_size=8, interpret=True,
         specialize=False,
     )
     ref = single.render(mode="normals")
