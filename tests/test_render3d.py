@@ -63,7 +63,7 @@ def test_bucketed_mode_shares_compiles_and_is_exact():
     n = 32
     sph = sphere_tape()
     gyr = gyroid_sphere_tape()
-    misses0 = render3d._frame3_bucketed_fn.cache_info().misses
+    misses_after_first = None
     for tape in (sph, gyr):
         r = VoxelRenderer(
             tape, VoxelSize(n, n, n), tile_size=16, sub_size=8,
@@ -73,9 +73,14 @@ def test_bucketed_mode_shares_compiles_and_is_exact():
         np.testing.assert_array_equal(img.depth, r.render_brute().depth)
         nm = r.render(mode="normals")
         np.testing.assert_array_equal(nm.depth, img.depth)
-    # both shapes hit the same bucket: exactly one builder per mode
+        if misses_after_first is None:
+            misses_after_first = render3d._frame3_bucketed_fn.cache_info().misses
+    # both shapes hit the same bucket: the second shape must add no new
+    # frame builders (other tests may have pre-populated the bucket, so
+    # the first shape's absolute miss count is not asserted)
     assert (
-        render3d._frame3_bucketed_fn.cache_info().misses - misses0 == 2
+        render3d._frame3_bucketed_fn.cache_info().misses
+        == misses_after_first
     ), "bucketed pipeline did not share compiled frames across shapes"
 
 
