@@ -112,6 +112,42 @@ def test_quarter_vm_matches_brute():
     _check_matches_brute(tape, n=128)
 
 
+@pytest.mark.skipif(not has_model("prospero.vm"), reason="models unavailable")
+def test_prospero_vm_matches_brute():
+    # the 6,461-op flagship tape end-to-end through the bucketed
+    # pipeline: exercises the big (capacity=8192, nf=128) kernel bucket
+    # no other test reaches
+    from fidget_tpu.io.models import load_vm_tape
+
+    tape = load_vm_tape("prospero.vm")
+    assert tape.reg_count > 100
+    img = _check_matches_brute(tape, n=128, tile_size=128)
+    assert 0.1 < img.inside().mean() < 0.9
+
+
+def test_spilled_tape_matches_brute():
+    # force register spills (mem_count > 0) and render end-to-end:
+    # the packed Mem-merged LOAD/STORE slots must be transparent to
+    # the whole pipeline, not just the kernel-level op tests
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    f = ctx.sub(ctx.sqrt(ctx.add(ctx.square(x), ctx.square(y))), 0.6)
+    for cx, cy in ((0.5, 0.3), (-0.4, 0.2), (0.1, -0.5)):
+        g = ctx.sub(
+            ctx.sqrt(
+                ctx.add(
+                    ctx.square(ctx.sub(ctx.x(), cx)),
+                    ctx.square(ctx.sub(ctx.y(), cy)),
+                )
+            ),
+            0.25,
+        )
+        f = ctx.min(f, g)
+    tape = lower(ctx, [f], reg_limit=4)
+    assert tape.mem_count > 0, "reg_limit did not force spills"
+    _check_matches_brute(tape, n=128)
+
+
 def test_render_shape_with_transform_and_vars():
     from fidget_tpu import Tree, Var
     from fidget_tpu.shape import Shape
