@@ -40,10 +40,13 @@ def main():
     n0x = n0y = N // TILE
     print(f"cap={cap} n0={n0x * n0y}", flush=True)
 
-    base = _frame_unrolled_fn(
-        id(r.tape), TILE, n0x, n0y, cap, r.n_inputs, False, r.interpret
-    )
-    raw = base.__wrapped__
+    def raw_for(cull):
+        return _frame_unrolled_fn(
+            id(r.tape), TILE, n0x, n0y, cap, r.n_inputs, False,
+            r.interpret, cull,
+        ).__wrapped__
+
+    raw = raw_for("unrolled")
 
     tx = np.arange(n0x) * TILE
     gx, gy = np.meshgrid(tx, tx)
@@ -53,15 +56,20 @@ def main():
     vec = jnp.zeros(r.n_inputs, jnp.float32)
 
     configs = [
-        ("default", None),
-        ("exec=-0.5", {"exec_time_optimization_effort": -0.5}),
-        ("exec=-1.0", {"exec_time_optimization_effort": -1.0}),
+        ("default", None, "unrolled"),
+        ("exec=-0.5", {"exec_time_optimization_effort": -0.5}, "unrolled"),
+        ("exec=-1.0", {"exec_time_optimization_effort": -1.0}, "unrolled"),
         ("exec=-1,mem=-1", {"exec_time_optimization_effort": -1.0,
-                            "memory_fitting_effort": -1.0}),
+                            "memory_fitting_effort": -1.0}, "unrolled"),
+        # interpreter cull: ~1/3 the program (interval arithmetic is
+        # the bulk of the unrolled op count)
+        ("interp-cull", None, "interp"),
+        ("interp-cull,exec=-1",
+         {"exec_time_optimization_effort": -1.0}, "interp"),
     ]
     K = 16
-    for name, opts in configs:
-        fn = jax.jit(raw, compiler_options=opts)
+    for name, opts, cull in configs:
+        fn = jax.jit(raw_for(cull), compiler_options=opts)
         t0 = time.time()
         lowered = fn.lower(x0, y0, mat, jnp.float32(0.0), vec)
         t1 = time.time()

@@ -598,7 +598,7 @@ def _cull_unrolled_fn(tape_key, T0, n0x, n0y, V, interpret):
 @functools.lru_cache(maxsize=32)
 def _frame_unrolled_fn(
     tape_key: int, T0: int, n0x: int, n0y: int, C: int, V: int,
-    pixel_perfect: bool, interpret: bool,
+    pixel_perfect: bool, interpret: bool, cull: str = "unrolled",
 ):
     """Builds (and caches) the tiled-unrolled frame: MPR interval
     culling at `T0`-px tiles + the WHOLE tape unrolled into XLA over a
@@ -609,6 +609,13 @@ def _frame_unrolled_fn(
     fuses over the flat [C, T0*T0] pixel batch, so small tiles cull
     tightly without lane-padding waste).
 
+    cull: "unrolled" unrolls the interval pass into the program too
+    (fastest steady-state); "interp" runs it through the shared Pallas
+    interval interpreter instead — ~1/3 the XLA program (the interval
+    arithmetic is the bulk of the op count), so the per-shape compile
+    is much cheaper at ~1 ms/frame interpreter cost. Proofs agree on
+    NaN-free paths (eval_tape_interval_fast's documented relaxation).
+
     Returns a jitted frame(x0, y0, mat, z, var_vec) ->
     (img, fill, n_active); n_active > C means worklist overflow (the
     host retries with the next capacity bucket, same pattern as the 3D
@@ -617,10 +624,13 @@ def _frame_unrolled_fn(
     tape, packed, axis_of, nf, c_words = _TAPE_REGISTRY[tape_key]
     n0 = n0x * n0y
     pp = T0 * T0
+    cull_stage = {
+        "unrolled": _unrolled_cull_stage, "interp": _cull_sizing_stage,
+    }[cull]
 
     def frame(x0, y0, mat, z, var_vec):
         # ---- stage 1: root interval pass (lanes = tiles) -------------
-        root_in, root_out = _unrolled_cull_stage(
+        root_in, root_out = cull_stage(
             tape_key, T0, n0, V, x0, y0, mat, z, var_vec, interpret
         )
         act = ~(root_in | root_out)
@@ -950,6 +960,7 @@ class PixelRenderer:
         tile_size: int = 16,
         cap: int | None = None,
         max_retries: int = 3,
+        cull: str = "unrolled",
         cancel=None,
     ) -> Image2D:
         """Tiled-unrolled render: interval culling + the whole tape
@@ -961,7 +972,10 @@ class PixelRenderer:
         tiles are the default: XLA fuses over the flat pixel batch, so
         fine tiles cost nothing extra and cull much tighter than the
         interpreter pipeline's 128-px tiles (prospero 1024^2: 51%
-        active at 16 px vs 90% at 64 px)."""
+        active at 16 px vs 90% at 64 px). cull="interp" swaps the
+        unrolled interval pass for the shared Pallas interpreter —
+        a ~3x cheaper per-shape compile at ~1 ms/frame cost (see
+        _frame_unrolled_fn)."""
         from .config import check_cancel
 
         T0 = int(tile_size)
@@ -1007,7 +1021,7 @@ class PixelRenderer:
             check_cancel(cancel)
             fn = _frame_unrolled_fn(
                 key, T0, n0x, n0y, cap, self.n_inputs,
-                pixel_perfect, self.interpret,
+                pixel_perfect, self.interpret, cull,
             )
             img, fill, n_active = fn(x0, y0, mat, jnp.float32(z), vec)
             if int(n_active) <= cap or cap >= n0:

@@ -382,6 +382,14 @@ def test_unrolled_mode_matches_brute():
     img2 = r.render_unrolled(pixel_perfect=True)
     assert (img2.fill == FILL_NONE).all()
     np.testing.assert_allclose(img2.distance, brute, rtol=1e-5, atol=1e-6)
+    # interpreter-cull variant (cheap-compile mode): same occupancy,
+    # same evaluated distances
+    img3 = r.render_unrolled(cull="interp")
+    np.testing.assert_array_equal(img3.inside(), brute < 0)
+    ev3 = img3.fill == FILL_NONE
+    np.testing.assert_allclose(
+        img3.distance[ev3], brute[ev3], rtol=1e-5, atol=1e-6
+    )
 
 
 def test_unrolled_capacity_retry():
