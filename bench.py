@@ -39,7 +39,37 @@ def fail(metric, value):
     sys.exit(1)
 
 
+def probe_device(timeout_s: float = 240.0) -> bool:
+    """True if the accelerator answers a trivial jitted call in time.
+
+    The axon TPU tunnel can go down for hours (worker recovery, relay
+    outage); when it does, even `jax.devices()` blocks forever. Probe
+    in a subprocess under a hard timeout so a dead tunnel produces a
+    fast, explicit bench failure instead of a silent hang."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((8, 128));"
+        "assert float((x + 1).sum()) == 2048.0"
+    )
+    try:
+        return (
+            subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=timeout_s,
+                capture_output=True,
+            ).returncode
+            == 0
+        )
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not probe_device():
+        fail("FAILED device unreachable (axon tunnel down?)", 0.0)
+
     import jax
     import jax.numpy as jnp
     from jax import lax
