@@ -44,7 +44,7 @@ def _tape(model):
     from .compiler.lower import lower
     from .compiler.tape import Tape
     from .core.context import Context
-    from .core.tree import Tree, import_tree
+    from .core.tree import import_tree
 
     if isinstance(model, Tape):
         return model

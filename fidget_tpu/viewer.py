@@ -9,7 +9,6 @@ wgpu textures — the render pipeline underneath is identical to the CLI.
 
 from __future__ import annotations
 
-import math
 import pathlib
 import sys
 import time
