@@ -46,10 +46,45 @@ from .shape import BoundShape, Shape, ShapeVars
 
 __version__ = "0.1.0"
 
+#: lazy top-level re-exports (PEP 562): the renderers/mesher pull in
+#: the Pallas kernels, so they load on first use rather than at
+#: package import
+_LAZY = {
+    "ImageSize": ("fidget_tpu.render.region", "ImageSize"),
+    "VoxelSize": ("fidget_tpu.render.region", "VoxelSize"),
+    "PixelRenderer": ("fidget_tpu.render.render2d", "PixelRenderer"),
+    "VoxelRenderer": ("fidget_tpu.render.render3d", "VoxelRenderer"),
+    "render2d": ("fidget_tpu.render.render2d", "render"),
+    "render3d": ("fidget_tpu.render.render3d", "render"),
+    "build_mesh": ("fidget_tpu.mesh", "build_mesh"),
+    "MeshSettings": ("fidget_tpu.mesh", "Settings"),
+    "eval_script": ("fidget_tpu.script", "eval_script"),
+    "solve": ("fidget_tpu.solver", "solve"),
+    "CancelToken": ("fidget_tpu.render.config", "CancelToken"),
+}
+
+
+def __getattr__(name: str):
+    spec = _LAZY.get(name)
+    if spec is None:
+        raise AttributeError(f"module 'fidget_tpu' has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(spec[0]), spec[1])
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
+
+
 __all__ = [
     "BinaryOp",
     "BoundShape",
+    "CancelToken",
     "Context",
+    "ImageSize",
+    "MeshSettings",
+    "PixelRenderer",
     "Shape",
     "ShapeVars",
     "Tape",
@@ -58,8 +93,15 @@ __all__ = [
     "UnaryOp",
     "Var",
     "VarMap",
+    "VoxelRenderer",
+    "VoxelSize",
+    "build_mesh",
+    "eval_script",
     "lower",
+    "render2d",
+    "render3d",
     "simplify",
+    "solve",
     "tree_max",
     "tree_min",
     "__version__",
