@@ -278,7 +278,10 @@ def run_mesh(args) -> int:
         f"{len(mesh.triangles)} triangles in {best * 1e3:.2f}ms"
     )
     if args.out:
-        mesh.write_stl(args.out)
+        if str(args.out).lower().endswith(".obj"):
+            mesh.write_obj(args.out)
+        else:
+            mesh.write_stl(args.out)
         print(f"wrote {args.out}")
     return 0
 

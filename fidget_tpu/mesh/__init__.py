@@ -53,7 +53,7 @@ from .tables import (
     VERT_COUNT,
 )
 
-__all__ = ["Mesh", "Settings", "build_mesh", "write_stl"]
+__all__ = ["Mesh", "Settings", "build_mesh", "write_obj", "write_stl"]
 
 _EDGE_SAMPLES = 16  # octree.rs: 16 samples ...
 _EDGE_ROUNDS = 4  # ... x 4 rounds
@@ -91,6 +91,26 @@ class Mesh:
 
     def write_stl(self, f) -> None:
         write_stl(self, f)
+
+    def write_obj(self, f) -> None:
+        write_obj(self, f)
+
+
+def write_obj(mesh: Mesh, f) -> None:
+    """Wavefront OBJ writer (indexed: shared vertices, unlike STL).
+
+    Beyond the reference's STL-only output (fidget-mesh/src/output.rs);
+    OBJ keeps the dual-contour vertex sharing on disk, ~40% the size."""
+    own = isinstance(f, (str, bytes))
+    fh = open(f, "w") if own else f
+    try:
+        for v in np.asarray(mesh.vertices, np.float64):
+            fh.write(f"v {v[0]:.9g} {v[1]:.9g} {v[2]:.9g}\n")
+        for t in np.asarray(mesh.triangles, np.int64) + 1:  # 1-indexed
+            fh.write(f"f {t[0]} {t[1]} {t[2]}\n")
+    finally:
+        if own:
+            fh.close()
 
 
 def write_stl(mesh: Mesh, f) -> None:

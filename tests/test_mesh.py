@@ -143,6 +143,19 @@ def test_stl_roundtrip():
     np.testing.assert_allclose(
         rec[3:6], mesh.vertices[mesh.triangles[0, 0]], rtol=1e-6
     )
+    # OBJ keeps the indexed (shared-vertex) structure
+    import io as _io
+
+    sbuf = _io.StringIO()
+    mesh.write_obj(sbuf)
+    lines = sbuf.getvalue().splitlines()
+    vs = [l for l in lines if l.startswith("v ")]
+    fs = [l for l in lines if l.startswith("f ")]
+    assert len(vs) == len(mesh.vertices) and len(fs) == len(mesh.triangles)
+    got = np.array([float(t) for t in vs[0].split()[1:]])
+    np.testing.assert_allclose(got, mesh.vertices[0], rtol=1e-6)
+    idx = np.array([int(t) for t in fs[0].split()[1:]]) - 1
+    np.testing.assert_array_equal(idx, mesh.triangles[0])
 
 
 def _manifold_frac(mesh):
