@@ -104,6 +104,25 @@ def test_fuzz_2d_matches_brute(seed):
     assert (lvl[img.fill == 0] == -1).all()
 
 
+@pytest.mark.parametrize("seed", (0, 3))
+def test_fuzz_unrolled_matches_brute(seed):
+    """The tiled-unrolled pipeline's cull (eval_tape_interval_fast,
+    documented NaN relaxation) must stay SOUND on random tapes: fills
+    are conservative truths and occupancy matches brute exactly."""
+    tape = random_tape(seed, dims=2)
+    r = PixelRenderer(tape, ImageSize(128, 128), interpret=True)
+    brute = r.render_brute()
+    img = r.render_unrolled(tile_size=16)
+    both_nan = np.isnan(img.distance) & np.isnan(brute)
+    ev = img.fill == FILL_NONE
+    close = np.isclose(img.distance, brute, rtol=1e-4, atol=1e-5)
+    assert (close | both_nan)[ev].all()
+    cls = img.fill_class()
+    assert (brute[cls == 1] < 0).all()
+    assert ~(brute[cls == 2] < 0).any()
+    np.testing.assert_array_equal(img.inside(), brute < 0)
+
+
 @pytest.mark.parametrize("seed", range(3))
 def test_fuzz_3d_depth_matches_brute(seed):
     tape = random_tape(100 + seed, dims=3)
