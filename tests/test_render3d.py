@@ -112,17 +112,19 @@ def test_strata_loop_matches_scan_and_brute():
         np.testing.assert_array_equal(b.depth, brute.depth)
 
 
-def test_strata_loop_overflow_retry():
-    """Capacity overflow inside the loop driver retries exactly like
+@pytest.mark.parametrize("strata", ("loop", "stages"))
+def test_strata_loop_overflow_retry(strata):
+    """Capacity overflow inside the host drivers retries exactly like
     the fused path."""
     tape = gyroid_sphere_tape()
     r = VoxelRenderer(
         tape, VoxelSize(32, 32, 32), tile_size=16, sub_size=8,
-        interpret=True, strata="loop", cap=8,
+        interpret=True, strata=strata, cap=8,
     )
     img = r.render(mode="heightmap")
     brute = r.render_brute()
     np.testing.assert_array_equal(img.depth, brute.depth)
+    assert r.cap > 8
 
 
 def test_sphere_depth_closed_form():
