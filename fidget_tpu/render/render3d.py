@@ -1137,9 +1137,11 @@ def render(
     tile_size: int = 64,
     sub_size: int = 16,
     interpret: bool | None = None,
+    specialize: bool = True,
 ) -> Image3D:
     """One-shot 3D render (mirrors fidget_raster::voxel::render)."""
     r = VoxelRenderer(
-        tape, size, tile_size=tile_size, sub_size=sub_size, interpret=interpret
+        tape, size, tile_size=tile_size, sub_size=sub_size,
+        interpret=interpret, specialize=specialize,
     )
     return r.render(world_to_model, vars=vars, mode=mode)

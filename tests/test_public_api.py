@@ -19,7 +19,11 @@ def test_top_level_one_liners():
     t2 = ft.lower(
         ctx, [ctx.sub(ctx.sqrt(ctx.add(ctx.square(x), ctx.square(y))), 0.6)]
     )
-    r = ft.PixelRenderer(t2, ft.ImageSize(64, 64), interpret=True)
+    # suite-standard geometry/buckets so this test shares compiled
+    # frames with test_fuzz (128^2 @ tile 32, Lcap-64 bucket)
+    r = ft.PixelRenderer(
+        t2, ft.ImageSize(128, 128), tile_size=32, interpret=True
+    )
     img = r.render()
     assert (img.inside() == (r.render_brute() < 0)).all()
 
@@ -35,7 +39,8 @@ def test_top_level_one_liners():
         )],
     )
     im3 = ft.render3d(
-        t3, ft.VoxelSize(32, 32, 32), tile_size=16, sub_size=8, interpret=True
+        t3, ft.VoxelSize(32, 32, 32), tile_size=16, sub_size=8,
+        interpret=True, specialize=False,
     )
     assert np.asarray(im3.depth).max() > 0
     m = ft.build_mesh(t3, ft.MeshSettings(depth=3, interpret=True))
