@@ -93,9 +93,11 @@ def test_strata_loop_matches_scan_and_brute():
     including normals."""
     tape = gyroid_sphere_tape()
     n = 32  # (16, 8) keeps 2 strata; driver logic is size-independent
+    # the scan reference rides the shared bucketed frame (the
+    # specialized scan pipeline has its own dedicated tests)
     r_scan = VoxelRenderer(
         tape, VoxelSize(n, n, n), tile_size=16, sub_size=8,
-        interpret=True, strata="scan",
+        interpret=True, strata="scan", specialize=False,
     )
     a = r_scan.render(mode="normals")
     brute = r_scan.render_brute()
@@ -198,7 +200,7 @@ def test_overflow_retry():
     # gyroid with tiny capacity: must auto-double and still be exact
     tape = gyroid_sphere_tape()
     r = VoxelRenderer(
-        tape, VoxelSize(64, 64, 64), tile_size=32, sub_size=8, cap=8,
+        tape, VoxelSize(32, 32, 32), tile_size=16, sub_size=8, cap=8,
         interpret=True, specialize=False,
     )
     img = r.render(mode="heightmap", max_retries=8)
