@@ -202,11 +202,15 @@ def interp_float(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nf", "n_inputs", "s0", "sub", "interpret", "op_order"),
+    static_argnames=(
+        "nf", "n_inputs", "s0", "sub", "interpret", "op_order",
+        "tiles_per_step",
+    ),
 )
 def interp_voxel_depth(
     w1, w2, imm, lengths, vars_, *, nf: int, n_inputs: int, s0: int,
     sub: int, interpret: bool = False, op_order: tuple | None = None,
+    tiles_per_step: int = 1,
 ):
     """Float-evaluates packed tapes over one subtile's voxels and
     reduces to per-pixel-column local surface depths inside the kernel.
@@ -222,9 +226,31 @@ def interp_voxel_depth(
 
     Requires sub**2 % 128 == 0 (sub in {16, 32, 64...}); callers fall
     back to interp_float + an XLA reduce for smaller subtiles.
+
+    tiles_per_step > 1 processes that many tiles per Pallas grid step
+    (an inner serial loop over the block), amortizing the ~2 us fixed
+    per-grid-step dispatch cost across tiles — the voxel pass runs one
+    instance per compacted subtile, so at cap ~4k the overhead alone is
+    ~8 ms. T is padded to a multiple internally; padded tiles have
+    length 0 and produce depth 0.
     """
     T, lcap = w1.shape
     assert sub * sub % 128 == 0 and sub**3 == s0 * 128
+    g = max(1, int(tiles_per_step))
+    if T % g:
+        padn = g - T % g
+        w1 = jnp.concatenate([w1, jnp.zeros((padn, lcap), w1.dtype)])
+        w2 = jnp.concatenate([w2, jnp.zeros((padn, lcap), w2.dtype)])
+        imm = jnp.concatenate([imm, jnp.zeros((padn, lcap), jnp.float32)])
+        lengths = jnp.concatenate(
+            [lengths, jnp.zeros((padn,), lengths.dtype)]
+        )
+        vars_ = jnp.concatenate(
+            [vars_, jnp.zeros((padn,) + vars_.shape[1:], vars_.dtype)]
+        )
+        Tp = T + padn
+    else:
+        Tp = T
     pp = (sub * sub) // 128          # planes per z-slice
     pp_out = max(8, pp)              # padded output planes
     fm = FloatMode(kernel_namespace(jnp), choice_dtype=jnp.int32)
@@ -232,72 +258,90 @@ def interp_voxel_depth(
     out_pos = pos_of[int(TapeOp.OUTPUT)]
 
     def kernel(w1_ref, w2_ref, imm_ref, len_ref, vars_ref, out_ref, regs, dist):
-        n = len_ref[0, 0, 0]
-        dist[...] = jnp.ones((s0, 128), jnp.float32)
+        def tile_body(t, _):
+            n = len_ref[t, 0, 0]
+            dist[...] = jnp.ones((s0, 128), jnp.float32)
 
-        def step(j, _):
-            op, out, a, b, aux = _decode(w1_ref[0, 0, j], w2_ref[0, 0, j])
-            immv = imm_ref[0, 0, j]
-            imm_plane = jnp.full((s0, 128), immv, jnp.float32)
-            va = jnp.where(a == IMM12, imm_plane, regs[jnp.minimum(a, nf - 1)])
-            vb = jnp.where(b == IMM12, imm_plane, regs[jnp.minimum(b, nf - 1)])
-            aux_in = jnp.minimum(aux, n_inputs - 1)
+            def step(j, _):
+                op, out, a, b, aux = _decode(w1_ref[t, 0, j], w2_ref[t, 0, j])
+                immv = imm_ref[t, 0, j]
+                imm_plane = jnp.full((s0, 128), immv, jnp.float32)
+                va = jnp.where(
+                    a == IMM12, imm_plane, regs[jnp.minimum(a, nf - 1)]
+                )
+                vb = jnp.where(
+                    b == IMM12, imm_plane, regs[jnp.minimum(b, nf - 1)]
+                )
+                aux_in = jnp.minimum(aux, n_inputs - 1)
 
-            branches = _build_branches(
-                canonical_at_pos, fm, va, vb,
-                lambda: vars_ref[0, aux_in],
-            )
-            res = lax.switch(op, branches)
+                branches = _build_branches(
+                    canonical_at_pos, fm, va, vb,
+                    lambda: vars_ref[t, aux_in],
+                )
+                res = lax.switch(op, branches)
 
-            @pl.when(op == out_pos)
-            def _():
-                dist[...] = va
+                @pl.when(op == out_pos)
+                def _():
+                    dist[...] = va
 
-            regs[out] = res
+                regs[out] = res
+                return 0
+
+            lax.fori_loop(0, jnp.minimum(n, lcap), step, 0)
+
+            # depth-reduce epilogue: planes [vz*pp + q] hold z-slice vz.
+            # Static unroll for small subtiles (measured path); a
+            # fori_loop above 16 z-slices keeps kernel size bounded for
+            # sub=32/64.
+            if sub <= 16:
+                acc = jnp.zeros((pp, 128), jnp.int32)
+                for vz in range(sub):
+                    block = dist[vz * pp:(vz + 1) * pp, :]
+                    acc = jnp.maximum(
+                        acc, jnp.where(block < 0.0, jnp.int32(vz + 1), 0)
+                    )
+            else:
+                def zstep(vz, acc):
+                    block = dist[pl.ds(vz * pp, pp), :]
+                    return jnp.maximum(
+                        acc, jnp.where(block < 0.0, vz + 1, 0)
+                    )
+
+                acc = lax.fori_loop(
+                    0, sub, zstep, jnp.zeros((pp, 128), jnp.int32)
+                )
+            if pp == pp_out:
+                out_ref[t] = acc
+            else:
+                out_ref[t] = jnp.concatenate(
+                    [acc, jnp.zeros((pp_out - pp, 128), jnp.int32)], axis=0
+                )
             return 0
 
-        lax.fori_loop(0, jnp.minimum(n, lcap), step, 0)
-
-        # depth-reduce epilogue: planes [vz*pp + q] hold z-slice vz.
-        # Static unroll for small subtiles (measured path); a fori_loop
-        # above 16 z-slices keeps kernel size bounded for sub=32/64.
-        if sub <= 16:
-            acc = jnp.zeros((pp, 128), jnp.int32)
-            for vz in range(sub):
-                block = dist[vz * pp:(vz + 1) * pp, :]
-                acc = jnp.maximum(
-                    acc, jnp.where(block < 0.0, jnp.int32(vz + 1), 0)
-                )
+        if g == 1:
+            tile_body(0, 0)
         else:
-            def zstep(vz, acc):
-                block = dist[pl.ds(vz * pp, pp), :]
-                return jnp.maximum(
-                    acc, jnp.where(block < 0.0, vz + 1, 0)
-                )
+            lax.fori_loop(0, g, tile_body, 0)
 
-            acc = lax.fori_loop(
-                0, sub, zstep, jnp.zeros((pp, 128), jnp.int32)
-            )
-        if pp == pp_out:
-            out_ref[0] = acc
-        else:
-            out_ref[0] = jnp.concatenate(
-                [acc, jnp.zeros((pp_out - pp, 128), jnp.int32)], axis=0
-            )
-
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(T,),
-        in_specs=_tape_specs(lcap)
-        + [pl.BlockSpec((1, n_inputs, s0, 128), lambda i: (i, 0, 0, 0))],
-        out_specs=pl.BlockSpec((1, pp_out, 128), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((T, pp_out, 128), jnp.int32),
+        grid=(Tp // g,),
+        in_specs=[
+            pl.BlockSpec((g, 1, lcap), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, 1, lcap), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, 1, lcap), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, n_inputs, s0, 128), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((g, pp_out, 128), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Tp, pp_out, 128), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((nf, s0, 128), jnp.float32),
             pltpu.VMEM((s0, 128), jnp.float32),
         ],
         interpret=interpret,
     )(*_prep_tape_args(w1, w2, imm, lengths), vars_)
+    return out[:T]
 
 
 # ======================================================================

@@ -101,6 +101,7 @@ class _ConstBind3:
         self.op_order = r.op_order
         self.axis_of = r.axis_of
         self.simplifier = r.simplifier
+        self.vox_g = r.vox_g
 
     def set_axes(self, planes, triples):
         for kind, plane_k in zip(("x", "y", "z"), triples):
@@ -504,6 +505,7 @@ class _Pipeline3:
                 w1_leaf, w2_leaf, imm_leaf, len_leaf, vars_v,
                 nf=b.nf, n_inputs=b.V, s0=self.s0v,
                 sub=sub, interpret=b.interpret, op_order=b.op_order,
+                tiles_per_step=getattr(b, "vox_g", 1),
             )[:, :pp].reshape(cap_s, sub, sub)
             dcand = jnp.where(
                 (local > 0) & valid[:, None, None],
@@ -674,6 +676,10 @@ class VoxelRenderer:
         ONE shared compiled frame — the interactive/editor path.
         Volumes that need a host strata driver (> 512^3) always use
         the specialized path.
+      voxel_tiles_per_step: subtiles evaluated per Pallas grid step in
+        the voxel pass (interp_voxel_depth tiles_per_step); > 1
+        amortizes the fixed per-grid-step dispatch cost when the
+        compacted worklist is large. Specialized pipeline only.
     """
 
     def __init__(
@@ -687,10 +693,16 @@ class VoxelRenderer:
         interpret: bool | None = None,
         strata: str = "auto",
         specialize: bool = True,
+        voxel_tiles_per_step: int = 1,
     ):
         assert strata in ("auto", "scan", "loop", "stages")
         self.strata = strata
         self.specialize = specialize
+        # voxel-pass grid batching (interp_voxel_depth tiles_per_step):
+        # amortizes the ~2 us fixed Pallas grid-step cost across several
+        # subtiles per step. Specialized pipeline only; the bucketed
+        # zero-recompile path stays at 1 to preserve frame sharing.
+        self.vox_g = max(1, int(voxel_tiles_per_step))
         self.shape_transform = None
         if isinstance(tape, Shape):
             self.shape_transform = tape.transform

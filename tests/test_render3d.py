@@ -289,6 +289,25 @@ def test_fused_voxel_depth_configs():
         np.testing.assert_array_equal(img.depth, brute.depth)
 
 
+def test_voxel_tiles_per_step_exact():
+    # grid batching in the voxel pass (interp_voxel_depth
+    # tiles_per_step > 1, incl. a cap not divisible by the batch) must
+    # not change a single depth value
+    tape = gyroid_sphere_tape()
+    base = VoxelRenderer(
+        tape, VoxelSize(64, 64, 64), tile_size=64, sub_size=16,
+        interpret=True,
+    )
+    brute = base.render_brute()
+    for g in (4, 3):
+        r = VoxelRenderer(
+            tape, VoxelSize(64, 64, 64), tile_size=64, sub_size=16,
+            interpret=True, voxel_tiles_per_step=g,
+        )
+        img = r.render(mode="heightmap")
+        np.testing.assert_array_equal(img.depth, brute.depth)
+
+
 def test_crash_prone_config_refused():
     # (tile=32, sub=16) at >=512^3 is a known XLA:TPU miscompile that
     # kills the TPU worker; the constructor must refuse it on hardware
