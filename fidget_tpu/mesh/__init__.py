@@ -592,18 +592,22 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     pt = ipts[e_of]
     nm = normals[e_of]
     w = np.isfinite(nm).all(axis=1) & (np.linalg.norm(nm, axis=1) > 0)
-    AtA = np.zeros((NV, 3, 3))
-    Atb = np.zeros((NV, 3))
-    msum = np.zeros((NV, 3))
-    mcnt = np.zeros(NV)
-    np.add.at(msum, vid, pt)
-    np.add.at(mcnt, vid, 1.0)
+
+    # segment-sum via bincount: ~10x faster than the unbuffered
+    # np.add.at scatter at large vertex counts (one pass per component)
+    def vsum(vals):
+        return np.bincount(vid, weights=vals, minlength=NV)
+
+    msum = np.stack([vsum(pt[:, k]) for k in range(3)], axis=1)
+    mcnt = np.bincount(vid, minlength=NV).astype(np.float64)
     nw = np.where(w[:, None], nm, 0.0)
     bw = (nw * pt).sum(axis=1)
-    btb = np.zeros(NV)
-    np.add.at(AtA, vid, nw[:, :, None] * nw[:, None, :])
-    np.add.at(Atb, vid, nw * bw[:, None])
-    np.add.at(btb, vid, bw * bw)
+    AtA = np.empty((NV, 3, 3))
+    for i in range(3):
+        for j in range(i, 3):
+            AtA[:, i, j] = AtA[:, j, i] = vsum(nw[:, i] * nw[:, j])
+    Atb = np.stack([vsum(nw[:, k] * bw) for k in range(3)], axis=1)
+    btb = vsum(bw * bw)
     mass = msum / np.maximum(mcnt, 1.0)[:, None]
 
     # batched truncated-SVD solve about the mass point (qef.rs:67-80)
