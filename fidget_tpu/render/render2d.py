@@ -35,6 +35,7 @@ per-tile simplification replaces the recursion).
 from __future__ import annotations
 
 import functools
+import threading
 from dataclasses import dataclass
 
 import jax
@@ -674,6 +675,44 @@ def _frame_unrolled_fn(
     return jax.jit(frame)
 
 
+#: async warm-up states for `render_unrolled(warmup="interp")`:
+#: state_key -> "compiling" | "failed" | compiled XLA executable
+_UWARM: dict = {}
+_UWARM_LOCK = threading.Lock()
+
+
+def _warm_async(fn, args, state_key):
+    """Non-blocking access to a jitted frame: returns a ready-to-call
+    executable if the background compile has finished, else kicks off
+    (at most one) compile thread and returns None. `fn.lower().compile()`
+    runs entirely host-side — no device dispatch, so the interpreter
+    fallback can keep the chip busy while XLA compiles."""
+    with _UWARM_LOCK:
+        st = _UWARM.get(state_key)
+        if st is None:
+            _UWARM[state_key] = "compiling"
+
+            def compile_bg():
+                try:
+                    compiled = fn.lower(*args).compile()
+                except Exception:
+                    with _UWARM_LOCK:
+                        # surface the error on the caller's thread via
+                        # the ordinary blocking path
+                        _UWARM[state_key] = "failed"
+                    return
+                with _UWARM_LOCK:
+                    _UWARM[state_key] = compiled
+
+            threading.Thread(target=compile_bg, daemon=True).start()
+            return None
+    if st == "compiling":
+        return None
+    if st == "failed":
+        return fn
+    return st
+
+
 class PixelRenderer:
     """Compiled 2D renderer for one tape at one image size.
 
@@ -961,6 +1000,7 @@ class PixelRenderer:
         cap: int | None = None,
         max_retries: int = 3,
         cull: str = "unrolled",
+        warmup: str = "block",
         cancel=None,
     ) -> Image2D:
         """Tiled-unrolled render: interval culling + the whole tape
@@ -975,7 +1015,20 @@ class PixelRenderer:
         active at 16 px vs 90% at 64 px). cull="interp" swaps the
         unrolled interval pass for the shared Pallas interpreter —
         a ~3x cheaper per-shape compile at ~1 ms/frame cost (see
-        _frame_unrolled_fn)."""
+        _frame_unrolled_fn).
+
+        warmup: "block" (default) compiles the unrolled frame on first
+        use (~44 s cold per shape on a v5e; seconds with a persistent
+        compile cache). "interp" never blocks interactivity on that
+        compile: while the unrolled frame compiles in a BACKGROUND
+        thread (XLA releases the GIL), frames are served by the shared
+        zero-recompile interpreter pipeline (`render()`, ~109 Mpix/s),
+        switching to the unrolled path (~350 Mpix/s) the moment the
+        executable is ready — the TPU answer to fidget's
+        microsecond-latency per-tape JIT for interactive editing.
+        Fallback frames match unrolled frames exactly on occupancy;
+        evaluated distances differ only within float tolerance (the
+        interpreter leaf runs per-tile simplified tapes)."""
         from .config import check_cancel
 
         T0 = int(tile_size)
@@ -1017,12 +1070,26 @@ class PixelRenderer:
                 cap = bucket(n_act)
         else:
             cap = min(int(cap), n0)
+        assert warmup in ("block", "interp")
         for _ in range(max_retries + 1):
             check_cancel(cancel)
             fn = _frame_unrolled_fn(
                 key, T0, n0x, n0y, cap, self.n_inputs,
                 pixel_perfect, self.interpret, cull,
             )
+            if warmup == "interp":
+                fn = _warm_async(
+                    fn, (x0, y0, mat, jnp.float32(z), vec),
+                    (key, T0, n0x, n0y, cap, self.n_inputs,
+                     pixel_perfect, self.interpret, cull),
+                )
+                if fn is None:
+                    # still compiling in the background: serve this
+                    # frame through the shared interpreter pipeline
+                    return self.render(
+                        world_to_model, z=z, vars=vars,
+                        pixel_perfect=pixel_perfect, cancel=cancel,
+                    )
             img, fill, n_active = fn(x0, y0, mat, jnp.float32(z), vec)
             if int(n_active) <= cap or cap >= n0:
                 break

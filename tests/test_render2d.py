@@ -392,6 +392,42 @@ def test_unrolled_mode_matches_brute():
     )
 
 
+def test_unrolled_async_warmup():
+    """warmup='interp' must never block on the leaf compile: early
+    frames come from the interpreter pipeline (exact occupancy), and
+    once the background compile lands the unrolled executable takes
+    over with identical occupancy."""
+    import time
+
+    from fidget_tpu.render import render2d as r2d
+
+    if not has_model("hi.vm"):
+        pytest.skip("model assets unavailable")
+    ctx, root = load_vm("hi.vm")
+    tape = lower(ctx, [root])
+    r = PixelRenderer(tape, ImageSize(192, 160), interpret=True)
+    brute = r.render_brute()
+    img = r.render_unrolled(warmup="interp")
+    np.testing.assert_array_equal(img.inside(), brute < 0)
+    # wait (bounded) for the background compile, then the fast path
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        states = [
+            v for k, v in r2d._UWARM.items() if k[0] == id(r.tape)
+        ]
+        if states and all(not isinstance(v, str) for v in states):
+            break
+        time.sleep(0.5)
+    else:
+        pytest.fail("background compile never finished")
+    img2 = r.render_unrolled(warmup="interp")
+    np.testing.assert_array_equal(img2.inside(), brute < 0)
+    ev = img2.fill == FILL_NONE
+    np.testing.assert_allclose(
+        img2.distance[ev], brute[ev], rtol=1e-5, atol=1e-6
+    )
+
+
 def test_unrolled_capacity_retry():
     ctx = Context()
     x, y = ctx.x(), ctx.y()
