@@ -1,0 +1,109 @@
+"""Extended fuzz soak: random expression graphs through every pipeline
+vs the dense brute-force oracle, running until stopped.
+
+The in-suite fuzz (tests/test_fuzz.py) covers a handful of fixed seeds;
+this driver walks an open-ended seed range across the 2D bucketed,
+2D tiled-unrolled (both culls), and 3D bucketed pipelines, plus a mesh
+manifoldness check every 16th seed. Failures are logged with the seed
+so they can be replayed as a one-line unit test.
+
+Usage: python demos/fuzz_extended.py [start_seed] [end_seed]
+(CPU-only; safe to run while the TPU tunnel is down.)
+"""
+
+import os
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from test_fuzz import random_tape
+
+    from fidget_tpu.render.region import ImageSize, VoxelSize
+    from fidget_tpu.render.render2d import FILL_NONE, PixelRenderer
+    from fidget_tpu.render.render3d import VoxelRenderer
+
+    start = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    end = int(sys.argv[2]) if len(sys.argv) > 2 else 10**9
+    failures = 0
+
+    def check_2d(seed):
+        tape = random_tape(seed, dims=2)
+        r = PixelRenderer(
+            tape, ImageSize(128, 128), tile_size=32, interpret=True
+        )
+        brute = r.render_brute()
+        img = r.render()
+        ev = img.fill == FILL_NONE
+        both_nan = np.isnan(img.distance) & np.isnan(brute)
+        close = np.isclose(img.distance, brute, rtol=1e-4, atol=1e-5)
+        assert (close | both_nan)[ev].all(), "2D distances"
+        cls = img.fill_class()
+        assert (brute[cls == 1] < 0).all(), "2D inside fill unsound"
+        assert not (brute[cls == 2] < 0).any(), "2D outside fill unsound"
+        # tiled-unrolled, both cull variants
+        for cull in ("unrolled", "interp"):
+            u = r.render_unrolled(tile_size=16, cull=cull)
+            np.testing.assert_array_equal(u.inside(), brute < 0)
+            uev = u.fill == FILL_NONE
+            uclose = np.isclose(u.distance, brute, rtol=1e-4, atol=1e-5)
+            ubnan = np.isnan(u.distance) & np.isnan(brute)
+            assert (uclose | ubnan)[uev].all(), f"unrolled({cull}) distances"
+
+    def check_3d(seed):
+        tape = random_tape(seed, dims=3)
+        r = VoxelRenderer(
+            tape, VoxelSize(32, 32, 32), tile_size=16, sub_size=8,
+            interpret=True, specialize=False,
+        )
+        img = r.render(mode="heightmap", max_retries=6)
+        brute = r.render_brute()
+        np.testing.assert_array_equal(img.depth, brute.depth)
+
+    def check_mesh(seed):
+        from fidget_tpu.mesh import Settings, build_mesh
+
+        tape = random_tape(seed, dims=3)
+        m = build_mesh(tape, Settings(depth=4, interpret=True))
+        T = np.asarray(m.triangles)
+        if len(T) == 0:
+            return
+        edges = np.concatenate([T[:, [0, 1]], T[:, [1, 2]], T[:, [2, 0]]])
+        _, counts = np.unique(np.sort(edges, 1), axis=0, return_counts=True)
+        assert (counts <= 2).all(), "edge used >2x"
+
+    t0 = time.time()
+    for seed in range(start, end):
+        for name, fn in (
+            ("2d", check_2d),
+            ("3d", check_3d),
+        ) + ((("mesh", check_mesh),) if seed % 16 == 0 else ()):
+            try:
+                fn(seed)
+            except KeyboardInterrupt:
+                raise
+            except Exception:
+                failures += 1
+                print(f"FAIL seed={seed} stage={name}", flush=True)
+                traceback.print_exc()
+        if seed % 10 == 0:
+            dt = time.time() - t0
+            print(
+                f"seed {seed} done ({dt:.0f}s elapsed, {failures} failures)",
+                flush=True,
+            )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
