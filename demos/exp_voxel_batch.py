@@ -41,10 +41,14 @@ def main():
 
     n = int(os.environ.get("FIDGET_EXP_N", "512"))
     ref_depth = None
-    for G in gs:
+    for G in gs + ["unrolled"]:
+        kw = (
+            dict(leaf="unrolled")
+            if G == "unrolled"
+            else dict(voxel_tiles_per_step=G)
+        )
         r = VoxelRenderer(
-            tape, VoxelSize(n, n, n), tile_size=64, sub_size=16,
-            voxel_tiles_per_step=G,
+            tape, VoxelSize(n, n, n), tile_size=64, sub_size=16, **kw,
         )
         mat = r._mat4(None)
         vec = r._var_vec(None)
@@ -86,7 +90,7 @@ def main():
         else:
             match = "OK" if (np.asarray(img.depth) == ref_depth).all() else "MISMATCH"
         print(
-            f"G={G:3d}: {ms:8.2f} ms/frame (compile {compile_s:5.1f} s) "
+            f"G={G!s:>8}: {ms:8.2f} ms/frame (compile {compile_s:5.1f} s) "
             f"depth {match}",
             flush=True,
         )

@@ -102,6 +102,8 @@ class _ConstBind3:
         self.axis_of = r.axis_of
         self.simplifier = r.simplifier
         self.vox_g = r.vox_g
+        self.leaf = r.leaf
+        self.tape = r.tape
 
     def set_axes(self, planes, triples):
         for kind, plane_k in zip(("x", "y", "z"), triples):
@@ -461,12 +463,55 @@ class _Pipeline3:
         """Stratum stage B: gather the compacted worklist's parent
         tapes, re-specialize them per subtile from the packed choices
         (the wgpu per-level tape_simplify loop), and run the voxel
-        point pass. Returns local depth candidates [cap_s, sub, sub]."""
+        point pass. Returns local depth candidates [cap_s, sub, sub].
+
+        With `b.leaf == "unrolled"` (the 3D analog of the 2D
+        tiled-unrolled pipeline): skip re-specialization entirely and
+        evaluate the WHOLE tape, unrolled into straight-line XLA, over
+        the compacted worklist's voxels — no interpreter scan, no
+        per-subtile tapes, culling still via the interval stages."""
         sub, nl = self.sub, self.nl
         vox_dx = jnp.asarray(self.vox_dx)
         vox_dy = jnp.asarray(self.vox_dy)
         vox_dz = jnp.asarray(self.vox_dz)
         lz, gy, gx, valid = idx["lz"], idx["gy"], idx["gx"], idx["valid"]
+
+        # voxel coordinates of the compacted slab worklist, (vz, vy,
+        # vx) row-major within each subtile
+        bx = (gx * sub).astype(jnp.float32)[:, None]
+        by = (gy * sub).astype(jnp.float32)[:, None] + y_base
+        bz = (lz * sub).astype(jnp.float32)[:, None] + aux["z_lo"]
+        px = bx + vox_dx[None, :]
+        py = by + vox_dy[None, :]
+        pz = bz + vox_dz[None, :]
+
+        if getattr(b, "leaf", "interp") == "unrolled":
+            from ..eval.unrolled_fast import eval_tape_float_fast
+
+            mx, my, mz = transform_points(mat, px, py, pz)
+            flat = (cap_s * sub**3,)
+            inputs = [
+                jnp.broadcast_to(var_vec[i], flat).astype(jnp.float32)
+                for i in range(b.V)
+            ]
+            for kind, plane in (("x", mx), ("y", my), ("z", mz)):
+                i = b.axis_of.get(kind)
+                if i is not None:
+                    inputs[i] = jnp.broadcast_to(
+                        plane, (cap_s, sub**3)
+                    ).reshape(flat)
+            dv = eval_tape_float_fast(b.tape, inputs)[0].reshape(
+                cap_s, sub**3
+            )
+            inside = (dv < 0.0) & valid[:, None]
+            inside = inside.reshape(cap_s, sub, sub, sub)
+            vz_col = jnp.arange(sub, dtype=jnp.int32)[None, :, None, None]
+            return jnp.where(
+                inside,
+                bz.astype(jnp.int32)[..., None, None] + vz_col + 1,
+                0,
+            ).max(axis=1)
+
         t_idx = (gy // nl) * self.ntx + (gx // nl)
         w1p = jnp.take(s["w1s"], t_idx, axis=0)
         w2p = jnp.take(s["w2s"], t_idx, axis=0)
@@ -489,12 +534,6 @@ class _Pipeline3:
         len_leaf = jnp.where(valid, len_leaf, 0)
 
         # voxel point pass over the compacted slab worklist
-        bx = (gx * sub).astype(jnp.float32)[:, None]
-        by = (gy * sub).astype(jnp.float32)[:, None] + y_base
-        bz = (lz * sub).astype(jnp.float32)[:, None] + aux["z_lo"]
-        px = bx + vox_dx[None, :]
-        py = by + vox_dy[None, :]
-        pz = bz + vox_dz[None, :]
         vars_v = self.point_vars(
             b, mat, var_vec, px, py, pz, self.s0v, (cap_s,)
         )
@@ -680,6 +719,13 @@ class VoxelRenderer:
         the voxel pass (interp_voxel_depth tiles_per_step); > 1
         amortizes the fixed per-grid-step dispatch cost when the
         compacted worklist is large. Specialized pipeline only.
+      leaf: "interp" (default) re-specializes each subtile's tape from
+        its interval trace and runs the Pallas interpreter over its
+        voxels. "unrolled" evaluates the WHOLE tape as straight-line
+        XLA over the compacted worklist's voxels — the 3D analog of
+        the 2D tiled-unrolled pipeline (no interpreter scan cost, at a
+        per-shape XLA compile); interval culling and strata occlusion
+        are unchanged. Requires specialize=True.
     """
 
     def __init__(
@@ -694,8 +740,17 @@ class VoxelRenderer:
         strata: str = "auto",
         specialize: bool = True,
         voxel_tiles_per_step: int = 1,
+        leaf: str = "interp",
     ):
         assert strata in ("auto", "scan", "loop", "stages")
+        assert leaf in ("interp", "unrolled")
+        if leaf == "unrolled" and not specialize:
+            raise ValueError(
+                "leaf='unrolled' compiles the tape into the frame and "
+                "requires specialize=True (the bucketed zero-recompile "
+                "pipeline treats tapes as data)"
+            )
+        self.leaf = leaf
         self.strata = strata
         self.specialize = specialize
         # voxel-pass grid batching (interp_voxel_depth tiles_per_step):

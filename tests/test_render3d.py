@@ -308,6 +308,31 @@ def test_voxel_tiles_per_step_exact():
         np.testing.assert_array_equal(img.depth, brute.depth)
 
 
+def test_unrolled_leaf_exact():
+    # the tiled-unrolled 3D leaf (whole tape as straight-line XLA over
+    # the compacted worklist) must agree exactly with brute force and
+    # with the interpreter leaf, across strata drivers
+    tape = gyroid_sphere_tape()
+    base = VoxelRenderer(
+        tape, VoxelSize(64, 64, 64), tile_size=32, sub_size=8,
+        interpret=True,
+    )
+    brute = base.render_brute()
+    for strata in ("scan", "stages"):
+        r = VoxelRenderer(
+            tape, VoxelSize(64, 64, 64), tile_size=32, sub_size=8,
+            interpret=True, leaf="unrolled", strata=strata,
+        )
+        img = r.render(mode="heightmap")
+        np.testing.assert_array_equal(img.depth, brute.depth)
+    # bucketed path cannot take the unrolled leaf
+    with pytest.raises(ValueError, match="specialize"):
+        VoxelRenderer(
+            tape, VoxelSize(64, 64, 64), interpret=True,
+            leaf="unrolled", specialize=False,
+        )
+
+
 def test_crash_prone_config_refused():
     # (tile=32, sub=16) at >=512^3 is a known XLA:TPU miscompile that
     # kills the TPU worker; the constructor must refuse it on hardware
