@@ -41,10 +41,12 @@ def main():
 
     n = int(os.environ.get("FIDGET_EXP_N", "512"))
     ref_depth = None
-    for G in gs + ["unrolled"]:
+    for G in gs + ["unrolled", "unrolled2"]:
         kw = (
             dict(leaf="unrolled")
             if G == "unrolled"
+            else dict(leaf="unrolled", proofs="unrolled")
+            if G == "unrolled2"
             else dict(voxel_tiles_per_step=G)
         )
         r = VoxelRenderer(

@@ -103,6 +103,7 @@ class _ConstBind3:
         self.simplifier = r.simplifier
         self.vox_g = r.vox_g
         self.leaf = r.leaf
+        self.proofs = r.proofs
         self.tape = r.tape
 
     def set_axes(self, planes, triples):
@@ -120,6 +121,31 @@ class _ConstBind3:
             choices0, n_tiles=n0, interpret=self.interpret
         )
         return w1s, w2s, imms, lens
+
+
+def _unrolled_interval3(b, im, mat, var_vec, xi, yi, zi):
+    """Interval proofs with the whole tape UNROLLED into straight-line
+    XLA (eval_tape_interval_fast) over screen-box triples of any shape
+    — the 3D twin of the 2D pipeline's `_unrolled_cull_stage`. No
+    interpreter scan, no choice capture; proofs are sound (see the
+    NaN relaxation note on eval_tape_interval_fast)."""
+    from ..eval.unrolled_fast import eval_tape_interval_fast
+
+    mxi, myi, mzi = transform_intervals(im, mat, xi, yi, zi)
+    like = xi[0]
+    inputs = []
+    for i in range(b.V):
+        c = jnp.broadcast_to(var_vec[i], like.shape).astype(jnp.float32)
+        inputs.append((c, c))
+    for kind, ivl in (("x", mxi), ("y", myi), ("z", mzi)):
+        idx = b.axis_of.get(kind)
+        if idx is not None:
+            inputs[idx] = (
+                jnp.broadcast_to(ivl[0], like.shape),
+                jnp.broadcast_to(ivl[1], like.shape),
+            )
+    los, his = eval_tape_interval_fast(b.tape, inputs)
+    return los[0], his[0]
 
 
 def _compact_stratum(act_flat, *, nl, ny2, nx2, cap_s, xp):
@@ -279,20 +305,30 @@ class _Pipeline3:
         im = IntervalMode(jnp)
         mat = matM @ jnp.asarray(self.s2w, jnp.float32)  # screen -> model
 
+        unrolled_proofs = getattr(b, "proofs", "interp") == "unrolled"
+
         # ---- stage 1: root interval pass (lanes = root tiles) ---------
-        var_lo, var_hi = self.interval_vars(
-            b, im, mat, var_vec,
-            (x0, x0 + ts), (y0, y0 + ts), (z0, z0 + ts),
-            s0r, (1,),
-        )
-        w1r, w2r, immr, lensr = b.arena
-        olo, ohi, packed_choices = interp_interval(
-            w1r, w2r, immr, lensr, var_lo, var_hi,
-            nf=b.nf, n_inputs=b.V, n_outputs=1, s0=s0r,
-            c_words=b.c_words, interpret=b.interpret, op_order=b.op_order,
-        )
-        rlo = olo[0, 0].reshape(-1)[:nt]
-        rhi = ohi[0, 0].reshape(-1)[:nt]
+        if unrolled_proofs:
+            rlo, rhi = _unrolled_interval3(
+                b, im, mat, var_vec,
+                (x0, x0 + ts), (y0, y0 + ts), (z0, z0 + ts),
+            )
+            packed_choices = None
+        else:
+            var_lo, var_hi = self.interval_vars(
+                b, im, mat, var_vec,
+                (x0, x0 + ts), (y0, y0 + ts), (z0, z0 + ts),
+                s0r, (1,),
+            )
+            w1r, w2r, immr, lensr = b.arena
+            olo, ohi, packed_choices = interp_interval(
+                w1r, w2r, immr, lensr, var_lo, var_hi,
+                nf=b.nf, n_inputs=b.V, n_outputs=1, s0=s0r,
+                c_words=b.c_words, interpret=b.interpret,
+                op_order=b.op_order,
+            )
+            rlo = olo[0, 0].reshape(-1)[:nt]
+            rhi = ohi[0, 0].reshape(-1)[:nt]
         root_full = rhi < 0.0
         root_empty = rlo > 0.0
         root_active = ~(root_full | root_empty)
@@ -301,12 +337,15 @@ class _Pipeline3:
             return rlo, rhi, packed_choices
 
         # ---- stage 2: per-root-tile simplification --------------------
-        w1s, w2s, imms, lens = b.simplify_root(
-            packed_choices, nt, root_active
-        )
+        # (skipped entirely in the fully-unrolled mode: no choices are
+        # captured and the leaf evaluates the whole tape)
+        if not unrolled_proofs:
+            w1s, w2s, imms, lens = b.simplify_root(
+                packed_choices, nt, root_active
+            )
 
-        if stop_after == "simplify":
-            return w1s, w2s, lens
+            if stop_after == "simplify":
+                return w1s, w2s, lens
 
         # ---- stages 3-5: Z-strata scan, front-to-back -------------------
         # One stratum = one root-tile layer (ts voxels deep). Strata are
@@ -329,9 +368,12 @@ class _Pipeline3:
         xs = dict(
             x0=slab_of(x0), y0=slab_of(y0), z0=slab_of(z0),
             act=slab_of(root_active), full=slab_of(root_full),
-            w1s=slab_of(w1s), w2s=slab_of(w2s), imms=slab_of(imms),
-            lens=slab_of(jnp.where(root_active, lens, 0)),
         )
+        if not unrolled_proofs:
+            xs.update(
+                w1s=slab_of(w1s), w2s=slab_of(w2s), imms=slab_of(imms),
+                lens=slab_of(jnp.where(root_active, lens, 0)),
+            )
         if stop_after == "strata_xs":
             return xs, mat, jnp.min(y0)
 
@@ -394,7 +436,7 @@ class _Pipeline3:
 
         x0s, y0s, z0s = s["x0"], s["y0"], s["z0"]
         acts = s["act"][:, None]                      # [ntxy, 1]
-        lens1 = s["lens"]
+        lens1 = s.get("lens")  # absent in the fully-unrolled mode
 
         # root-full proofs of THIS slab fill their whole footprint
         full_px = jnp.repeat(
@@ -407,23 +449,31 @@ class _Pipeline3:
         )
         floor = jnp.maximum(floor, full_px)
 
-        # subtile interval pass with the slab's simplified tapes
+        # subtile interval pass with the slab's simplified tapes (or,
+        # fully-unrolled mode: the whole tape as straight-line XLA)
         sx0 = x0s[:, None] + sub_dx[None, :]          # [ntxy, m]
         sy0 = y0s[:, None] + sub_dy[None, :]
         sz0 = z0s[:, None] + sub_dz[None, :]
-        var_lo1, var_hi1 = self.interval_vars(
-            b, im, mat, var_vec,
-            (sx0, sx0 + sub), (sy0, sy0 + sub), (sz0, sz0 + sub),
-            self.s0s, (ntxy,),
-        )
-        olo1, ohi1, choices1 = interp_interval(
-            s["w1s"], s["w2s"], s["imms"], lens1, var_lo1, var_hi1,
-            nf=b.nf, n_inputs=b.V, n_outputs=1,
-            s0=self.s0s, c_words=b.c_words, interpret=b.interpret,
-            op_order=b.op_order,
-        )
-        slo = olo1[:, 0].reshape(ntxy, -1)[:, :m]
-        shi = ohi1[:, 0].reshape(ntxy, -1)[:, :m]
+        if getattr(b, "proofs", "interp") == "unrolled":
+            slo, shi = _unrolled_interval3(
+                b, im, mat, var_vec,
+                (sx0, sx0 + sub), (sy0, sy0 + sub), (sz0, sz0 + sub),
+            )
+            choices1 = None
+        else:
+            var_lo1, var_hi1 = self.interval_vars(
+                b, im, mat, var_vec,
+                (sx0, sx0 + sub), (sy0, sy0 + sub), (sz0, sz0 + sub),
+                self.s0s, (ntxy,),
+            )
+            olo1, ohi1, choices1 = interp_interval(
+                s["w1s"], s["w2s"], s["imms"], lens1, var_lo1, var_hi1,
+                nf=b.nf, n_inputs=b.V, n_outputs=1,
+                s0=self.s0s, c_words=b.c_words, interpret=b.interpret,
+                op_order=b.op_order,
+            )
+            slo = olo1[:, 0].reshape(ntxy, -1)[:, :m]
+            shi = ohi1[:, 0].reshape(ntxy, -1)[:, :m]
         sub_full = acts & (shi < 0.0)
         sub_active = acts & ~(shi < 0.0) & ~(slo > 0.0)
 
@@ -453,10 +503,10 @@ class _Pipeline3:
         aux = dict(
             act_flat=act_flat,
             n_active=act_flat.sum(),
-            choices1=choices1,
-            lens1=lens1,
             z_lo=z_lo,
         )
+        if choices1 is not None:
+            aux.update(choices1=choices1, lens1=lens1)
         return floor, aux
 
     def stratum_leaf(self, b, s, aux, idx, *, mat, var_vec, y_base, cap_s):
@@ -726,6 +776,12 @@ class VoxelRenderer:
         the 2D tiled-unrolled pipeline (no interpreter scan cost, at a
         per-shape XLA compile); interval culling and strata occlusion
         are unchanged. Requires specialize=True.
+      proofs: "interp" (default) runs the root/subtile interval passes
+        through the Pallas interpreter with choice capture + tape
+        simplification. "unrolled" unrolls them into straight-line XLA
+        interval arithmetic and skips simplification entirely — with
+        leaf="unrolled" (required) the whole frame is interpreter-free,
+        the full 3D analog of 2D `render_unrolled`.
     """
 
     def __init__(
@@ -741,16 +797,25 @@ class VoxelRenderer:
         specialize: bool = True,
         voxel_tiles_per_step: int = 1,
         leaf: str = "interp",
+        proofs: str = "interp",
     ):
         assert strata in ("auto", "scan", "loop", "stages")
         assert leaf in ("interp", "unrolled")
+        assert proofs in ("interp", "unrolled")
         if leaf == "unrolled" and not specialize:
             raise ValueError(
                 "leaf='unrolled' compiles the tape into the frame and "
                 "requires specialize=True (the bucketed zero-recompile "
                 "pipeline treats tapes as data)"
             )
+        if proofs == "unrolled" and leaf != "unrolled":
+            raise ValueError(
+                "proofs='unrolled' captures no choice traces, so the "
+                "interpreter leaf (which re-specializes tapes from "
+                "them) cannot follow it; use leaf='unrolled' too"
+            )
         self.leaf = leaf
+        self.proofs = proofs
         self.strata = strata
         self.specialize = specialize
         # voxel-pass grid batching (interp_voxel_depth tiles_per_step):

@@ -318,10 +318,13 @@ def test_unrolled_leaf_exact():
         interpret=True,
     )
     brute = base.render_brute()
-    for strata in ("scan", "stages"):
+    for strata, proofs in (
+        ("scan", "interp"), ("stages", "interp"),
+        ("scan", "unrolled"), ("stages", "unrolled"),
+    ):
         r = VoxelRenderer(
             tape, VoxelSize(64, 64, 64), tile_size=32, sub_size=8,
-            interpret=True, leaf="unrolled", strata=strata,
+            interpret=True, leaf="unrolled", strata=strata, proofs=proofs,
         )
         img = r.render(mode="heightmap")
         np.testing.assert_array_equal(img.depth, brute.depth)
@@ -330,6 +333,12 @@ def test_unrolled_leaf_exact():
         VoxelRenderer(
             tape, VoxelSize(64, 64, 64), interpret=True,
             leaf="unrolled", specialize=False,
+        )
+    # unrolled proofs capture no choices: interpreter leaf refused
+    with pytest.raises(ValueError, match="choice"):
+        VoxelRenderer(
+            tape, VoxelSize(64, 64, 64), interpret=True,
+            proofs="unrolled",
         )
 
 
