@@ -65,9 +65,12 @@ def _parse_vec(s: str, n: int):
 
 
 def _interp(args):
+    # "unrolled"/"dense" pick a PIPELINE, not a platform: interpret
+    # stays auto-detected (False on TPU, True on the CPU mesh) so the
+    # modes work on both
     return {
         "auto": None, "interpret": True, "compiled": False,
-        "unrolled": False, "dense": False,
+        "unrolled": None, "dense": None,
     }[args.eval]
 
 
@@ -207,7 +210,14 @@ def run3d(args) -> int:
 
     tape = _tape(_load(args.input))
     n = args.size
-    r = VoxelRenderer(tape, VoxelSize(n, n, n), interpret=_interp(args))
+    kw = {}
+    if getattr(args, "eval", "auto") == "unrolled":
+        # fully-unrolled 3D frame (the --eval=jit analog): straight-line
+        # XLA interval proofs + whole-tape voxel leaf, no interpreter
+        kw = dict(leaf="unrolled", proofs="unrolled")
+    r = VoxelRenderer(
+        tape, VoxelSize(n, n, n), interpret=_interp(args), **kw
+    )
     mat = _view3(args)
     mode = "heightmap" if args.mode == "heightmap" else "normals"
     best = math.inf
@@ -320,13 +330,13 @@ def main(argv=None) -> int:
                                 "unrolled", "dense"],
                        help="evaluator backend: Pallas interpret mode "
                             "(portable, the reference's 'vm' analog), "
-                            "compiled TPU kernels, (2D) 'unrolled' = "
+                            "compiled TPU kernels, 'unrolled' = "
                             "interval culling + the whole tape as one "
                             "XLA program per shape — the closest 'jit' "
                             "analog, fastest steady-state, slow first "
-                            "compile — or (2D) 'dense' = the same "
-                            "unrolled program over every pixel "
-                            "(differentiable, no culling)")
+                            "compile (2D and 3D) — or (2D) 'dense' = "
+                            "the same unrolled program over every "
+                            "pixel (differentiable, no culling)")
         if three_d:
             p.add_argument("--pitch", type=float, default=0.0,
                            help="camera pitch (degrees)")

@@ -291,21 +291,16 @@ def test_fused_voxel_depth_configs():
 
 def test_voxel_tiles_per_step_exact():
     # grid batching in the voxel pass (interp_voxel_depth
-    # tiles_per_step > 1, incl. a cap not divisible by the batch) must
-    # not change a single depth value
+    # tiles_per_step > 1) must not change a single depth value; g=3
+    # exercises both the inner tile loop AND the non-divisible-cap
+    # zero-padding in one compile
     tape = gyroid_sphere_tape()
-    base = VoxelRenderer(
+    r = VoxelRenderer(
         tape, VoxelSize(64, 64, 64), tile_size=64, sub_size=16,
-        interpret=True,
+        interpret=True, voxel_tiles_per_step=3,
     )
-    brute = base.render_brute()
-    for g in (4, 3):
-        r = VoxelRenderer(
-            tape, VoxelSize(64, 64, 64), tile_size=64, sub_size=16,
-            interpret=True, voxel_tiles_per_step=g,
-        )
-        img = r.render(mode="heightmap")
-        np.testing.assert_array_equal(img.depth, brute.depth)
+    img = r.render(mode="heightmap")
+    np.testing.assert_array_equal(img.depth, r.render_brute().depth)
 
 
 def test_unrolled_leaf_exact():
@@ -313,19 +308,16 @@ def test_unrolled_leaf_exact():
     # the compacted worklist) must agree exactly with brute force and
     # with the interpreter leaf, across strata drivers
     tape = gyroid_sphere_tape()
-    base = VoxelRenderer(
-        tape, VoxelSize(64, 64, 64), tile_size=32, sub_size=8,
-        interpret=True,
-    )
-    brute = base.render_brute()
-    for strata, proofs in (
-        ("scan", "interp"), ("stages", "interp"),
-        ("scan", "unrolled"), ("stages", "unrolled"),
-    ):
+    brute = None
+    # two configs cover both axes: (fused scan x interp proofs) and
+    # (stages driver x fully-unrolled proofs)
+    for strata, proofs in (("scan", "interp"), ("stages", "unrolled")):
         r = VoxelRenderer(
             tape, VoxelSize(64, 64, 64), tile_size=32, sub_size=8,
             interpret=True, leaf="unrolled", strata=strata, proofs=proofs,
         )
+        if brute is None:
+            brute = r.render_brute()
         img = r.render(mode="heightmap")
         np.testing.assert_array_equal(img.depth, brute.depth)
     # bucketed path cannot take the unrolled leaf
