@@ -396,6 +396,8 @@ def render_voxels_sharded(
     sub_size: int = 16,
     interpret: bool | None = None,
     max_retries: int = 3,
+    leaf: str = "interp",
+    proofs: str = "interp",
 ):
     """Full 3D voxel pipeline sharded over the mesh.
 
@@ -405,6 +407,8 @@ def render_voxels_sharded(
     zero cross-device communication (occlusion is per pixel column, so
     Y-slab sharding keeps it exact). Worklist capacity is per device;
     overflow retries recompile only the new capacity variant.
+    leaf/proofs pass through to VoxelRenderer: "unrolled" shards the
+    tiled-unrolled 3D pipeline instead of the interpreter one.
     """
     from ..render.render3d import Image3D, VoxelRenderer
 
@@ -413,7 +417,7 @@ def render_voxels_sharded(
     D = mesh.devices.size
     r = VoxelRenderer(
         tape, size, tile_size=tile_size, sub_size=sub_size,
-        interpret=interpret,
+        interpret=interpret, leaf=leaf, proofs=proofs,
     )
     if r.nty % D != 0:
         raise ValueError(

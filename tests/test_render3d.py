@@ -255,6 +255,12 @@ def test_sharded_voxels_matches_single_device():
     ref = single.render(mode="normals")
     np.testing.assert_array_equal(img.depth, ref.depth)
     np.testing.assert_allclose(img.normal, ref.normal, rtol=1e-5, atol=1e-5)
+    # the tiled-unrolled 3D pipeline shards through the same path
+    uimg = render_voxels_sharded(
+        tape, size, mesh, tile_size=16, sub_size=8, mode="heightmap",
+        interpret=True, leaf="unrolled", proofs="unrolled",
+    )
+    np.testing.assert_array_equal(uimg.depth, ref.depth)
 
 
 def test_perspective_camera_matches_brute():
