@@ -94,8 +94,14 @@ def bench_3d(results):
     n = 512
     tree = load_script("gyroid-sphere.rhai")  # traced Tree
     tape = Shape.from_tree(tree).tape()
-    for mode in ("heightmap", "normals"):
-        r = VoxelRenderer(tape, VoxelSize(n, n, n))
+    for mode, kw in (
+        ("heightmap", {}),
+        ("normals", {}),
+        # the fully-unrolled pipeline (leaf + proofs as straight-line
+        # XLA, no interpreter) — the 3D fidget-JIT analog
+        ("heightmap", dict(leaf="unrolled", proofs="unrolled")),
+    ):
+        r = VoxelRenderer(tape, VoxelSize(n, n, n), **kw)
         vec = jnp.zeros(r.n_inputs, jnp.float32)
 
         @jax.jit
@@ -119,7 +125,11 @@ def bench_3d(results):
             ts.append(time.perf_counter() - t0)
         ms = min(ts) * 1e3
         results.append(dict(
-            metric=f"gyroid-sphere.rhai {n}^3 3D {mode} device frame",
+            metric=(
+                f"gyroid-sphere.rhai {n}^3 3D {mode}"
+                + (" unrolled" if kw else "")
+                + " device frame"
+            ),
             value=round(ms, 1), unit="ms", vs_baseline=0.0,
         ))
 
