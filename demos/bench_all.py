@@ -151,6 +151,21 @@ def bench_mesh(results):
         metric="colonnade.vm MDC depth-8 mesh build (warm)",
         value=round(best, 2), unit="s", vs_baseline=0.0,
     ))
+    # unrolled eval cores (whole tape as straight-line XLA)
+    build_mesh(tape, Settings(depth=8, eval="unrolled"))  # compile/warm
+    best = np.inf
+    for i in range(2):
+        w = np.eye(4)
+        w[0, 3] = 1e-6 * (i + 1)
+        t0 = time.perf_counter()
+        m = build_mesh(
+            tape, Settings(depth=8, world_to_model=w, eval="unrolled")
+        )
+        best = min(best, time.perf_counter() - t0)
+    results.append(dict(
+        metric="colonnade.vm MDC depth-8 mesh build (warm, unrolled)",
+        value=round(best, 2), unit="s", vs_baseline=0.0,
+    ))
 
 
 def main():

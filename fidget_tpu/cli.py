@@ -280,6 +280,11 @@ def run_mesh(args) -> int:
             Settings(
                 depth=args.depth, world_to_model=mat,
                 collapse=not args.no_collapse, interpret=_interp(args),
+                eval=(
+                    "unrolled"
+                    if getattr(args, "eval", "auto") == "unrolled"
+                    else "interp"
+                ),
             ),
         )
         best = min(best, time.perf_counter() - t0)

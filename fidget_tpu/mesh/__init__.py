@@ -72,6 +72,13 @@ class Settings:
     vars: ShapeVars | dict | None = None
     collapse: bool = True
     interpret: bool | None = None
+    #: "interp" runs cell classify / corner signs / edge search through
+    #: the Pallas tape interpreter (zero per-shape compiles).
+    #: "unrolled" compiles the whole tape into each core as
+    #: straight-line XLA — the meshing analog of the tiled-unrolled
+    #: renderers (per-shape compile, no interpreter scan cost).
+    #: Gradients at intersections stay on the shared grad kernel.
+    eval: str = "interp"
     #: optional CancelToken, polled between octree levels, eval
     #: stages, and collapse size-rounds (the reference polls per cell,
     #: fidget-mesh/src/octree.rs:527-529)
@@ -259,6 +266,20 @@ def _classify_cells(ev, cells, h, m, var_vec):
     """np [N] bool: cells (lattice coords, edge h) not provably
     empty/full under world->model transform m."""
     N = len(cells)
+    if getattr(ev, "unrolled", False):
+        Npad = 1 << max(0, (N - 1).bit_length())
+        cpad = np.zeros((Npad, 3), np.int32)
+        cpad[:N] = cells
+        A = m[:3, :3].astype(np.float32)
+        core = _u_jit(ev, "classify", lambda: _u_classify_core(ev))
+        act = core(
+            jnp.asarray(cpad), jnp.float32(h),
+            jnp.asarray(np.maximum(A, 0.0)),
+            jnp.asarray(np.minimum(A, 0.0)),
+            jnp.asarray(m[:3, 3].astype(np.float32)),
+            jnp.asarray(_vvec(ev, var_vec)),
+        )
+        return np.asarray(act)[:N]
     s0 = _lane_block(ev.nf, 2)
     T, used = _bucket(N, s0)
     Npad = T * s0 * 128
@@ -317,6 +338,21 @@ def _corner_signs_core(
 def _corner_signs(ev, uniq, G, h, m, var_vec):
     """np [U] bool inside-signs for unique corner-lattice keys."""
     U = len(uniq)
+    if getattr(ev, "unrolled", False):
+        Upad = 1 << max(0, (U - 1).bit_length())
+        stride = G + 1
+        keys = np.zeros(Upad, np.int64)
+        keys[:U] = uniq
+        pts = np.stack(
+            [keys // (stride * stride), (keys // stride) % stride,
+             keys % stride], axis=-1,
+        ).astype(np.float32) * h - 1.0
+        mp = pts @ m[:3, :3].astype(np.float32).T + m[:3, 3].astype(
+            np.float32
+        )
+        core = _u_jit(ev, "points", lambda: _u_points_core(ev))
+        signs = core(jnp.asarray(mp), jnp.asarray(_vvec(ev, var_vec)))
+        return np.asarray(signs)[:U]
     s0 = _lane_block(ev.nf, 1)
     T, used = _bucket(U, s0)
     Upad = T * s0 * 128
@@ -381,6 +417,20 @@ def offset_signs(ev, base, offsets, scale, h, m, var_vec):
     power of two so the jit cache stays small across rounds."""
     C = len(base)
     K = len(offsets)
+    if getattr(ev, "unrolled", False):
+        Cpad = 1 << max(0, (C - 1).bit_length())
+        bpad = np.zeros((Cpad, 3), np.int32)
+        bpad[:C] = base
+        pts = (
+            bpad[:, None, :]
+            + np.asarray(offsets, np.int32)[None, :, :] * int(scale)
+        ).reshape(-1, 3).astype(np.float32) * h - 1.0
+        mp = pts @ m[:3, :3].astype(np.float32).T + m[:3, 3].astype(
+            np.float32
+        )
+        core = _u_jit(ev, "points", lambda: _u_points_core(ev))
+        signs = core(jnp.asarray(mp), jnp.asarray(_vvec(ev, var_vec)))
+        return np.asarray(signs)[: C * K].reshape(C, K)
     s0 = _lane_block(ev.nf, 1)
     Cpad = 1 << max(0, (C - 1).bit_length())
     T, used = _bucket(Cpad * K, s0)
@@ -396,6 +446,109 @@ def offset_signs(ev, base, offsets, scale, h, m, var_vec):
         interpret=ev.interpret, op_order=ev.op_order,
     )
     return np.asarray(signs)[: C * K].reshape(C, K)
+
+
+# ----------------------------------------------------------------------
+# unrolled evaluation cores (Settings(eval="unrolled")): the whole tape
+# as straight-line XLA instead of the Pallas interpreter — the meshing
+# analog of the tiled-unrolled renderers. One jitted core per evaluator
+# instance; callers pad to powers of two so jit variants stay bounded.
+
+
+def _u_jit(ev, key, build):
+    cache = ev.__dict__.setdefault("_u_cores", {})
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
+
+
+def _u_float_inputs(ev, mp, var_vec_):
+    """mp: [L, 3] model coords -> per-tape-input flat [L] arrays."""
+    L = mp.shape[0]
+    inputs = [
+        jnp.broadcast_to(var_vec_[i], (L,)).astype(jnp.float32)
+        for i in range(ev.n_inputs)
+    ]
+    for k, kind in enumerate(("x", "y", "z")):
+        idx = ev.axis_of.get(kind)
+        if idx is not None:
+            inputs[idx] = mp[:, k]
+    return inputs
+
+
+def _u_classify_core(ev):
+    from ..eval.unrolled_fast import eval_tape_interval_fast
+
+    def core(cells, hsize, pos, neg, off, var_vec_):
+        wlo = cells.astype(jnp.float32) * hsize - 1.0
+        whi = wlo + hsize
+        mlo = wlo @ pos.T + whi @ neg.T + off
+        mhi = whi @ pos.T + wlo @ neg.T + off
+        L = cells.shape[0]
+        inputs = [
+            (
+                jnp.broadcast_to(var_vec_[i], (L,)).astype(jnp.float32),
+            ) * 2
+            for i in range(ev.n_inputs)
+        ]
+        for k, kind in enumerate(("x", "y", "z")):
+            idx = ev.axis_of.get(kind)
+            if idx is not None:
+                inputs[idx] = (mlo[:, k], mhi[:, k])
+        los, his = eval_tape_interval_fast(ev.tape, inputs)
+        return ~((los[0] > 0.0) | (his[0] < 0.0))
+
+    return jax.jit(core)
+
+
+def _u_points_core(ev):
+    from ..eval.unrolled_fast import eval_tape_float_fast
+
+    def core(mp, var_vec_):
+        out = eval_tape_float_fast(ev.tape, _u_float_inputs(ev, mp, var_vec_))
+        return out[0] < 0.0
+
+    return jax.jit(core)
+
+
+def _u_edge_search_core(ev, rounds, samples):
+    from ..eval.unrolled_fast import eval_tape_float_fast
+
+    def core(p_start, p_end, mat, var_vec_):
+        E = p_start.shape[0]
+        frac = (
+            jnp.arange(samples, dtype=jnp.float32) + 1.0
+        ) / (samples + 1.0)
+        d = p_end - p_start
+
+        def round_(_, carry):
+            ta, tb = carry
+            ts = ta[:, None] + (tb - ta)[:, None] * frac[None, :]
+            pts = p_start[:, None, :] + d[:, None, :] * ts[..., None]
+            mp = (pts @ mat[:, :3].T + mat[:, 3]).reshape(-1, 3)
+            out = eval_tape_float_fast(
+                ev.tape, _u_float_inputs(ev, mp, var_vec_)
+            )[0]
+            inside = (out < 0.0).reshape(E, samples)
+            outside = ~inside
+            any_out = outside.any(axis=1)
+            F = jnp.argmax(outside, axis=1)
+            tbF = jnp.take_along_axis(ts, F[:, None], 1)[:, 0]
+            tb = jnp.where(any_out, tbF, tb)
+            prev = jnp.maximum(F - 1, 0)
+            taF = jnp.take_along_axis(ts, prev[:, None], 1)[:, 0]
+            ta = jnp.where(
+                any_out & (F > 0), taF,
+                jnp.where(any_out, ta, ts[:, -1]),
+            )
+            return ta, tb
+
+        ta0 = jnp.zeros(E, jnp.float32)
+        tb0 = jnp.ones(E, jnp.float32)
+        ta, tb = jax.lax.fori_loop(0, rounds, round_, (ta0, tb0))
+        return 0.5 * (ta + tb)
+
+    return jax.jit(core)
 
 
 @functools.partial(
@@ -472,8 +625,10 @@ def _edge_search_core(
 def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     """Builds an MDC mesh of the surface inside the world ±1 cube."""
     settings = settings or Settings()
+    assert settings.eval in ("interp", "unrolled")
     tape, m, var_vec = _mat_and_vars(tape, settings)
     ev = BulkEvaluator(tape, interpret=settings.interpret)
+    ev.unrolled = settings.eval == "unrolled"
     depth = settings.depth
     G = 1 << depth  # leaf grid resolution per axis
     h_leaf = 2.0 / G
@@ -550,25 +705,44 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     # all bisection rounds run device-side in one XLA program; the
     # bracket invariant (start inside, end outside) and the first-flip
     # rule match octree.rs:687-767 exactly
-    s0e = _lane_block(ev.nf, 1)
-    T, used = _bucket(E * _EDGE_SAMPLES, s0e)
-    Epad = T * s0e * 128 // _EDGE_SAMPLES
-    pad = Epad - E
+    if getattr(ev, "unrolled", False):
+        Epad = 1 << max(0, (E - 1).bit_length())
 
-    def padf(a):
-        return np.pad(a.astype(np.float32), ((0, pad), (0, 0)))
+        def padf(a):
+            return np.pad(a.astype(np.float32), ((0, Epad - E), (0, 0)))
 
-    t_star = np.asarray(
-        _edge_search_core(
-            *_tape_args(ev),
-            jnp.asarray(padf(p_start)), jnp.asarray(padf(p_end)),
-            jnp.asarray(m[:3, :].astype(np.float32)),
-            jnp.asarray(_vvec(ev, var_vec)), jnp.int32(used),
-            T=T, s0=s0e, nf=ev.nf, V=ev.n_inputs, axis_idx=_axis_idx(ev),
-            rounds=_EDGE_ROUNDS, samples=_EDGE_SAMPLES,
-            interpret=ev.interpret, op_order=ev.op_order,
+        core = _u_jit(
+            ev, "edge_search",
+            lambda: _u_edge_search_core(ev, _EDGE_ROUNDS, _EDGE_SAMPLES),
         )
-    )[:E].astype(np.float64)
+        t_star = np.asarray(
+            core(
+                jnp.asarray(padf(p_start)), jnp.asarray(padf(p_end)),
+                jnp.asarray(m[:3, :].astype(np.float32)),
+                jnp.asarray(_vvec(ev, var_vec)),
+            )
+        )[:E].astype(np.float64)
+    else:
+        s0e = _lane_block(ev.nf, 1)
+        T, used = _bucket(E * _EDGE_SAMPLES, s0e)
+        Epad = T * s0e * 128 // _EDGE_SAMPLES
+        pad = Epad - E
+
+        def padf(a):
+            return np.pad(a.astype(np.float32), ((0, pad), (0, 0)))
+
+        t_star = np.asarray(
+            _edge_search_core(
+                *_tape_args(ev),
+                jnp.asarray(padf(p_start)), jnp.asarray(padf(p_end)),
+                jnp.asarray(m[:3, :].astype(np.float32)),
+                jnp.asarray(_vvec(ev, var_vec)), jnp.int32(used),
+                T=T, s0=s0e, nf=ev.nf, V=ev.n_inputs,
+                axis_idx=_axis_idx(ev),
+                rounds=_EDGE_ROUNDS, samples=_EDGE_SAMPLES,
+                interpret=ev.interpret, op_order=ev.op_order,
+            )
+        )[:E].astype(np.float64)
     ipts = p_start + (p_end - p_start) * t_star[:, None]  # world coords [E,3]
 
     # ---- stage 4: gradients + per-vertex QEF ------------------------------

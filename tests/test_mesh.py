@@ -68,6 +68,24 @@ def test_sphere_mesh():
     assert area == pytest.approx(4 * np.pi * 0.36, rel=0.01)
 
 
+def test_unrolled_eval_mesh():
+    # Settings(eval="unrolled") routes classify / corner signs / edge
+    # search / collapse sign probes through whole-tape XLA cores: the
+    # mesh must stay a closed outward 2-manifold at the right radius,
+    # with vertices near the interpreter build's (float-assoc-level
+    # differences only)
+    mesh = build_mesh(
+        sphere_tape(0.6), Settings(depth=5, interpret=True, eval="unrolled")
+    )
+    assert (_manifold_stats(mesh) == 2).all()
+    r = np.linalg.norm(mesh.vertices, axis=1)
+    assert r.min() > 0.58 and r.max() < 0.62
+    ref = build_mesh(sphere_tape(0.6), Settings(depth=5, interpret=True))
+    assert len(mesh.vertices) == len(ref.vertices)
+    d = np.abs(np.sort(r) - np.sort(np.linalg.norm(ref.vertices, axis=1)))
+    assert d.max() < 1e-3
+
+
 def test_sphere_mesh_with_camera_transform():
     # mirror of fidget/tests/octree.rs:8-30: a scaled+offset camera
     mat = np.eye(4)
