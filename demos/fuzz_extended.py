@@ -69,12 +69,22 @@ def main():
         img = r.render(mode="heightmap", max_retries=6)
         brute = r.render_brute()
         np.testing.assert_array_equal(img.depth, brute.depth)
+        if seed % 8 == 0:
+            # the fully-unrolled 3D pipeline (per-shape compile:
+            # sampled, not every seed)
+            ru = VoxelRenderer(
+                tape, VoxelSize(32, 32, 32), tile_size=16, sub_size=8,
+                interpret=True, leaf="unrolled", proofs="unrolled",
+            )
+            uimg = ru.render(mode="heightmap", max_retries=6)
+            np.testing.assert_array_equal(uimg.depth, brute.depth)
 
     def check_mesh(seed):
         from fidget_tpu.mesh import Settings, build_mesh
 
         tape = random_tape(seed, dims=3)
-        m = build_mesh(tape, Settings(depth=4, interpret=True))
+        ev = "unrolled" if seed % 32 == 0 else "interp"
+        m = build_mesh(tape, Settings(depth=4, interpret=True, eval=ev))
         T = np.asarray(m.triangles)
         if len(T) == 0:
             return
