@@ -392,6 +392,27 @@ def test_unrolled_mode_matches_brute():
     )
 
 
+def test_unrolled_8px_tiles():
+    # the 8-px cull configuration (finer tiles -> ~34% evaluated on
+    # prospero vs ~51% at 16 px) must stay exact: 64-pixel leaves pack
+    # flat lanes, a different layout than the 256-pixel default
+    if not has_model("hi.vm"):
+        pytest.skip("model assets unavailable")
+    ctx, root = load_vm("hi.vm")
+    tape = lower(ctx, [root])
+    r = PixelRenderer(tape, ImageSize(192, 160), interpret=True)
+    brute = r.render_brute()
+    img = r.render_unrolled(tile_size=8)
+    np.testing.assert_array_equal(img.inside(), brute < 0)
+    ev = img.fill == FILL_NONE
+    np.testing.assert_allclose(
+        img.distance[ev], brute[ev], rtol=1e-5, atol=1e-6
+    )
+    # finer tiles must evaluate no MORE than the 16-px default
+    img16 = r.render_unrolled(tile_size=16)
+    assert ev.mean() <= (img16.fill == FILL_NONE).mean() + 1e-9
+
+
 def test_unrolled_async_warmup():
     """warmup='interp' must never block on the leaf compile: early
     frames come from the interpreter pipeline (exact occupancy), and
