@@ -681,12 +681,14 @@ _UWARM: dict = {}
 _UWARM_LOCK = threading.Lock()
 
 
-def _warm_async(fn, args, state_key):
+def _warm_async(fn, args, state_key, kwargs=None):
     """Non-blocking access to a jitted frame: returns a ready-to-call
     executable if the background compile has finished, else kicks off
     (at most one) compile thread and returns None. `fn.lower().compile()`
     runs entirely host-side — no device dispatch, so the interpreter
-    fallback can keep the chip busy while XLA compiles."""
+    fallback can keep the chip busy while XLA compiles. `kwargs` pass
+    static keyword arguments to lower(); the compiled executable is
+    then called with the positional args only."""
     with _UWARM_LOCK:
         st = _UWARM.get(state_key)
         if st is None:
@@ -694,7 +696,7 @@ def _warm_async(fn, args, state_key):
 
             def compile_bg():
                 try:
-                    compiled = fn.lower(*args).compile()
+                    compiled = fn.lower(*args, **(kwargs or {})).compile()
                 except Exception:
                     with _UWARM_LOCK:
                         # surface the error on the caller's thread via

@@ -1165,6 +1165,20 @@ class VoxelRenderer:
         )
         return floor, normals(floor, matM, vec, y_base), jnp.int32(n_active)
 
+    def _warm_twin(self) -> "VoxelRenderer":
+        """Lazily-built bucketed twin used by render(warmup="interp")
+        to serve frames while the specialized pipeline compiles in the
+        background (the bucketed frame is shared across shapes, so in
+        an interactive session it is already warm)."""
+        t = getattr(self, "_twin", None)
+        if t is None:
+            t = self._twin = VoxelRenderer(
+                self.tape, self.size, tile_size=self.ts,
+                sub_size=self.sub, cap=self.cap,
+                interpret=self.interpret, specialize=False,
+            )
+        return t
+
     def render(
         self,
         world_to_model: np.ndarray | None = None,
@@ -1173,21 +1187,59 @@ class VoxelRenderer:
         mode: str = "normals",
         max_retries: int = 3,
         cancel=None,
+        warmup: str = "block",
     ) -> Image3D:
         """Renders a frame. On worklist overflow, retries with doubled
         capacity (host-side recompile), the graceful-degradation analog
         of the wgpu tape-arena fallback. `cancel` (a CancelToken) is
         polled before each dispatch; a fired token raises
         RenderCancelled (the reference polls per tile,
-        fidget-raster/src/lib.rs:141-162)."""
+        fidget-raster/src/lib.rs:141-162).
+
+        warmup="interp" (specialized fused-scan volumes only) never
+        blocks on the per-shape pipeline compile: it runs in a
+        background thread while frames are served by the bucketed
+        zero-recompile pipeline, switching over once the executable is
+        ready — the 3D analog of render_unrolled(warmup="interp")."""
         from .config import check_cancel
+        from .render2d import _warm_async
 
         assert mode in ("normals", "heightmap")
+        assert warmup in ("block", "interp")
         matM = jnp.asarray(self._mat4(world_to_model))
         vec = jnp.asarray(self._var_vec(vars))
         for _ in range(max_retries + 1):
             check_cancel(cancel)
             smode = self._strata_mode()
+            if (
+                warmup == "interp" and self.specialize
+                and smode == "scan"
+            ):
+                fn = _warm_async(
+                    self._frame, (matM, vec),
+                    ("3d", id(self.tape), self.W, self.H, self.D,
+                     self.ts, self.sub, self.leaf, self.proofs,
+                     self.vox_g, mode, self.cap),
+                    kwargs=dict(mode=mode, cap=self.cap),
+                )
+                if fn is None:
+                    return self._warm_twin().render(
+                        world_to_model, vars=vars, mode=mode,
+                        max_retries=max_retries, cancel=cancel,
+                    )
+                if fn is self._frame:  # background compile failed:
+                    # surface the error on this thread
+                    depth, normal, n_active = self._frame(
+                        matM, vec, mode=mode, cap=self.cap
+                    )
+                else:
+                    depth, normal, n_active = fn(matM, vec)
+                if int(n_active) <= self.cap or self.cap >= self.nsub:
+                    break
+                self.cap = min(
+                    1 << (int(n_active) - 1).bit_length(), self.nsub
+                )
+                continue
             if smode == "stages":
                 depth, normal, n_active = self._render_stages(
                     matM, vec, mode=mode, cap=self.cap, cancel=cancel

@@ -340,6 +340,37 @@ def test_unrolled_leaf_exact():
         )
 
 
+def test_3d_async_warmup():
+    """render(warmup='interp') serves exact frames via the bucketed
+    twin while the specialized pipeline compiles in the background,
+    then switches to the compiled executable."""
+    import time
+
+    from fidget_tpu.render import render2d as r2d
+
+    tape = gyroid_sphere_tape()
+    r = VoxelRenderer(
+        tape, VoxelSize(64, 64, 64), tile_size=32, sub_size=8,
+        interpret=True,
+    )
+    brute = r.render_brute()
+    img = r.render(mode="heightmap", warmup="interp")
+    np.testing.assert_array_equal(img.depth, brute.depth)
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        states = [
+            v for k, v in r2d._UWARM.items()
+            if k[0] == "3d" and k[1] == id(r.tape)
+        ]
+        if states and all(not isinstance(v, str) for v in states):
+            break
+        time.sleep(0.5)
+    else:
+        pytest.fail("background 3D compile never finished")
+    img2 = r.render(mode="heightmap", warmup="interp")
+    np.testing.assert_array_equal(img2.depth, brute.depth)
+
+
 def test_crash_prone_config_refused():
     # (tile=32, sub=16) at >=512^3 is a known XLA:TPU miscompile that
     # kills the TPU worker; the constructor must refuse it on hardware
