@@ -676,28 +676,62 @@ class _Pipeline3:
         wz = s2w[2, 2] * pzl + s2w[2, 3]
         dx_, dy_, dz_ = transform_duals(matM, wx, wy, wz)
         V = b.V
-        # four dual components as separate [Tn, V, s0n, 128] planes so
-        # the binding's set_axes handles the axis writes
-        comp0 = jnp.broadcast_to(
-            var_vec.reshape(1, V, 1, 1), (Tn, V, s0n, 128)
-        ).astype(jnp.float32)
-        zeros = jnp.zeros((Tn, V, s0n, 128), jnp.float32)
-        planes = (comp0, zeros, zeros, zeros)
-        triples = [dx_, dy_, dz_]  # each a 4-tuple of [Tn, s0n, 128]
-        planes = b.set_axes(planes, triples)
-        vars_n = jnp.stack(planes, axis=2)  # [Tn, V, 4, s0n, 128]
-        w1r, w2r, immr, lensr = b.arena
-        w1f = jnp.broadcast_to(w1r, (Tn,) + w1r.shape[1:])
-        w2f = jnp.broadcast_to(w2r, (Tn,) + w2r.shape[1:])
-        immf = jnp.broadcast_to(immr, (Tn,) + immr.shape[1:])
-        lensn = jnp.broadcast_to(lensr, (Tn,))
-        g = interp_grad(
-            w1f, w2f, immf, lensn, vars_n,
-            nf=b.nf, n_inputs=V, n_outputs=1, s0=s0n, interpret=interpret,
-            op_order=b.op_order,
-        )[:, 0]  # [Tn, 4, s0n, 128]
-        grads = g.reshape(Tn, 4, s0n * 128).transpose(0, 2, 1).reshape(-1, 4)
-        grads = grads[:npix, 1:4]
+        if getattr(b, "leaf", "interp") == "unrolled":
+            # unrolled normals: three jax.jvp passes over the whole-tape
+            # float evaluator (d/d world-x, -y, -z seeds from the dual
+            # transform) — no grad-kernel compile, no interpreter
+            from ..eval.unrolled_fast import eval_tape_float_fast
+
+            def flat(a):
+                return a.reshape(-1)[:npix]
+
+            def f(mx, my, mz):
+                inputs = [
+                    jnp.broadcast_to(var_vec[i], (npix,)).astype(
+                        jnp.float32
+                    )
+                    for i in range(V)
+                ]
+                for kind, plane in (("x", mx), ("y", my), ("z", mz)):
+                    i = b.axis_of.get(kind)
+                    if i is not None:
+                        inputs[i] = plane
+                return eval_tape_float_fast(b.tape, inputs)[0]
+
+            primals = (flat(dx_[0]), flat(dy_[0]), flat(dz_[0]))
+            gcols = []
+            for k in (1, 2, 3):
+                _, gk = jax.jvp(
+                    f, primals,
+                    (flat(dx_[k]), flat(dy_[k]), flat(dz_[k])),
+                )
+                gcols.append(gk)
+            grads = jnp.stack(gcols, axis=1)  # [npix, 3]
+        else:
+            # four dual components as separate [Tn, V, s0n, 128] planes
+            # so the binding's set_axes handles the axis writes
+            comp0 = jnp.broadcast_to(
+                var_vec.reshape(1, V, 1, 1), (Tn, V, s0n, 128)
+            ).astype(jnp.float32)
+            zeros = jnp.zeros((Tn, V, s0n, 128), jnp.float32)
+            planes = (comp0, zeros, zeros, zeros)
+            triples = [dx_, dy_, dz_]  # each a 4-tuple of [Tn, s0n, 128]
+            planes = b.set_axes(planes, triples)
+            vars_n = jnp.stack(planes, axis=2)  # [Tn, V, 4, s0n, 128]
+            w1r, w2r, immr, lensr = b.arena
+            w1f = jnp.broadcast_to(w1r, (Tn,) + w1r.shape[1:])
+            w2f = jnp.broadcast_to(w2r, (Tn,) + w2r.shape[1:])
+            immf = jnp.broadcast_to(immr, (Tn,) + immr.shape[1:])
+            lensn = jnp.broadcast_to(lensr, (Tn,))
+            g = interp_grad(
+                w1f, w2f, immf, lensn, vars_n,
+                nf=b.nf, n_inputs=V, n_outputs=1, s0=s0n,
+                interpret=interpret, op_order=b.op_order,
+            )[:, 0]  # [Tn, 4, s0n, 128]
+            grads = g.reshape(
+                Tn, 4, s0n * 128
+            ).transpose(0, 2, 1).reshape(-1, 4)
+            grads = grads[:npix, 1:4]
         norm = jnp.linalg.norm(grads, axis=1, keepdims=True)
         normal = jnp.where(norm > 0, grads / norm, 0.0)
         normal = jnp.where(dflat[:, None] > 0, normal, 0.0)

@@ -326,6 +326,27 @@ def test_unrolled_leaf_exact():
             brute = r.render_brute()
         img = r.render(mode="heightmap")
         np.testing.assert_array_equal(img.depth, brute.depth)
+    # unrolled normals (jvp over the whole-tape evaluator): unit length
+    # and equal to the interpreter grad kernel's normals (same
+    # geometry, same surface voxels)
+    rs = VoxelRenderer(
+        sphere_tape(0.6), VoxelSize(64, 64, 64), tile_size=32,
+        sub_size=8, interpret=True, leaf="unrolled", proofs="unrolled",
+    )
+    nimg = rs.render(mode="normals")
+    hit = nimg.depth > 0
+    np.testing.assert_allclose(
+        np.linalg.norm(nimg.normal[hit], axis=-1), 1.0, atol=1e-4
+    )
+    ref = VoxelRenderer(
+        sphere_tape(0.6), VoxelSize(64, 64, 64), tile_size=32,
+        sub_size=8, interpret=True, specialize=False,
+    ).render(mode="normals")
+    np.testing.assert_array_equal(nimg.depth, ref.depth)
+    np.testing.assert_allclose(
+        nimg.normal, ref.normal, rtol=1e-4, atol=1e-4
+    )
+
     # bucketed path cannot take the unrolled leaf
     with pytest.raises(ValueError, match="specialize"):
         VoxelRenderer(
