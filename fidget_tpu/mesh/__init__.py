@@ -340,18 +340,14 @@ def _corner_signs(ev, uniq, G, h, m, var_vec):
     U = len(uniq)
     if getattr(ev, "unrolled", False):
         Upad = 1 << max(0, (U - 1).bit_length())
-        stride = G + 1
-        keys = np.zeros(Upad, np.int64)
-        keys[:U] = uniq
-        pts = np.stack(
-            [keys // (stride * stride), (keys // stride) % stride,
-             keys % stride], axis=-1,
-        ).astype(np.float32) * h - 1.0
-        mp = pts @ m[:3, :3].astype(np.float32).T + m[:3, 3].astype(
-            np.float32
+        kpad = np.zeros(Upad, np.int32)
+        kpad[:U] = uniq.astype(np.int32)
+        core = _u_jit(ev, "corners", lambda: _u_corner_core(ev))
+        signs = core(
+            jnp.asarray(kpad), jnp.int32(G + 1), jnp.float32(h),
+            jnp.asarray(m[:3, :].astype(np.float32)),
+            jnp.asarray(_vvec(ev, var_vec)),
         )
-        core = _u_jit(ev, "points", lambda: _u_points_core(ev))
-        signs = core(jnp.asarray(mp), jnp.asarray(_vvec(ev, var_vec)))
         return np.asarray(signs)[:U]
     s0 = _lane_block(ev.nf, 1)
     T, used = _bucket(U, s0)
@@ -506,6 +502,27 @@ def _u_points_core(ev):
 
     def core(mp, var_vec_):
         out = eval_tape_float_fast(ev.tape, _u_float_inputs(ev, mp, var_vec_))
+        return out[0] < 0.0
+
+    return jax.jit(core)
+
+
+def _u_corner_core(ev):
+    """Corner-key decode + whole-tape point eval, all device-side
+    (upload 4 B/corner like the interpreter core)."""
+    from ..eval.unrolled_fast import eval_tape_float_fast
+
+    def core(keys, stride, hsize, mat, var_vec_):
+        kx = keys // (stride * stride)
+        ky = (keys // stride) % stride
+        kz = keys % stride
+        pts = jnp.stack(
+            [kx, ky, kz], axis=-1
+        ).astype(jnp.float32) * hsize - 1.0
+        mp = pts @ mat[:, :3].T + mat[:, 3]
+        out = eval_tape_float_fast(
+            ev.tape, _u_float_inputs(ev, mp, var_vec_)
+        )
         return out[0] < 0.0
 
     return jax.jit(core)
