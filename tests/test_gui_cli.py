@@ -98,6 +98,23 @@ def test_cli_render2d_and_mesh(tmp_path):
     assert stl.stat().st_size > 84
 
 
+def test_viewer_watch_once(tmp_path, capsys):
+    # one watch iteration: render the model, write the frame, print the
+    # ASCII preview, exit 0 (the live-reload loop minus the loop)
+    from fidget_tpu.io.models import find_model, has_model
+    from fidget_tpu.viewer import watch
+
+    if not has_model("hi.vm"):
+        pytest.skip("model assets unavailable")
+    out = tmp_path / "frame.png"
+    rc = watch(
+        str(find_model("hi.vm")), size=64, out=str(out), once=True
+    )
+    assert rc == 0
+    assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+    assert "@" in capsys.readouterr().out  # ASCII ink was printed
+
+
 def test_pipeline_stats():
     from fidget_tpu import Context, lower
     from fidget_tpu.render.render2d import PixelRenderer
