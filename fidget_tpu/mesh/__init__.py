@@ -27,6 +27,17 @@ thread-local evaluators, the octree advances as dense batched levels —
 Topology-safe cell collapse (octree.rs:248-440) is intentionally not
 performed: all surface cells sit at max depth, which MDC handles
 manifoldly by construction.
+
+Known topology caveat (shared with the reference): an *ambiguous face*
+— alternating corner signs, so all 4 of its lattice edges cross — whose
+two adjacent cells each cluster to a single vertex pinches the surface:
+that vertex pair is a quad side once per crossing edge, i.e. 4 times
+(2 per direction; 3 when one ring quad is dropped at the open volume
+boundary). The reference's dual walk emits the identical topology (same
+Nielson clustering per fidget-mesh/build.rs, same quad-per-crossing-edge
+emission per dc.rs:11-226); its manifold tests never instantiate an
+ambiguous face. Resolving the pinch requires face-sample-dependent
+vertex splitting (MC33-style), which neither implementation performs.
 """
 
 from __future__ import annotations

@@ -230,3 +230,34 @@ def test_collapse_mixed_flat_and_curved():
     merged = build_mesh(tape, Settings(depth=5, collapse=True, interpret=True))
     assert len(merged.triangles) < 0.8 * len(full.triangles)
     assert _manifold_frac(merged) == 1.0
+
+
+def test_ambiguous_face_pinch_topology():
+    """Fuzz seed 1424 regression: an ambiguous face (alternating corner
+    signs, 4 crossing lattice edges) between two single-component cells
+    pinches the surface — its vertex pair is used by up to 4 triangles
+    (3 here: one ring quad is dropped at the open volume boundary).
+    The reference's dual walk emits the identical topology (same
+    Nielson clustering, fidget-mesh/build.rs; quad-per-crossing-edge,
+    dc.rs:11-226). Invariant: count <= 4, direction imbalance <= 1."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).parent))
+    from test_fuzz import random_tape
+
+    tape = random_tape(1424, dims=3)
+    mesh = build_mesh(tape, Settings(depth=4, interpret=True))
+    t = mesh.triangles
+    e = np.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]])
+    und = np.sort(e, axis=1)
+    uniq, inv, counts = np.unique(
+        und, axis=0, return_inverse=True, return_counts=True
+    )
+    # this seed exercises the pinch: at least one edge above 2
+    assert counts.max() == 3
+    assert (counts <= 4).all()
+    fwd = np.bincount(
+        inv, weights=(e[:, 0] < e[:, 1]), minlength=len(uniq)
+    )
+    assert (np.abs(2 * fwd - counts) <= 1).all()
