@@ -37,7 +37,37 @@ def main():
     end = int(sys.argv[2]) if len(sys.argv) > 2 else 10**9
     failures = 0
 
-    def _on_discontinuity(r, tape, y, x, brute):
+    def rand_mat2(seed):
+        """Well-conditioned random world->model 3x3 (rotation + mild
+        scale + translation); exercises the full coordinate path, which
+        the fixed-identity fuzz never did."""
+        rng = np.random.RandomState(seed ^ 0x5EED)
+        th = rng.uniform(0, 2 * np.pi)
+        s = rng.uniform(0.6, 1.6)
+        tx, ty = rng.uniform(-0.4, 0.4, 2)
+        c, si = np.cos(th), np.sin(th)
+        return np.array(
+            [[s * c, -s * si, tx], [s * si, s * c, ty], [0.0, 0.0, 1.0]]
+        )
+
+    def rand_mat3(seed):
+        """Random 4x4 world->model for 3D: rotation about a random
+        axis + mild scale + translation."""
+        rng = np.random.RandomState(seed ^ 0x3D3D)
+        ax = rng.normal(size=3)
+        ax /= np.linalg.norm(ax)
+        th = rng.uniform(0, 2 * np.pi)
+        K = np.array(
+            [[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]]
+        )
+        R = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+        s = rng.uniform(0.7, 1.4)
+        m = np.eye(4)
+        m[:3, :3] = s * R
+        m[:3, 3] = rng.uniform(-0.3, 0.3, 3)
+        return m
+
+    def _on_discontinuity(r, tape, y, x, brute, mat2=None, vars_=None):
         """True when pixel (y, x) sits on a jump of the tape function.
 
         Random tapes contain mod: a pixel landing *exactly* on a mod
@@ -50,14 +80,16 @@ def main():
         from fidget_tpu.eval.arith import FloatMode
         from fidget_tpu.eval.unrolled import eval_tape
 
-        mat = r._mat4(None)
+        mat = r._mat4(mat2)
         sign0 = brute[y, x] < 0
         for dy, dx in ((1e-5, 0), (-1e-5, 0), (0, 1e-5), (0, -1e-5)):
             mx, my, mz = r._transform_points(
                 mat, np.float32(x + dx), np.float32(y + dy), np.float32(0)
             )
-            n = max(r.axis_of.values(), default=-1) + 1
-            inputs = [np.zeros(1, np.float32) for _ in range(max(n, 1))]
+            vec = r._var_vec(vars_)
+            inputs = [
+                np.array([v], np.float32) for v in np.asarray(vec).ravel()
+            ] or [np.zeros(1, np.float32)]
             for kind, v in (("x", mx), ("y", my), ("z", mz)):
                 idx = r.axis_of.get(kind)
                 if idx is not None:
@@ -69,12 +101,20 @@ def main():
         return False
 
     def check_2d(seed):
-        tape = random_tape(seed, dims=2)
+        # every other seed renders under a random world->model
+        # transform; every 8th binds a custom var; every 4th also
+        # checks the differentiable pixel_perfect mode
+        if seed % 8 == 0:
+            tape, v = random_tape(seed, dims=2, with_var=True)
+            vars_ = {v: float(np.random.RandomState(seed).uniform(-2, 2))}
+        else:
+            tape, vars_ = random_tape(seed, dims=2), None
+        mat = rand_mat2(seed) if seed % 2 else None
         r = PixelRenderer(
             tape, ImageSize(128, 128), tile_size=32, interpret=True
         )
-        brute = r.render_brute()
-        img = r.render()
+        brute = r.render_brute(mat, vars=vars_)
+        img = r.render(mat, vars=vars_)
         ev = img.fill == FILL_NONE
         both_nan = np.isnan(img.distance) & np.isnan(brute)
         close = np.isclose(img.distance, brute, rtol=1e-4, atol=1e-5)
@@ -82,30 +122,40 @@ def main():
         cls = img.fill_class()
         assert (brute[cls == 1] < 0).all(), "2D inside fill unsound"
         assert not (brute[cls == 2] < 0).any(), "2D outside fill unsound"
+
+        def probe_bad(bad, label):
+            ys, xs = np.nonzero(bad)
+            assert len(ys) <= 8, f"{label}: {len(ys)} bad pixels"
+            for y, x in zip(ys, xs):
+                assert _on_discontinuity(
+                    r, tape, int(y), int(x), brute, mat2=mat, vars_=vars_
+                ), f"{label} differs off-discontinuity at ({y}, {x})"
+
+        if seed % 4 == 0:
+            pp = r.render(mat, vars=vars_, pixel_perfect=True)
+            ppnan = np.isnan(pp.distance) & np.isnan(brute)
+            ppclose = np.isclose(pp.distance, brute, rtol=1e-4, atol=1e-5)
+            probe_bad(~(ppclose | ppnan), "pixel_perfect")
+
         # tiled-unrolled, both cull variants
         for cull in ("unrolled", "interp"):
-            u = r.render_unrolled(tile_size=16, cull=cull)
+            u = r.render_unrolled(mat, vars=vars_, tile_size=16, cull=cull)
             uev = u.fill == FILL_NONE
             uclose = np.isclose(u.distance, brute, rtol=1e-4, atol=1e-5)
             ubnan = np.isnan(u.distance) & np.isnan(brute)
             bad = (u.inside() != (brute < 0)) | (uev & ~(uclose | ubnan))
             if bad.any():
-                ys, xs = np.nonzero(bad)
-                assert len(ys) <= 8, f"unrolled({cull}): {len(ys)} bad pixels"
-                for y, x in zip(ys, xs):
-                    assert _on_discontinuity(r, tape, int(y), int(x), brute), (
-                        f"unrolled({cull}) differs off-discontinuity "
-                        f"at ({y}, {x})"
-                    )
+                probe_bad(bad, f"unrolled({cull})")
 
     def check_3d(seed):
         tape = random_tape(seed, dims=3)
+        mat = rand_mat3(seed) if seed % 2 else None
         r = VoxelRenderer(
             tape, VoxelSize(32, 32, 32), tile_size=16, sub_size=8,
             interpret=True, specialize=False,
         )
-        img = r.render(mode="heightmap", max_retries=6)
-        brute = r.render_brute()
+        img = r.render(mat, mode="heightmap", max_retries=6)
+        brute = r.render_brute(mat)
         np.testing.assert_array_equal(img.depth, brute.depth)
         if seed % 8 == 0:
             # the fully-unrolled 3D pipeline (per-shape compile:
@@ -114,7 +164,7 @@ def main():
                 tape, VoxelSize(32, 32, 32), tile_size=16, sub_size=8,
                 interpret=True, leaf="unrolled", proofs="unrolled",
             )
-            uimg = ru.render(mode="heightmap", max_retries=6)
+            uimg = ru.render(mat, mode="heightmap", max_retries=6)
             np.testing.assert_array_equal(uimg.depth, brute.depth)
 
     def check_mesh(seed):
@@ -122,7 +172,11 @@ def main():
 
         tape = random_tape(seed, dims=3)
         ev = "unrolled" if seed % 32 == 0 else "interp"
-        m = build_mesh(tape, Settings(depth=4, interpret=True, eval=ev))
+        mat = rand_mat3(seed) if seed % 32 == 16 else None
+        m = build_mesh(
+            tape,
+            Settings(depth=4, interpret=True, eval=ev, world_to_model=mat),
+        )
         T = np.asarray(m.triangles)
         if len(T) == 0:
             return

@@ -12,7 +12,7 @@ from fidget_tpu.render.render2d import FILL_NONE, PixelRenderer
 from fidget_tpu.render.render3d import VoxelRenderer
 
 
-def random_tape(seed: int, n_ops: int = 40, dims: int = 2):
+def random_tape(seed: int, n_ops: int = 40, dims: int = 2, with_var=False):
     """A random bounded-magnitude SDF-ish expression."""
     rng = np.random.RandomState(seed)
     ctx = Context()
@@ -73,6 +73,14 @@ def random_tape(seed: int, n_ops: int = 40, dims: int = 2):
                 n = ctx.modulo(a, ctx.add(ctx.abs(b), 0.5))
         pool.append(n)
     root = ctx.sub(pool[-1], 0.1)
+    if with_var:
+        # blend in a bounded custom-var term so var binding paths are
+        # exercised: root + 0.2 * sin(v)
+        from fidget_tpu import Var
+
+        v = Var.new()
+        root = ctx.add(root, ctx.mul(0.2, ctx.sin(ctx.input(v))))
+        return lower(ctx, [root]), v
     return lower(ctx, [root])
 
 
