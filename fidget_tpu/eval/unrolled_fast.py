@@ -118,10 +118,20 @@ def eval_tape_interval_fast(tape: Tape, inputs: list):
             hi = jnp.maximum(jnp.maximum(q0, q1), jnp.maximum(q2, q3))
             # denominator spanning zero -> unbounded: poison (NaN fails
             # both cull comparisons). NaN operands propagate via the
-            # corner quotients.
-            bad = ~((bl > 0.0) | (bu < 0.0))
-            n = jnp.full_like(lo + like, np.nan)
-            regs[out] = (jnp.where(bad, n, lo), jnp.where(bad, n, hi))
+            # corner quotients. An immediate denominator is a Python
+            # float here: `~(py bool)` is the integer -2/-1 (always
+            # truthy), which once poisoned EVERY div-by-constant — so
+            # scalar denominators take the static branch instead.
+            if b == IMM:
+                if imms[i] != 0.0:
+                    regs[out] = (lo, hi)
+                else:
+                    n = jnp.full_like(like, np.nan)
+                    regs[out] = (n, n)
+            else:
+                bad = ~((bl > 0.0) | (bu < 0.0))
+                n = jnp.full_like(lo + like, np.nan)
+                regs[out] = (jnp.where(bad, n, lo), jnp.where(bad, n, hi))
         elif op in PLAIN_BIN:
             va = operand(a, imms[i])
             vb = operand(b, imms[i])
@@ -191,7 +201,6 @@ def eval_tape_float_fast(tape: Tape, inputs: list, *, softmath: bool = False):
 
     MIN, MAX = int(TapeOp.MIN), int(TapeOp.MAX)
     AND, OR = int(TapeOp.AND), int(TapeOp.OR)
-    INPUT, OUTPUT = int(TapeOp.OUTPUT), 0  # placeholders replaced below
     INPUT = int(TapeOp.INPUT)
     OUTPUT = int(TapeOp.OUTPUT)
     LOAD, STORE, COPY = int(TapeOp.LOAD), int(TapeOp.STORE), int(TapeOp.COPY)

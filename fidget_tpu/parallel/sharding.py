@@ -42,6 +42,33 @@ def make_mesh(n_devices: int | None = None, axis: str = "tiles") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+#: jitted-frame cache for the sharded entry points. jit's cache is
+#: keyed on function identity, and these wrappers used to rebuild
+#: their shard_map closures on every call — each frame/training step
+#: paid a full retrace (and, without the persistent compile cache, a
+#: full XLA recompile).
+_FN_CACHE: dict = {}
+#: pins objects referenced by id() in _FN_CACHE keys so a freed
+#: tape's id cannot be recycled into a stale cache hit
+_PIN: dict[int, object] = {}
+
+
+def _mesh_key(mesh: Mesh):
+    return (
+        tuple(int(d.id) for d in mesh.devices.flat),
+        tuple(mesh.axis_names),
+    )
+
+
+def _cached(key, pin, build):
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        for obj in pin:
+            _PIN.setdefault(id(obj), obj)
+        fn = _FN_CACHE[key] = build()
+    return fn
+
+
 def _eval_rows(tape: Tape, mat, rows, W: int, z, params: dict):
     """Evaluates a slab of image rows (differentiably)."""
     cols = jnp.arange(W, dtype=jnp.float32)
@@ -79,15 +106,28 @@ def render_sharded(
     mat = jnp.asarray(compose2(world_to_model, size), jnp.float32)
     rows = jnp.arange(H, dtype=jnp.float32)
     rows = jax.device_put(rows, NamedSharding(mesh, P(axis)))
+    params = params or {}
+    pvars = tuple(sorted(params.keys(), key=lambda v: (v.kind, v.ident)))
 
-    @functools.partial(
-        jax.jit,
-        out_shardings=NamedSharding(mesh, P(axis, None)),
+    def build():
+        @functools.partial(
+            jax.jit,
+            out_shardings=NamedSharding(mesh, P(axis, None)),
+        )
+        def run(rows, mat, z, theta):
+            p = {v: theta[i] for i, v in enumerate(pvars)}
+            return _eval_rows(tape, mat, rows, W, z, p)
+
+        return run
+
+    run = _cached(
+        ("dense", id(tape), W, H, pvars, _mesh_key(mesh)), (tape,), build
     )
-    def run(rows):
-        return _eval_rows(tape, mat, rows, W, jnp.float32(z), params or {})
-
-    return run(rows)
+    theta = (
+        jnp.stack([jnp.asarray(params[v], jnp.float32) for v in pvars])
+        if pvars else jnp.zeros(0, jnp.float32)
+    )
+    return run(rows, mat, jnp.float32(z), theta)
 
 
 def fit_step(
@@ -113,36 +153,45 @@ def fit_step(
     H, W = size.height, size.width
     n_dev = mesh.devices.size
     assert H % n_dev == 0
-    mat = jnp.asarray(compose2(None, size), jnp.float32)
 
-    param_vars = sorted(params.keys(), key=lambda v: (v.kind, v.ident))
+    param_vars = tuple(sorted(params.keys(), key=lambda v: (v.kind, v.ident)))
     theta = jnp.asarray([float(params[v]) for v in param_vars], jnp.float32)
 
-    rows_all = jnp.arange(H, dtype=jnp.float32)
+    def build():
+        mat = jnp.asarray(compose2(None, size), jnp.float32)
+        rows_all = jnp.arange(H, dtype=jnp.float32)
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(axis), P(axis, None)),
-        out_specs=(P(), P()),
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis, None)),
+            out_specs=(P(), P()),
+        )
+        def grad_shard(theta, rows, tgt):
+            def local_loss(theta):
+                p = {v: theta[i] for i, v in enumerate(param_vars)}
+                d = _eval_rows(tape, mat, rows, W, jnp.float32(z), p)
+                return jnp.sum((d - tgt) ** 2) / (H * W)
+
+            loss, g = jax.value_and_grad(local_loss)(theta)
+            # `theta` is replicated (P()), so shard_map's AD already
+            # all-reduces its cotangent across the mesh — `g` is the
+            # global gradient; only the (varying) loss needs an
+            # explicit psum.
+            return jax.lax.psum(loss, axis), g
+
+        @jax.jit
+        def step(theta, target):
+            loss, g = grad_shard(theta, rows_all, target)
+            return theta - lr * g, loss
+
+        return step
+
+    step = _cached(
+        ("fit", id(tape), W, H, param_vars, float(lr), float(z),
+         _mesh_key(mesh)),
+        (tape,), build,
     )
-    def grad_shard(theta, rows, tgt):
-        def local_loss(theta):
-            p = {v: theta[i] for i, v in enumerate(param_vars)}
-            d = _eval_rows(tape, mat, rows, W, jnp.float32(z), p)
-            return jnp.sum((d - tgt) ** 2) / (H * W)
-
-        loss, g = jax.value_and_grad(local_loss)(theta)
-        # `theta` is replicated (P()), so shard_map's AD already
-        # all-reduces its cotangent across the mesh — `g` is the global
-        # gradient; only the (varying) loss needs an explicit psum.
-        return jax.lax.psum(loss, axis), g
-
-    @jax.jit
-    def step(theta, target):
-        loss, g = grad_shard(theta, rows_all, target)
-        return theta - lr * g, loss
-
     new_theta, loss = step(theta, jnp.asarray(target, jnp.float32))
     new_params = {v: new_theta[i] for i, v in enumerate(param_vars)}
     return new_params, float(loss)
@@ -175,10 +224,13 @@ def render_tiles_sharded(
 
     axis = mesh.axis_names[0]
     D = mesh.devices.size
-    r = PixelRenderer(
-        tape, size,
-        tile_sizes=tuple(tile_sizes) if tile_sizes else None,
-        interpret=interpret,
+    ts_key = tuple(tile_sizes) if tile_sizes else None
+    r = _cached(
+        ("tiles-r", id(tape), size.width, size.height, ts_key, interpret),
+        (tape,),
+        lambda: PixelRenderer(
+            tape, size, tile_sizes=ts_key, interpret=interpret
+        ),
     )
     if r.n0y % D != 0:
         raise ValueError(
@@ -190,21 +242,28 @@ def render_tiles_sharded(
     x0 = jnp.asarray(r.tile_x0.reshape(r.n0y, r.n0x))
     y0 = jnp.asarray(r.tile_y0.reshape(r.n0y, r.n0x))
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis, None), P(axis, None)),
-        out_specs=(P(axis, None), P(axis, None)),
-        # Pallas calls don't carry varying-mesh-axis metadata
-        check_vma=False,
-    )
-    def run(mat, z, vec, x0s, y0s):
-        return r._frame_tiles(
-            mat, z, vec, x0s.reshape(-1), y0s.reshape(-1),
-            pixel_perfect=pixel_perfect,
+    def build():
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis, None), P(axis, None)),
+            out_specs=(P(axis, None), P(axis, None)),
+            # Pallas calls don't carry varying-mesh-axis metadata
+            check_vma=False,
         )
+        def run(mat, z, vec, x0s, y0s):
+            return r._frame_tiles(
+                mat, z, vec, x0s.reshape(-1), y0s.reshape(-1),
+                pixel_perfect=pixel_perfect,
+            )
 
-    f = jax.jit(run)
+        return jax.jit(run)
+
+    f = _cached(
+        ("tiles", id(tape), size.width, size.height, ts_key, interpret,
+         pixel_perfect, _mesh_key(mesh)),
+        (tape,), build,
+    )
     img, fill = f(mat, jnp.float32(z), vec, x0, y0)
     H, W = size.height, size.width
     return Image2D(
@@ -261,7 +320,11 @@ def render_unrolled_sharded(
     axis = mesh.axis_names[0]
     D = mesh.devices.size
     T0 = int(tile_size)
-    r = PixelRenderer(tape, size, interpret=interpret)
+    r = _cached(
+        ("u2d-r", id(tape), size.width, size.height, interpret),
+        (tape,),
+        lambda: PixelRenderer(tape, size, interpret=interpret),
+    )
     n0x = -(-size.width // T0)
     n0y = -(-size.height // T0)
     n0 = n0x * n0y
@@ -371,7 +434,12 @@ def render_unrolled_sharded(
         return jax.jit(run)
 
     for _ in range(max_retries + 1):
-        img, fill, n_active, counts = make(cap)(
+        fn = _cached(
+            ("u2d", key, T0, n0x, n0y, V, int(cap), r.interpret,
+             _mesh_key(mesh)),
+            (tape,), lambda: make(cap),
+        )
+        img, fill, n_active, counts = fn(
             mat, jnp.float32(z), vec, x0, y0
         )
         if int(n_active) <= cap or cap >= n0:
@@ -415,14 +483,34 @@ def render_voxels_sharded(
     assert mode in ("normals", "heightmap")
     axis = mesh.axis_names[0]
     D = mesh.devices.size
-    r = VoxelRenderer(
-        tape, size, tile_size=tile_size, sub_size=sub_size,
-        interpret=interpret, leaf=leaf, proofs=proofs,
+    r = _cached(
+        ("v3d-r", id(tape), size.width, size.height, size.depth,
+         tile_size, sub_size, interpret, leaf, proofs),
+        (tape,),
+        lambda: VoxelRenderer(
+            tape, size, tile_size=tile_size, sub_size=sub_size,
+            interpret=interpret, leaf=leaf, proofs=proofs,
+        ),
     )
     if r.nty % D != 0:
         raise ValueError(
             f"tile rows ({r.nty}) must divide over {D} devices; pick an "
             f"image height that is a multiple of {tile_size * D}"
+        )
+    # each device traces ONE fused-scan program over its slab; the
+    # fused drivers hit a known XLA:TPU program-level fault above the
+    # 512^3 volume the single-device path routes to its stages driver
+    # (render3d._strata_mode, demos/probe_1024.py). There is no sharded
+    # stages driver (a host loop cannot run inside shard_map), so
+    # refuse rather than crash the TPU worker (5-25 min recovery).
+    slab_vox = r.W * (r.H // D) * r.D
+    if slab_vox > 512**3:
+        raise ValueError(
+            f"per-device slab is {r.W}x{r.H // D}x{r.D} ="
+            f" {slab_vox} voxels > 512^3: the fused sharded driver"
+            " would hit the known XLA:TPU fault (BUGREPORT.md). Use"
+            " more devices, a smaller volume, or the unsharded"
+            " VoxelRenderer (its stages driver handles >512^3)."
         )
     matM = jnp.asarray(r._mat4(world_to_model))
     vec = jnp.asarray(r._var_vec(vars))
@@ -459,7 +547,13 @@ def render_voxels_sharded(
         return jax.jit(run)
 
     for _ in range(max_retries + 1):
-        depth, normal, n_active = make(cap)(matM, vec, x0, y0, z0)
+        fn = _cached(
+            ("v3d", id(tape), size.width, size.height, size.depth,
+             tile_size, sub_size, interpret, leaf, proofs, mode,
+             int(cap), _mesh_key(mesh)),
+            (tape,), lambda: make(cap),
+        )
+        depth, normal, n_active = fn(matM, vec, x0, y0, z0)
         worst = int(np.max(np.asarray(n_active)))
         if worst <= cap:
             break

@@ -770,6 +770,11 @@ def _frame3_bucketed_fn(
     return jax.jit(frame)
 
 
+#: keeps warm-cached tapes alive so a freed Tape's id() cannot be
+#: recycled by a different shape and hit a stale _UWARM executable
+_WARM_TAPE_PIN: dict[int, Tape] = {}
+
+
 class VoxelRenderer:
     """Compiled 3D renderer for one shape at one volume size.
 
@@ -1249,11 +1254,18 @@ class VoxelRenderer:
                 warmup == "interp" and self.specialize
                 and smode == "scan"
             ):
+                # pin the tape so its id() can never be recycled for a
+                # different shape while the warm cache holds this key
+                # (the 2D path gets the same guarantee from
+                # _TAPE_REGISTRY); include interpret — two renderers on
+                # one tape differing only in interpret must not share
+                # an executable
+                _WARM_TAPE_PIN.setdefault(id(self.tape), self.tape)
                 fn = _warm_async(
                     self._frame, (matM, vec),
                     ("3d", id(self.tape), self.W, self.H, self.D,
                      self.ts, self.sub, self.leaf, self.proofs,
-                     self.vox_g, mode, self.cap),
+                     self.vox_g, mode, self.cap, self.interpret),
                     kwargs=dict(mode=mode, cap=self.cap),
                 )
                 if fn is None:
@@ -1268,13 +1280,8 @@ class VoxelRenderer:
                     )
                 else:
                     depth, normal, n_active = fn(matM, vec)
-                if int(n_active) <= self.cap or self.cap >= self.nsub:
-                    break
-                self.cap = min(
-                    1 << (int(n_active) - 1).bit_length(), self.nsub
-                )
-                continue
-            if smode == "stages":
+                # falls through to the shared overflow check below
+            elif smode == "stages":
                 depth, normal, n_active = self._render_stages(
                     matM, vec, mode=mode, cap=self.cap, cancel=cancel
                 )

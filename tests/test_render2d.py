@@ -516,3 +516,51 @@ def test_unrolled_sharded_rebalances_skew():
     assert total > 0
     # perfect deal: no device holds more than ceil(active / D)
     assert counts.max() <= -(-int(total) // n_dev)
+
+
+def test_sharded_frames_cached_across_calls():
+    """Regression: the sharded entry points rebuilt their shard_map
+    closures per call, so jit (keyed on function identity) re-traced
+    the whole pipeline on every frame / training step."""
+    import jax
+
+    from fidget_tpu.parallel import sharding as sh
+
+    n_dev = min(4, jax.device_count())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = sh.make_mesh(n_dev)
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    tape = lower(
+        ctx, [ctx.sub(ctx.sqrt(ctx.add(ctx.square(x), ctx.square(y))), 0.7)]
+    )
+    size = ImageSize(128, 32 * n_dev)
+    before = len(sh._FN_CACHE)
+    a = sh.render_tiles_sharded(tape, size, mesh, tile_sizes=(32,),
+                                interpret=True)
+    n_first = len(sh._FN_CACHE)
+    b = sh.render_tiles_sharded(tape, size, mesh, tile_sizes=(32,),
+                                interpret=True)
+    assert n_first > before          # first call populated the cache
+    assert len(sh._FN_CACHE) == n_first  # second call hit it
+    np.testing.assert_array_equal(a.distance, b.distance)
+    # fit_step: two steps reuse one compiled step function
+    from fidget_tpu import Var
+
+    ctx2 = Context()
+    rv = Var.new()
+    d2 = ctx2.sub(
+        ctx2.sqrt(
+            ctx2.add(ctx2.square(ctx2.x()), ctx2.square(ctx2.y()))
+        ),
+        ctx2.input(rv),
+    )
+    t2 = lower(ctx2, [d2])
+    target = np.zeros((32 * n_dev, 32), np.float32)
+    p = {rv: 0.5}
+    p, l1 = sh.fit_step(t2, ImageSize(32, 32 * n_dev), mesh, p, target)
+    n_after_fit = len(sh._FN_CACHE)
+    p, l2 = sh.fit_step(t2, ImageSize(32, 32 * n_dev), mesh, p, target)
+    assert len(sh._FN_CACHE) == n_after_fit
+    assert l2 <= l1  # loss decreases with the cached step

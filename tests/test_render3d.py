@@ -427,3 +427,24 @@ def test_mesh_and_3d_cancellation():
     )
     with pytest.raises(RenderCancelled):
         r.render(mode="heightmap", cancel=tok)
+
+
+def test_voxels_sharded_refuses_oversize_fused_slab():
+    """render_voxels_sharded traces one fused-scan program per device;
+    per-device slabs above the 512^3 fused-driver safety limit must be
+    refused (the single-device path routes them to its stages driver;
+    a sharded host-loop driver cannot exist inside shard_map)."""
+    import jax
+
+    from fidget_tpu.parallel.sharding import make_mesh, render_voxels_sharded
+
+    n_dev = min(2, jax.device_count())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = make_mesh(n_dev)
+    tape = sphere_tape()
+    with pytest.raises(ValueError, match="512"):
+        render_voxels_sharded(
+            tape, VoxelSize(1024, 1024, 1024), mesh,
+            tile_size=64, sub_size=16, interpret=True,
+        )

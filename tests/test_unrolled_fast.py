@@ -101,3 +101,53 @@ def test_interval_fast_nan_inputs_stay_active():
     flo, fhi = np.asarray(jlo[0]), np.asarray(jhi[0])
     assert not (fhi < 0.0).any()
     assert not (flo > 0.0).any()
+
+
+def test_interval_fast_div_by_immediate_stays_finite():
+    """Regression: `x / const` once poisoned EVERY interval to NaN
+    because the zero-span test `~(py bool)` evaluated to the truthy
+    integer -2 when the denominator was an immediate — silently
+    disabling unrolled interval culling for any tape with division by
+    a constant (bear.vm has 40 of them)."""
+    from fidget_tpu import Context, lower
+
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    # circle of radius 0.5, expressed through div-by-imm
+    d = ctx.sub(
+        ctx.sqrt(ctx.add(ctx.square(x), ctx.square(y))), ctx.div(1.0, 2.0)
+    )
+    d = ctx.div(d, 2.0)  # scale by a constant denominator
+    tape = lower(ctx, [d])
+    axis_of = {v.kind: i for v, i in tape.var_map.items()}
+    V = max(1, len(tape.var_map))
+    inputs = [(np.zeros(1, np.float32), np.zeros(1, np.float32))] * V
+    inputs = list(inputs)
+    # box far outside the circle: must PROVE empty (lo > 0), not NaN
+    inputs[axis_of["x"]] = (
+        np.array([0.9], np.float32), np.array([1.0], np.float32)
+    )
+    inputs[axis_of["y"]] = (
+        np.array([0.9], np.float32), np.array([1.0], np.float32)
+    )
+    los, his = eval_tape_interval_fast(tape, inputs)
+    lo, hi = float(np.asarray(los[0])[0]), float(np.asarray(his[0])[0])
+    assert np.isfinite(lo) and np.isfinite(hi), (lo, hi)
+    assert lo > 0.0  # interval proof fires
+    # negative constant denominator: bounds swap but stay finite
+    ctx2 = Context()
+    d2 = ctx2.div(ctx2.x(), -2.0)
+    t2 = lower(ctx2, [d2])
+    l2, h2 = eval_tape_interval_fast(
+        t2, [(np.array([1.0], np.float32), np.array([2.0], np.float32))]
+    )
+    assert float(np.asarray(l2[0])[0]) == -1.0
+    assert float(np.asarray(h2[0])[0]) == -0.5
+    # denominator interval spanning zero still poisons (soundness)
+    ctx3 = Context()
+    d3 = ctx3.div(1.0, ctx3.x())
+    t3 = lower(ctx3, [d3])
+    l3, h3 = eval_tape_interval_fast(
+        t3, [(np.array([-1.0], np.float32), np.array([1.0], np.float32))]
+    )
+    assert np.isnan(float(np.asarray(l3[0])[0]))
