@@ -396,16 +396,10 @@ def interp_float_coded(
                 vb = jnp.where(b == IMM12, imm_plane, regs[jnp.minimum(b, nf - 1)])
                 aux_in = jnp.minimum(aux, n_inputs - 1)
 
-                branches = [lambda: va] * _N_OPS
-                branches[TapeOp.INPUT] = lambda: vars_ref[0, aux_in]
-                for u in _UNARY_OPS:
-                    branches[u] = (lambda u=u: fm.unary(u, va))
-                for bop in _PLAIN_BINARY_OPS:
-                    branches[bop] = (lambda bop=bop: fm.binary(bop, va, vb))
-                for cop in _CHOICE_OPS:
-                    branches[cop] = (
-                        lambda cop=cop: fm.choice_binary(cop, va, vb)[0]
-                    )
+                branches = _build_branches(
+                    tuple(range(_N_OPS)), fm, va, vb,
+                    lambda: vars_ref[0, aux_in],
+                )
                 res = lax.switch(op, branches)
 
                 @pl.when(op == TapeOp.OUTPUT)
@@ -464,10 +458,10 @@ def interp_interval(
     Args:
       var_lo/var_hi: [T, V, S0, 128] f32 interval bounds per input.
       c_words: choice words per lane (16 two-bit choices per int32).
-        Choice ops must carry their choice index in `aux`
-        (pack_tapes(index_choices=True)); indices >= 16*c_words wrap
-        into the last word OR-wise — over-approximate like the wgpu
-        lossy choice stack, never wrong.
+        Choice ops carry their choice index in `aux` (pack_rows
+        assigns the indices unconditionally); indices >= 16*c_words
+        wrap into the last word OR-wise — over-approximate like the
+        wgpu lossy choice stack, never wrong.
     Returns:
       (out_lo [T,O,S0,128], out_hi [T,O,S0,128], choices [T,CW,S0,128] i32)
     """
@@ -655,8 +649,13 @@ def interp_grad(
 
 
 def default_interpret() -> bool:
-    """True when no TPU is available (tests on the CPU mesh)."""
-    return jax.devices()[0].platform == "cpu"
+    """True when no TPU is available (tests on the CPU mesh).
+
+    Any non-TPU backend (cpu, gpu, ...) must take interpret mode: the
+    kernels use pltpu memory spaces and only lower through Mosaic."""
+    return jax.devices()[0].platform != "tpu" and (
+        jax.devices()[0].platform != "axon"
+    )
 
 
 def unpack_choices(packed: np.ndarray, n_choices: int) -> np.ndarray:

@@ -31,7 +31,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..compiler.pack import IMM12, PackedTapes, pack_rows
+from ..compiler.pack import IMM12, PackedTapes, _op_rank, pack_rows
 from ..compiler.tape import (
     BINARY_MASK,
     BINARY_TAPE_OPS,
@@ -136,8 +136,17 @@ def _liveness_codes(
             use_a = jnp.where(a_is_reg, emit & (both | left), 0)
             use_b = jnp.where(b_is_reg, emit & (both | right), 0)
             live[out] = live[out] & (1 - emit)
-            live[a] = live[a] | use_a
-            live[b] = live[b] | use_b
+            # immediate operands carry the IMM12 (4095) sentinel in
+            # a/b — clamp before indexing the [nf] scratch (use_* is 0
+            # then, so the clamped row ORs with 0: a no-op). Unclamped,
+            # this was an out-of-bounds VMEM write on every immediate
+            # (interpret mode clamps silently; TPU Mosaic does not).
+            live[jnp.minimum(a, nf - 1)] = (
+                live[jnp.minimum(a, nf - 1)] | use_a
+            )
+            live[jnp.minimum(b, nf - 1)] = (
+                live[jnp.minimum(b, nf - 1)] | use_b
+            )
             return 0
 
         lax.fori_loop(0, n, step, 0)
@@ -171,7 +180,16 @@ class DeviceSimplifier:
         # arenas (w1 / copy rewrites) use the renumbered one, so they
         # feed kernels built with the same op_order
         w1c, w2, imm = pack_rows(tape)
-        w1 = w1c if op_order is None else pack_rows(tape, op_order)[0]
+        if op_order is None:
+            w1 = w1c
+        else:
+            # renumbering touches only the low-7-bit op field, so the
+            # renumbered arena derives from the canonical pack without
+            # a second pack_rows pass
+            w1 = (
+                (w1c & ~np.int32(127))
+                | _op_rank(op_order)[w1c & 127].astype(np.int32)
+            ).astype(np.int32)
         self.parent = tape
         self.op_order = op_order
         self.nf = tape.reg_count + tape.mem_count

@@ -307,7 +307,7 @@ def render_unrolled_sharded(
     capacity bucket exactly like the single-device path.
     """
     from ..render.render2d import (
-        _TAPE_REGISTRY,
+        _register_tape,
         _unrolled_cull_stage,
         _unrolled_leaf_stage,
         FILL_INSIDE,
@@ -334,10 +334,9 @@ def render_unrolled_sharded(
             f"image height that is a multiple of {T0 * D}"
         )
     key = id(r.tape)
-    if key not in _TAPE_REGISTRY:
-        _TAPE_REGISTRY[key] = (
-            r.tape, r.packed_b, r.axis_of, r.nf_b, r.cw_b,
-        )
+    _register_tape(key, lambda: (
+        r.tape, r.packed_b, r.axis_of, r.nf_b, r.cw_b,
+    ))
     n0_loc = n0 // D
     tx = np.arange(n0x) * T0
     ty = np.arange(n0y) * T0

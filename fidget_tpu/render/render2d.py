@@ -469,6 +469,35 @@ def _frame_single_fn(
 #: renderers register them here under id() keys (entries pin the tape,
 #: keeping the key stable; tapes are a few hundred KB at most)
 _TAPE_REGISTRY: dict[int, tuple] = {}
+#: long-lived editor sessions re-lower a tape per edit; unbounded, the
+#: registry (tape + packed arena each) and the warm executables would
+#: grow without limit. FIFO-bound both; eviction must also invalidate
+#: every cache keyed by the evicted id, because releasing the tape lets
+#: CPython recycle the id for a different shape.
+_REGISTRY_CAP = 64
+
+
+def _register_tape(key: int, make_entry):
+    """Registers a tape under its id, FIFO-evicting beyond the cap.
+
+    `make_entry` is called only on a miss. Eviction drops the evicted
+    id's warm executables (2D and 3D key forms) and clears the two
+    tape-keyed jitted-frame builders — an id recycled onto a new tape
+    must never hit a frame compiled for the old one."""
+    if key in _TAPE_REGISTRY:
+        return
+    while len(_TAPE_REGISTRY) >= _REGISTRY_CAP:
+        old = next(iter(_TAPE_REGISTRY))
+        del _TAPE_REGISTRY[old]
+        with _UWARM_LOCK:
+            for k in [
+                k for k in _UWARM
+                if k[0] == old or (k[0] == "3d" and k[1] == old)
+            ]:
+                del _UWARM[k]
+        _cull_unrolled_fn.cache_clear()
+        _frame_unrolled_fn.cache_clear()
+    _TAPE_REGISTRY[key] = make_entry()
 
 
 def _unrolled_cull_stage(
@@ -523,13 +552,7 @@ def _cull_sizing_stage(
     im = IntervalMode(jnp)
 
     def pad_plane(a):
-        K = a.shape[-1]
-        padn = s0r * 128 - K
-        if padn:
-            a = jnp.concatenate(
-                [a, jnp.zeros(a.shape[:-1] + (padn,), a.dtype)], axis=-1
-            )
-        return a.reshape(a.shape[:-1] + (s0r, 128))
+        return _pad_plane(a, s0r)
 
     mxi, myi, mzi = transform_intervals(
         im, mat, (x0, x0 + T0), (y0, y0 + T0), (z, z)
@@ -679,6 +702,7 @@ def _frame_unrolled_fn(
 #: state_key -> "compiling" | "failed" | compiled XLA executable
 _UWARM: dict = {}
 _UWARM_LOCK = threading.Lock()
+_UWARM_CAP = 64
 
 
 def _warm_async(fn, args, state_key, kwargs=None):
@@ -705,6 +729,14 @@ def _warm_async(fn, args, state_key, kwargs=None):
                     return
                 with _UWARM_LOCK:
                     _UWARM[state_key] = compiled
+                    # FIFO-bound finished entries (executables +
+                    # "failed" sentinels); never evict an in-flight
+                    # compile marker
+                    done = [
+                        k for k, v in _UWARM.items() if v != "compiling"
+                    ]
+                    for k in done[: max(0, len(done) - _UWARM_CAP)]:
+                        del _UWARM[k]
 
             threading.Thread(target=compile_bg, daemon=True).start()
             return None
@@ -881,13 +913,7 @@ class PixelRenderer:
         var_hi = var_lo
 
         def pad_plane(a):
-            K = a.shape[-1]
-            pad = s0 * 128 - K
-            if pad:
-                a = jnp.concatenate(
-                    [a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1
-                )
-            return a.reshape(a.shape[:-1] + (s0, 128))
+            return _pad_plane(a, s0)
 
         for kind, ivl in (("x", mxi), ("y", myi), ("z", mzi)):
             idx = self.axis_of.get(kind)
@@ -1038,11 +1064,10 @@ class PixelRenderer:
         n0y = -(-self.H // T0)
         n0 = n0x * n0y
         key = id(self.tape)
-        if key not in _TAPE_REGISTRY:
-            _TAPE_REGISTRY[key] = (
-                self.tape, self.packed_b, self.axis_of,
-                self.nf_b, self.cw_b,
-            )
+        _register_tape(key, lambda: (
+            self.tape, self.packed_b, self.axis_of,
+            self.nf_b, self.cw_b,
+        ))
         tx = np.arange(n0x) * T0
         ty = np.arange(n0y) * T0
         gx, gy = np.meshgrid(tx, ty)
@@ -1070,6 +1095,13 @@ class PixelRenderer:
                 )
                 n_act = int(cf(x0, y0, mat, jnp.float32(z), vec))
                 cap = bucket(n_act)
+                # record immediately: the warmup="interp" fallback
+                # below returns early, and without this every
+                # interpreter-served frame would re-pay the sizing
+                # dispatch AND a camera pan during the background
+                # compile could land in a different bucket, spawning
+                # an extra concurrent leaf compile per bucket
+                self._ucap[T0] = cap
         else:
             cap = min(int(cap), n0)
         assert warmup in ("block", "interp")

@@ -771,8 +771,26 @@ def _frame3_bucketed_fn(
 
 
 #: keeps warm-cached tapes alive so a freed Tape's id() cannot be
-#: recycled by a different shape and hit a stale _UWARM executable
+#: recycled by a different shape and hit a stale _UWARM executable;
+#: FIFO-bounded — eviction drops the evicted id's warm executables
+#: so the recycled id cannot hit them either
 _WARM_TAPE_PIN: dict[int, Tape] = {}
+_WARM_PIN_CAP = 64
+
+
+def _pin_warm_tape(tape: Tape) -> None:
+    from .render2d import _UWARM, _UWARM_LOCK
+
+    key = id(tape)
+    if key in _WARM_TAPE_PIN:
+        return
+    while len(_WARM_TAPE_PIN) >= _WARM_PIN_CAP:
+        old = next(iter(_WARM_TAPE_PIN))
+        del _WARM_TAPE_PIN[old]
+        with _UWARM_LOCK:
+            for k in [k for k in _UWARM if k[0] == "3d" and k[1] == old]:
+                del _UWARM[k]
+    _WARM_TAPE_PIN[key] = tape
 
 
 class VoxelRenderer:
@@ -1260,7 +1278,7 @@ class VoxelRenderer:
                 # _TAPE_REGISTRY); include interpret — two renderers on
                 # one tape differing only in interpret must not share
                 # an executable
-                _WARM_TAPE_PIN.setdefault(id(self.tape), self.tape)
+                _pin_warm_tape(self.tape)
                 fn = _warm_async(
                     self._frame, (matM, vec),
                     ("3d", id(self.tape), self.W, self.H, self.D,

@@ -564,3 +564,38 @@ def test_sharded_frames_cached_across_calls():
     p, l2 = sh.fit_step(t2, ImageSize(32, 32 * n_dev), mesh, p, target)
     assert len(sh._FN_CACHE) == n_after_fit
     assert l2 <= l1  # loss decreases with the cached step
+
+
+def test_tape_registry_eviction_keeps_renders_correct():
+    """The tape registry / warm caches are FIFO-bounded; eviction must
+    invalidate the tape-keyed frame builders so a recycled id can never
+    hit a frame compiled for a different tape, and an evicted tape must
+    still render correctly afterwards (it simply re-registers)."""
+    from fidget_tpu.render import render2d as r2
+
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    ta = lower(ctx, [ctx.sub(ctx.sqrt(ctx.add(ctx.square(x), ctx.square(y))), 0.6)])
+    ctx2 = Context()
+    x2, y2 = ctx2.x(), ctx2.y()
+    tb = lower(ctx2, [ctx2.sub(ctx2.max(ctx2.abs(x2), ctx2.abs(y2)), 0.5)])
+    size = ImageSize(64, 64)
+    ra = PixelRenderer(ta, size, tile_size=32, interpret=True)
+    rb = PixelRenderer(tb, size, tile_size=32, interpret=True)
+    old_cap = r2._REGISTRY_CAP
+    try:
+        r2._REGISTRY_CAP = 1
+        img_a = ra.render_unrolled(tile_size=16)
+        assert id(ta) in r2._TAPE_REGISTRY
+        img_b = rb.render_unrolled(tile_size=16)  # evicts ta
+        assert id(ta) not in r2._TAPE_REGISTRY
+        assert id(tb) in r2._TAPE_REGISTRY
+        # evicted tape re-registers and still renders exactly
+        img_a2 = ra.render_unrolled(tile_size=16)
+        np.testing.assert_array_equal(img_a.inside(), img_a2.inside())
+        np.testing.assert_array_equal(
+            img_a.inside(), ra.render_brute() < 0
+        )
+        np.testing.assert_array_equal(img_b.inside(), rb.render_brute() < 0)
+    finally:
+        r2._REGISTRY_CAP = old_cap
