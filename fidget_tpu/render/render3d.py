@@ -47,6 +47,7 @@ VM evaluator renders any new tape without code generation.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -896,6 +897,10 @@ class VoxelRenderer:
             and tile_size == 32
             and sub_size == 16
             and max(size.width, size.height, size.depth) >= 512
+            # FIDGET_TPU_ALLOW_CRASH_CONFIGS=1 bypasses the fence for
+            # fault reproduction only (demos/probe_crash.py re-tests
+            # after kernel fixes) — a crashed worker takes 5-25 min
+            and os.environ.get("FIDGET_TPU_ALLOW_CRASH_CONFIGS") != "1"
         ):
             # (tile=32, sub=16) at >=512^3 triggers an XLA:TPU
             # program-level miscompile that kills the TPU worker (every
