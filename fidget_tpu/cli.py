@@ -324,6 +324,10 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     def common(p, three_d: bool):
+        p.add_argument("--cpu", action="store_true",
+                       help="run on the host CPU (skip accelerator "
+                            "init; the escape hatch when a TPU tunnel "
+                            "is unreachable)")
         p.add_argument("input", help=".vm or .rhai model file")
         p.add_argument("-o", "--out", help="output file")
         p.add_argument("-N", "--repeat", type=int, default=1,
@@ -382,6 +386,8 @@ def main(argv=None) -> int:
     pm.set_defaults(fn=run_mesh)
 
     pv = sub.add_parser("view", help="live-reload viewer (terminal)")
+    pv.add_argument("--cpu", action="store_true",
+                    help="run on the host CPU (skip accelerator init)")
     pv.add_argument("input", help=".vm or .rhai model file")
     pv.add_argument("-o", "--out", help="PNG updated on each reload")
     pv.add_argument("-s", "--size", type=int, default=256)
@@ -391,11 +397,21 @@ def main(argv=None) -> int:
     pv.set_defaults(fn=run_view)
 
     psv = sub.add_parser("serve", help="HTTP editor/viewer service")
+    psv.add_argument("--cpu", action="store_true",
+                    help="run on the host CPU (skip accelerator init)")
     psv.add_argument("--port", type=int, default=8080)
     psv.add_argument("--host", default="127.0.0.1")
     psv.set_defaults(fn=run_serve)
 
     args = ap.parse_args(argv)
+    if getattr(args, "cpu", False):
+        # must land before the first backend touch; note the
+        # JAX_PLATFORMS env var is ignored when a sitecustomize pins
+        # platforms via jax.config, so this flag is the reliable path
+        # (and the escape hatch when a TPU tunnel hangs device init)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     return args.fn(args)
 
 

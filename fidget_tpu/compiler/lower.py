@@ -164,9 +164,9 @@ def lower(
         uses[r] += 1  # the OUTPUT op consumes the root
 
     var_map = VarMap()
-    # Deterministic var ordering: X/Y/Z first if present, then custom vars
-    # in graph order (matches the reference's traversal-order VarMap only
-    # loosely; bindings go through VarMap indices either way).
+    # Deterministic var ordering: graph traversal order (first use wins
+    # an index), like the reference's traversal-order VarMap. X/Y/Z get
+    # no special placement; every consumer binds through VarMap indices.
     for n in order:
         v = ctx.var_of(n)
         if v is not None:

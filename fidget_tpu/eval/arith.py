@@ -75,8 +75,12 @@ class FloatMode:
         if op == U.CEIL:
             return xp.ceil(a)
         if op == U.ROUND:
-            # Round half away from zero (Rust f32::round), not banker's
-            return xp.where(a >= 0, xp.floor(a + 0.5), xp.ceil(a - 0.5))
+            # Round half away from zero (Rust f32::round), not banker's.
+            # |a| >= 2^23: every f32 is already an integer, and the
+            # a±0.5 idiom would corrupt odd values (the f32 addition
+            # itself rounds ties-to-even) — return a unchanged.
+            r = xp.where(a >= 0, xp.floor(a + 0.5), xp.ceil(a - 0.5))
+            return xp.where(xp.abs(a) >= 2.0**23, a, r)
         if op == U.SIN:
             return xp.sin(a)
         if op == U.COS:
@@ -156,11 +160,6 @@ class FloatMode:
         return value, choice.astype(self.choice_dtype)
 
 
-def _dtype(xp, a, b):
-    try:
-        return xp.result_type(a, b)
-    except Exception:
-        return np.float32
 
 
 # ======================================================================
@@ -223,7 +222,11 @@ class IntervalMode:
         if op == U.CEIL:
             return (xp.ceil(al), xp.ceil(au))
         if op == U.ROUND:
-            rnd = lambda v: xp.where(v >= 0, xp.floor(v + 0.5), xp.ceil(v - 0.5))
+            def rnd(v):
+                # see FloatMode.ROUND for the 2^23 integer guard
+                r = xp.where(v >= 0, xp.floor(v + 0.5), xp.ceil(v - 0.5))
+                return xp.where(xp.abs(v) >= 2.0**23, v, r)
+
             return (rnd(al), rnd(au))
         if op == U.SIN:
             return self._sin_cos(a, is_sin=True)

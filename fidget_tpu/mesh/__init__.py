@@ -43,6 +43,7 @@ vertex splitting (MC33-style), which neither implementation performs.
 from __future__ import annotations
 
 import functools
+import os
 import struct
 from dataclasses import dataclass, field
 
@@ -57,7 +58,6 @@ from ..render.config import check_cancel
 from ..shape import Shape, ShapeVars
 from .tables import (
     CELL_TO_EDGE_TO_VERT,
-    CELL_TO_VERT_TO_EDGES,
     EDGE_AXIS,
     EDGE_HI,
     EDGE_LO,
@@ -119,7 +119,7 @@ def write_obj(mesh: Mesh, f) -> None:
 
     Beyond the reference's STL-only output (fidget-mesh/src/output.rs);
     OBJ keeps the dual-contour vertex sharing on disk, ~40% the size."""
-    own = isinstance(f, (str, bytes))
+    own = isinstance(f, (str, bytes, os.PathLike))
     fh = open(f, "w") if own else f
     try:
         for v in np.asarray(mesh.vertices, np.float64):
@@ -133,7 +133,7 @@ def write_obj(mesh: Mesh, f) -> None:
 
 def write_stl(mesh: Mesh, f) -> None:
     """Binary STL writer (fidget-mesh/src/output.rs:7-40)."""
-    own = isinstance(f, (str, bytes))
+    own = isinstance(f, (str, bytes, os.PathLike))
     fh = open(f, "wb") if own else f
     try:
         fh.write(b"\x00" * 80)
@@ -653,7 +653,19 @@ def _edge_search_core(
 def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     """Builds an MDC mesh of the surface inside the world ±1 cube."""
     settings = settings or Settings()
-    assert settings.eval in ("interp", "unrolled")
+    if settings.eval not in ("interp", "unrolled"):
+        raise ValueError(
+            f"Settings.eval must be 'interp' or 'unrolled', got "
+            f"{settings.eval!r}"
+        )
+    if not 0 < settings.depth <= 10:
+        # corner-lattice keys (x*(G+1)+y)*(G+1)+z ride int32 through
+        # the device kernels: depth 10 (G=1024) peaks at ~1.08e9 < 2^31;
+        # depth 11 would silently wrap negative and corrupt the mesh
+        raise ValueError(
+            f"Settings.depth must be in 1..10 (int32 lattice keys), "
+            f"got {settings.depth}"
+        )
     tape, m, var_vec = _mat_and_vars(tape, settings)
     ev = BulkEvaluator(tape, interpret=settings.interpret)
     ev.unrolled = settings.eval == "unrolled"
@@ -812,21 +824,16 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     btb = vsum(bw * bw)
     mass = msum / np.maximum(mcnt, 1.0)[:, None]
 
-    # batched truncated-SVD solve about the mass point (qef.rs:67-80)
-    rhs = Atb - np.einsum("vij,vj->vi", AtA, mass)
-    U, S, Vt = np.linalg.svd(AtA)
-    smax = S[:, :1]
-    keep = S > np.maximum(smax * 0.1, 1e-12)
-    sinv = np.divide(1.0, S, out=np.zeros_like(S), where=keep)
-    delta = np.einsum(
-        "vji,vj->vi", Vt, sinv * np.einsum("vij,vi->vj", U, rhs)
-    )
-    vpos = mass + delta
+    # batched truncated-SVD solve about the mass point (qef.rs:67-80) —
+    # the shared helper falls back to the (in-cell) mass point on a
+    # non-finite solution, so clamping after is always well-defined
+    from .collapse import _solve_qef
+
+    vpos = _solve_qef(AtA, Atb, mass)
     # clamp to the owning cell's bounds (one leaf cell per vertex)
     cell_of_vert = np.repeat(np.arange(N), nvert)
     clo = cells[cell_of_vert] * h - 1.0
     vpos = np.clip(vpos, clo, clo + h)
-    vpos = np.where(np.isfinite(vpos), vpos, mass)
 
     # enumerate each crossing edge once, from its canonical owner cell
     # (the cell whose local edge has both fixed coords == 0) — shared by
@@ -865,12 +872,8 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
         )
         return np.where(ok, order[pos], -1)
 
-    # enumerate each crossing edge once, from its canonical (min-corner)
-    # owner cell: the cell whose local edge has both fixed coords == 0
-    own = np.zeros_like(crossing)
-    v_bits = (np.arange(12) % 4)[None, :]
-    own = crossing & (v_bits == 0)
-    oci, oei = np.nonzero(own)
+    # canonical owner-edge set computed once above (own_all)
+    oci, oei = oci_all, oei_all
     if len(oci) == 0:
         tris = np.zeros((0, 3), np.int64)
     else:

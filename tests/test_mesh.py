@@ -261,3 +261,18 @@ def test_ambiguous_face_pinch_topology():
         inv, weights=(e[:, 0] < e[:, 1]), minlength=len(uniq)
     )
     assert (np.abs(2 * fwd - counts) <= 1).all()
+
+
+def test_mesh_settings_validation_and_pathlike_writers(tmp_path):
+    tape = sphere_tape()
+    with pytest.raises(ValueError, match="depth"):
+        build_mesh(tape, Settings(depth=11, interpret=True))
+    with pytest.raises(ValueError, match="eval"):
+        build_mesh(tape, Settings(depth=3, interpret=True, eval="unroled"))
+    m = build_mesh(tape, Settings(depth=3, interpret=True))
+    p = tmp_path / "out.stl"
+    m.write_stl(p)  # pathlib.Path, not str
+    assert p.stat().st_size > 84
+    po = tmp_path / "out.obj"
+    m.write_obj(po)
+    assert po.read_text().startswith("v ")

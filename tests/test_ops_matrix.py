@@ -353,3 +353,34 @@ def test_interval_div_half_nan_poisons():
         (np.float32(1.0), np.float32(np.nan)),
     )
     assert np.isnan(lo) and np.isnan(hi)
+
+
+def test_round_large_f32_integers_identity():
+    """Regression: the floor(a+0.5) rounding idiom corrupts odd f32
+    integers >= 2^23 (the +0.5 addition itself rounds ties-to-even);
+    Rust f32::round returns them unchanged, and so must every mode."""
+    import numpy as np
+
+    from fidget_tpu.compiler.tape import TapeOp
+    from fidget_tpu.eval.arith import FloatMode, GradMode, IntervalMode
+
+    vals = np.array(
+        [8388609.0, -8388609.0, 8388611.0, 2.0**24 + 2, 8388608.5 * 2],
+        np.float32,
+    )
+    fm = FloatMode(np)
+    out = fm.unary(TapeOp.ROUND, vals)
+    np.testing.assert_array_equal(out, vals)  # already integers
+    im = IntervalMode(np)
+    lo, hi = im.unary(TapeOp.ROUND, (vals, vals))
+    np.testing.assert_array_equal(lo, vals)
+    np.testing.assert_array_equal(hi, vals)
+    gm = GradMode(np)
+    gv = gm.unary(TapeOp.ROUND, (vals, vals * 0, vals * 0, vals * 0))
+    np.testing.assert_array_equal(gv[0], vals)
+    # the sub-2^23 half-away-from-zero behavior is unchanged
+    small = np.array([0.5, -0.5, 1.5, -1.5, 2.5], np.float32)
+    np.testing.assert_array_equal(
+        fm.unary(TapeOp.ROUND, small),
+        np.array([1.0, -1.0, 2.0, -2.0, 3.0], np.float32),
+    )
