@@ -440,20 +440,13 @@ class Context:
         if op == B.COMPARE:
             return zero
         if op == B.MOD:
-            # d/dv rem_euclid(a, b) = da - db * div_euclid(a, b), with the
-            # euclidean quotient reconstructed from floor(a/b).
-            q = self.floor(self.div(a, b))
-            m = self.modulo(q, b)
-            cond = self.less_than(q, zero)
-            offset = self.if_nonzero_else(cond, b, zero)
-            m = self.sub(m, offset)
-            outer = self.less_than(m, zero)
-            inner = self.less_than(zero, b)
-            qa = self.sub(q, self.constant(1.0))
-            qb = self.add(q, self.constant(1.0))
-            inner = self.if_nonzero_else(inner, qa, qb)
-            e = self.if_nonzero_else(outer, inner, q)
-            return self.sub(da, self.mul(db, e))
+            # d/dv rem_euclid(a, b) = da - db * div_euclid(a, b). The
+            # euclidean quotient follows exactly from the remainder:
+            # div_euclid(a, b) = (a - rem_euclid(a, b)) / b — no
+            # branching on signs (a floor(a/b) reconstruction used here
+            # before was off by ±1 for negative quotients / b < 0).
+            q = self.div(self.sub(a, self.modulo(a, b)), b)
+            return self.sub(da, self.mul(db, q))
         if op == B.AND:
             cond = self.compare(a, zero)
             return self.if_nonzero_else(cond, db, da)

@@ -39,7 +39,7 @@ class ScriptError(ValueError):
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+|//[^\n]*|/\*.*?\*/)
-  | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?(?!\.)|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+  | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\d+\.(?!\.)(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<op>\#\{|\.\.=?|==|!=|<=|>=|&&|\|\||\+=|-=|\*=|/=|%=|[-+*/%(){}\[\],;:.<>=!|&])
@@ -495,12 +495,27 @@ class _ShapeBuilder:
             if rest and isinstance(rest[0], dict):
                 kwargs.update(rest.pop(0))
             elif rest:
-                # single positional value fills the next field
-                for f in fl[1:]:
-                    if f.name not in kwargs:
-                        kwargs[f.name] = rest.pop(0)
-                        if not rest:
+                # positional values fill the next COMPATIBLE unset
+                # fields (type-driven like case 4, so rotate(shape,
+                # 45.0) lands the float in `angle`, not `axis`)
+                for a in rest:
+                    placed = False
+                    for f in fl[1:]:
+                        if f.name in kwargs:
+                            continue
+                        d = self.defaults.get(f.name)
+                        try:
+                            kwargs[f.name] = _coerce_field(a, d, f.name)
+                            placed = True
                             break
+                        except (ScriptError, TypeError, ValueError):
+                            continue
+                    if not placed:
+                        raise ScriptError(
+                            f"cannot place argument {a!r} for "
+                            f"{self.cls.__name__}"
+                        )
+                rest = []
             if rest:
                 raise ScriptError(f"too many arguments for {self.cls.__name__}")
             return self._build(kwargs)
@@ -550,7 +565,14 @@ class Engine:
         self._steps = 0
         self._result = result
         self._fns = {}
-        last = self._exec_block(ast, env)
+        try:
+            last = self._exec_block(ast, env)
+        except _Return as r:
+            # Rhai allows a top-level `return`: it terminates the
+            # script with that value
+            last = r.value
+        except (_Break, _Continue):
+            raise ScriptError("break/continue outside of a loop")
         result.last = last
         if not result.shapes and isinstance(last, (Tree, ShapeDef)):
             result.shapes.append(_as_tree(last))
@@ -604,6 +626,15 @@ class Engine:
                 idx = self._eval(target[2], env)
                 obj[int(idx)] = val
                 return None
+            if target[0] == "prop":
+                obj = self._eval(target[1], env)
+                if isinstance(obj, dict):
+                    obj[target[2]] = val
+                    return None
+                raise ScriptError(
+                    f"cannot assign property {target[2]!r} on "
+                    f"{type(obj).__name__}"
+                )
             raise ScriptError("unsupported assignment target")
         if k == "for":
             var = st[1]
@@ -806,6 +837,12 @@ class Engine:
                 return self._exec_block(body, env2)
             except _Return as r:
                 return r.value
+            except (_Break, _Continue):
+                # must not leak across the call boundary and break the
+                # CALLER's loop (Rhai errors on break outside a loop)
+                raise ScriptError(
+                    f"break/continue outside of a loop in fn {name}"
+                )
 
         # tree / math builtins
         if name in _TREE_UNARY and len(args) == 1:

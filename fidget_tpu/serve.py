@@ -125,9 +125,9 @@ class EditorApp:
     """Script -> frame/tape services behind the HTTP handlers.
 
     Rendered frames are cached on (script, size, mode) so a debounced
-    editor re-requesting an unchanged script costs nothing, and the
-    most recent VoxelRenderer is kept keyed on its tape so camera-only
-    edits reuse its compiled pipeline.
+    editor re-requesting an unchanged script costs nothing. Renderer
+    pipelines are shared through the zero-recompile bucketed frames
+    (specialize=False), so shape edits re-render without recompiling.
     """
 
     def __init__(self, cache_frames: int = 32):
@@ -149,14 +149,19 @@ class EditorApp:
         from .shape import Shape
 
         size = max(64, min(1024, size))
+        if mode == "3d":
+            # clamp BEFORE the cache key: sizes 257..1024 all render at
+            # 256, so they must share one cache entry
+            size = min(256, size)
         key = (script, size, mode)
-        cached = self._frames.get(key)
+        with self._lock:
+            cached = self._frames.get(key)
         if cached is not None:
             return cached
         res = self._trace(script)
         with self._lock:  # one TPU render at a time
             if mode == "3d":
-                n = max(64, min(256, size))
+                n = size
                 r = VoxelRenderer(
                     Shape.from_tree(res.tree).tape(), VoxelSize(n, n, n),
                     specialize=False,  # edits re-render, zero recompiles
@@ -168,9 +173,13 @@ class EditorApp:
                     res.shapes, ImageSize(size, size), colors=res.colors
                 )
         data = png_bytes(rgb)
-        if len(self._frames) >= self._cache_frames:
-            self._frames.pop(next(iter(self._frames)))
-        self._frames[key] = data
+        with self._lock:
+            # evict+insert under the lock: concurrent requests on a
+            # full cache would otherwise race next(iter(...))/pop and
+            # turn a valid script into a spurious KeyError 400
+            while len(self._frames) >= self._cache_frames:
+                self._frames.pop(next(iter(self._frames)))
+            self._frames[key] = data
         return data
 
     def tape_bytes(self, script: str) -> bytes:

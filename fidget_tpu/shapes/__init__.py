@@ -272,8 +272,12 @@ class Scale(ShapeDef):
 
     def to_tree(self) -> Tree:
         s = _vec(self.scale, 3)
+        # np.float64 division follows IEEE (1/0 = inf), matching the
+        # reference's Rust f64 semantics — Python float division would
+        # raise ZeroDivisionError out of a script instead
+        inv = np.divide(1.0, np.asarray(s, np.float64))
         return _tree(self.shape).remap_affine(
-            np.diag([1.0 / s[0], 1.0 / s[1], 1.0 / s[2], 1.0])
+            np.diag([inv[0], inv[1], inv[2], 1.0])
         )
 
 
@@ -283,7 +287,7 @@ class ScaleUniform(ShapeDef):
     scale: float = 1.0
 
     def to_tree(self) -> Tree:
-        s = 1.0 / self.scale
+        s = float(np.divide(1.0, np.float64(self.scale)))  # IEEE: 1/0=inf
         return _tree(self.shape).remap_affine(np.diag([s, s, s, 1.0]))
 
 
@@ -407,16 +411,22 @@ class RotateZ(ShapeDef):
 @dataclass
 class RevolveY(ShapeDef):
     """Revolve an XY shape about a vertical axis at x=offset
-    (lib.rs:532-553)."""
+    (lib.rs:532-553).
+
+    Deliberate divergence: the reference computes r = sqrt(x^2 + y^2)
+    (lib.rs:548), which leaves the result z-invariant — a prism, not a
+    surface of revolution (the reference ships no test or model using
+    RevolveY, so the bug is latent there). A revolution about the Y
+    axis maps (X, Y, Z) -> f2d(sqrt(X^2 + Z^2), Y); that is what this
+    implements."""
 
     shape: TreeLike = None
     offset: float = 0.0
 
     def to_tree(self) -> Tree:
-        # matches lib.rs:540-551 exactly, including the remap frame
         moved = Move(self.shape, (self.offset, 0.0, 0.0)).to_tree()
         x, y, z = _axes()
-        r = (x.square() + y.square()).sqrt()
+        r = (x.square() + z.square()).sqrt()
         t = moved.remap_xyz(r, y, z)
         return Move(t, (-self.offset, 0.0, 0.0)).to_tree()
 

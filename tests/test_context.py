@@ -196,3 +196,38 @@ def test_import_tree_cache_persists_across_imports():
     bigger = base.min(x - 0.1)
     ctx.import_tree(bigger)
     assert len(ctx) > len_after_first
+
+
+def test_mod_derivative_all_sign_quadrants():
+    """d/db rem_euclid(a, b) = -div_euclid(a, b); the old floor-based
+    reconstruction was off by +/-1 for negative quotients and b < 0."""
+    import numpy as np
+
+    from fidget_tpu.eval.arith import FloatMode
+    from fidget_tpu.eval.unrolled import eval_tape
+    from fidget_tpu import lower
+
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    m = ctx.modulo(x, y)
+    t = lower(ctx, [m, ctx.deriv(m, Var.Y), ctx.deriv(m, Var.X)])
+    axis = {v.kind: i for v, i in t.var_map.items()}
+    fm = FloatMode(np)
+
+    def ev(ax, ay):
+        ins = [np.zeros(1, np.float32)] * len(t.var_map)
+        ins = list(ins)
+        ins[axis["x"]] = np.array([ax], np.float32)
+        ins[axis["y"]] = np.array([ay], np.float32)
+        with np.errstate(all="ignore"):
+            outs, _ = eval_tape(t, fm, ins)
+        return [float(o[0]) for o in outs]
+
+    eps = 1e-3
+    for ax, ay in [(-5.3, 2.0), (5.3, -2.0), (-0.7, 3.1), (5.3, 2.0),
+                   (-5.3, -2.0), (7.1, -3.0)]:
+        v, db, da = ev(ax, ay)
+        fd_b = (ev(ax, ay + eps)[0] - ev(ax, ay - eps)[0]) / (2 * eps)
+        fd_a = (ev(ax + eps, ay)[0] - ev(ax - eps, ay)[0]) / (2 * eps)
+        assert db == pytest.approx(fd_b, abs=1e-2), (ax, ay)
+        assert da == pytest.approx(fd_a, abs=1e-2), (ax, ay)

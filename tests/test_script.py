@@ -154,3 +154,42 @@ def test_modulo_by_zero():
     with pytest.raises(ScriptError):
         eval_script("let a = 5 % 0; a")
     assert math.isnan(eval_script("let a = 5.0 % 0.0; a").last)
+
+
+def test_top_level_return_terminates_script():
+    # Rhai allows top-level return: terminate with that value
+    assert engine().eval("let a = 1; return a + 1; let b = 9;") == 2
+
+
+def test_break_outside_loop_is_error():
+    with pytest.raises(ScriptError, match="loop"):
+        engine().run("break;")
+    # break inside a called fn must NOT silently break the caller's loop
+    with pytest.raises(ScriptError, match="loop"):
+        engine().run(
+            "fn f() { break; } let n = 0; for i in 0..10 { n += 1; f(); }"
+        )
+
+
+def test_map_property_assignment():
+    assert engine().eval("let m = #{a: 1}; m.a = 2; m.a") == 2
+    assert engine().eval("let m = #{a: 1}; m.a += 5; m.a") == 6
+
+
+def test_float_literal_method_call():
+    assert engine().eval("let v = (-1.5).abs(); v") == 1.5
+    assert engine().eval("1.5.floor()") == 1.0
+    # the range operator still lexes
+    assert engine().eval("let s = 0; for i in 0..3 { s += i; } s") == 3
+
+
+def test_transform_positional_type_dispatch():
+    # rotate(shape, angle): float skips the axis field
+    res = eval_script("draw(rotate(circle(#{radius: 0.5}), 45.0));")
+    assert len(res.shapes) == 1
+
+
+def test_scale_zero_component_is_ieee():
+    # 1/0 = inf like the reference's Rust f64, not ZeroDivisionError
+    res = eval_script("draw(scale(circle(#{radius: 0.5}), [0.0, 1.0, 1.0]));")
+    assert len(res.shapes) == 1

@@ -126,3 +126,23 @@ def test_registry_and_field_specs():
 def test_functional_helpers():
     t = union(Circle((0, 0), 1.0), Circle((3, 0), 1.0))
     assert t.eval(3.0, 0.0, 0.0) < 0
+
+
+def test_revolve_y_is_a_surface_of_revolution():
+    """Deliberate divergence from the reference: its RevolveY uses
+    r = sqrt(x^2 + y^2) (z-invariant — a prism, untested upstream); a
+    revolution about Y must use r = sqrt(x^2 + z^2)."""
+    from fidget_tpu.shape import Shape
+    from fidget_tpu.shapes import Circle, RevolveY
+
+    torus = RevolveY(Circle(center=(1.0, 0.0), radius=0.3)).to_tree()
+    s = Shape.from_tree(torus)
+
+    def d(x, y, z):
+        return float(np.asarray(s.eval(x, y, z)))
+
+    assert d(1.0, 0.0, 0.0) == pytest.approx(-0.3, abs=1e-5)  # tube center
+    assert d(0.0, 0.0, 1.0) == pytest.approx(-0.3, abs=1e-5)  # rotated copy
+    assert d(0.0, 0.0, -1.0) == pytest.approx(-0.3, abs=1e-5)
+    assert d(1.0, 0.0, 5.0) > 1.0  # far along z must be OUTSIDE
+    assert d(0.0, 0.0, 0.0) == pytest.approx(0.7, abs=1e-5)  # hole
