@@ -150,8 +150,17 @@ def encode(tape: Tape) -> np.ndarray:
 def decode(words: np.ndarray, var_map: VarMap | None = None) -> Tape:
     """Unpacks canonical bytecode back into a `Tape` (round-trip tested)."""
     words = np.asarray(words, dtype=np.uint32)
-    assert words[0] == JUMP and words[1] == 0, "missing bytecode header"
-    assert words[-2] == JUMP and words[-1] == JUMP, "missing trailer"
+    # explicit validation (asserts would vanish under python -O; this
+    # is the untrusted interop surface)
+    if len(words) < 4 or len(words) % 2:
+        raise ValueError(
+            f"malformed bytecode: {len(words)} words (need an even "
+            "count >= 4 for header + trailer)"
+        )
+    if not (words[0] == JUMP and words[1] == 0):
+        raise ValueError("missing bytecode header")
+    if not (words[-2] == JUMP and words[-1] == JUMP):
+        raise ValueError("missing bytecode trailer")
     rows: list[tuple] = []
     reg_count = 0
     mem_count = 0
@@ -205,13 +214,37 @@ def decode(words: np.ndarray, var_map: VarMap | None = None) -> Tape:
         else:
             raise ValueError(f"cannot decode opcode {opc}")
         reg_count = max(reg_count, o + 1)
+    if var_map is None:
+        # The wire format does not carry variable identities (the
+        # reference keeps the VarMap alongside the Bytecode). Without
+        # one, synthesize a fresh Var per input index so the decoded
+        # tape sizes its input planes correctly and evaluates
+        # positionally — previously an empty VarMap made every INPUT
+        # bind to a zero plane, silently evaluating f(0,0,0).
+        n_inputs = 1 + max(
+            (int(r[5]) for r in rows if r[0] == TapeOp.INPUT), default=-1
+        )
+        var_map = VarMap()
+        from ..core.var import Var
+
+        for _ in range(n_inputs):
+            var_map.insert(Var.new())
+    elif len(var_map):
+        n_inputs = 1 + max(
+            (int(r[5]) for r in rows if r[0] == TapeOp.INPUT), default=-1
+        )
+        if len(var_map) < n_inputs:
+            raise ValueError(
+                f"var_map has {len(var_map)} entries but the bytecode "
+                f"references input index {n_inputs - 1}"
+            )
     return Tape.from_rows(
         rows,
         reg_count=reg_count,
         mem_count=mem_count,
         choice_count=choice_count,
         output_count=output_count,
-        var_map=var_map or VarMap(),
+        var_map=var_map,
     )
 
 

@@ -20,7 +20,6 @@ from __future__ import annotations
 import numpy as np
 
 from .tape import (
-    CHOICE_BOTH,
     CHOICE_LEFT,
     CHOICE_RIGHT,
     IMM,

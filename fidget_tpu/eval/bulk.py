@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..compiler.pack import PackedTapes, frequency_op_order, pack_tapes
+from ..compiler.pack import frequency_op_order, pack_tapes
 from ..compiler.tape import Tape
 from .pallas_interp import (
     default_interpret,
@@ -210,11 +210,17 @@ class BulkEvaluator:
         return arrays
 
     def _tape_args(self):
-        p = self.packed
-        return (
-            jnp.asarray(p.w1), jnp.asarray(p.w2), jnp.asarray(p.imm),
-            jnp.asarray(p.lengths),
-        )
+        # device-resident once: the packed tape is immutable, and
+        # re-wrapping per call would re-transfer it on every one of the
+        # thousands of dispatches a mesh build makes
+        cached = getattr(self, "_tape_args_cache", None)
+        if cached is None:
+            p = self.packed
+            cached = self._tape_args_cache = (
+                jnp.asarray(p.w1), jnp.asarray(p.w2), jnp.asarray(p.imm),
+                jnp.asarray(p.lengths),
+            )
+        return cached
 
     # ------------------------------------------------------------------
 

@@ -168,7 +168,13 @@ float fold_unary(int32_t op, float a) {
     case SQUARE: return a * a;
     case FLOOR: return floorf(a);
     case CEIL: return ceilf(a);
-    case ROUND: return a >= 0 ? floorf(a + 0.5f) : ceilf(a - 0.5f);
+    case ROUND: {
+      // |a| >= 2^23: already an integer; the +-0.5 idiom would corrupt
+      // odd values (the f32 add rounds ties-to-even) — FloatMode.ROUND
+      // has the same guard
+      if (fabsf(a) >= 8388608.0f) return a;
+      return a >= 0 ? floorf(a + 0.5f) : ceilf(a - 0.5f);
+    }
     case NOT: return a == 0.0f ? 1.0f : 0.0f;
     case SIN: return sinf(a);
     case COS: return cosf(a);
@@ -313,8 +319,25 @@ bool parse(Compiler& c, const char* text) {
 bool lower(Compiler& c) {
   const int N = (int)c.nodes.size();
   const int root = N - 1;  // last definition is the root
+  // use counts over the LIVE graph only: a reverse reachability pass
+  // from the root (nodes are in definition order, so one backward
+  // sweep settles it). Direct counts alone keep subtrees whose only
+  // consumer is itself dead — .vm context dumps can contain
+  // unreachable definitions (the Python path prunes them via
+  // topological_order(roots)); worse, the skipped dead consumer never
+  // consume()s, pinning its operands' registers for the whole tape.
+  std::vector<char> live(N, 0);
+  live[root] = 1;
+  for (int i = N - 1; i >= 0; i--) {
+    if (!live[i]) continue;
+    Node& n = c.nodes[i];
+    if (n.a >= 0) live[n.a] = 1;
+    if (n.op >= 0 && n.b >= 0) live[n.b] = 1;
+  }
   c.remaining.assign(N, 0);
-  for (auto& n : c.nodes) {
+  for (int i = 0; i < N; i++) {
+    if (!live[i]) continue;
+    Node& n = c.nodes[i];
     if (n.a >= 0) c.remaining[n.a]++;
     if (n.op >= 0 && n.b >= 0) c.remaining[n.b]++;
   }
@@ -413,7 +436,14 @@ struct FidgetTape {
 FidgetTape* fidget_compile_vm(const char* text, int reg_limit) {
   auto* t = (FidgetTape*)calloc(1, sizeof(FidgetTape));
   Compiler c;
-  if (reg_limit >= 2 && reg_limit <= 255) c.reg_limit = reg_limit;
+  if (reg_limit >= 2 && reg_limit <= 255) {
+    c.reg_limit = reg_limit;
+  } else {
+    // same contract as the Python path (lower.py raises ValueError)
+    snprintf(t->error, sizeof(t->error),
+             "reg_limit must be in [2, 255], got %d", reg_limit);
+    return t;
+  }
   if (!parse(c, text) || !lower(c)) {
     snprintf(t->error, sizeof(t->error), "%s", c.error.c_str());
     return t;

@@ -146,3 +146,41 @@ def test_unary_and_binary_on_constants_fold():
     np.testing.assert_allclose(_eval(t2, pts), [4.0])
     t3 = compile_vm("a const 4\nb sqrt a\nx var-x\nc add x b\n")
     np.testing.assert_allclose(_eval(t3, pts), [4.0])
+
+
+def test_dead_subtree_not_emitted():
+    """Nodes reachable only through dead consumers must be pruned (the
+    reference's .vm dumps can contain unreachable definitions); they
+    used to be emitted forever AND pin their operands' registers."""
+    if not available():
+        pytest.skip("no native toolchain")
+    text = (
+        "x var-x\n"
+        "t1 sin x\n"
+        "t2 mul t1 t1\n"  # dead: nothing references t2
+        "out add x x\n"
+    )
+    t = compile_vm(text)
+    from fidget_tpu.compiler.tape import TapeOp
+
+    ops = [TapeOp(int(o)) for o in t.op]
+    assert TapeOp.SIN not in ops and TapeOp.MUL not in ops
+
+
+def test_native_reg_limit_contract():
+    if not available():
+        pytest.skip("no native toolchain")
+    with pytest.raises(Exception, match="reg_limit"):
+        compile_vm("x var-x\no neg x\n", reg_limit=1)
+
+
+def test_native_round_fold_large_integer():
+    if not available():
+        pytest.skip("no native toolchain")
+    # const-folded ROUND must match FloatMode's 2^23 guard
+    text = "a const 8388609\nb round a\nc var-x\nout add b c\n"
+    t = compile_vm(text)
+    (d,), _ = eval_tape(
+        t, FloatMode(np), [np.zeros(1, np.float32)]
+    )
+    assert float(d[0]) == 8388609.0

@@ -262,3 +262,38 @@ def test_prospero_lowering():
     ch = np.array([int(c) for c in choices], np.uint8)
     stape = simplify(tape, ch)
     assert len(stape) < len(tape) * 0.5
+
+
+def test_decode_without_varmap_synthesizes_inputs():
+    """Decoding interop bytecode without a VarMap must still size the
+    input planes (a fresh Var per input index); an empty VarMap used to
+    make every INPUT bind a zero plane — silently evaluating f(0,0,0)."""
+    import numpy as np
+
+    from fidget_tpu import Context, lower
+    from fidget_tpu.compiler.bytecode import decode, encode
+    from fidget_tpu.eval.arith import FloatMode
+    from fidget_tpu.eval.unrolled import eval_tape
+
+    ctx = Context()
+    x, y = ctx.x(), ctx.y()
+    tape = lower(ctx, [ctx.add(ctx.mul(x, 2.0), y)])
+    t2 = decode(encode(tape))
+    assert len(t2.var_map) == len(tape.var_map)
+    ins = [np.array([3.0], np.float32), np.array([5.0], np.float32)]
+    (a,), _ = eval_tape(tape, FloatMode(np), ins)
+    (b,), _ = eval_tape(t2, FloatMode(np), ins)
+    assert float(a[0]) == float(b[0]) != 0.0
+
+
+def test_decode_malformed_raises_valueerror():
+    import numpy as np
+
+    import pytest
+
+    from fidget_tpu.compiler.bytecode import decode
+
+    with pytest.raises(ValueError, match="malformed|header"):
+        decode(np.array([1, 2, 3], np.uint32))
+    with pytest.raises(ValueError, match="header"):
+        decode(np.zeros(6, np.uint32))
