@@ -97,7 +97,16 @@ class Tree:
         than stacking tree nodes.
         """
         mat = np.asarray(mat, dtype=np.float64)
-        assert mat.shape == (4, 4)
+        if mat.shape != (4, 4):
+            raise ValueError(f"remap_affine needs a 4x4, got {mat.shape}")
+        if not np.array_equal(mat[3], (0.0, 0.0, 0.0, 1.0)):
+            # import_tree's frame composition drops row 3, so a
+            # perspective matrix would silently lose its divide
+            raise ValueError(
+                "remap_affine requires an affine matrix (bottom row "
+                "[0, 0, 0, 1]); perspective transforms belong in the "
+                "renderer's world_to_model, not the tree"
+            )
         if self.kind == _REMAP_AFFINE:
             inner, m1 = self.data
             return Tree(_REMAP_AFFINE, (inner, m1 @ mat))

@@ -69,8 +69,37 @@ def _tp(mat: np.ndarray, p) -> np.ndarray:
     return h[:-1] / h[-1]
 
 
+class _GestureMixin:
+    """Drag/zoom gesture math shared by View2 and View3 (the logic is
+    dimension-agnostic: it only uses world_to_model/center/scale)."""
+
+    def transform_point(self, p) -> np.ndarray:
+        return _tp(self.world_to_model(), p)
+
+    def begin_translate(self, start) -> TranslateHandle:
+        m = self.world_to_model()
+        return TranslateHandle(_tp(m, start), m, self.center.copy())
+
+    def translate(self, h: TranslateHandle, pos) -> bool:
+        nxt = h.center(np.asarray(pos, np.float64))
+        changed = not np.array_equal(nxt, self.center)
+        self.center = nxt
+        return changed
+
+    def zoom(self, amount: float, pos=None) -> bool:
+        if pos is not None:
+            # keep the model point under the cursor fixed
+            before = self.transform_point(pos)
+            self.scale *= amount
+            after = self.transform_point(pos)
+            self.center = self.center + (before - after)
+        else:
+            self.scale *= amount
+        return amount != 1.0
+
+
 @dataclass
-class View2:
+class View2(_GestureMixin):
     """World-to-model camera: uniform scale then translation
     (fidget-gui/src/lib.rs:55-150)."""
 
@@ -92,29 +121,6 @@ class View2:
         m[:2, 2] = self.center
         return m
 
-    def transform_point(self, p) -> np.ndarray:
-        return _tp(self.world_to_model(), p)
-
-    def begin_translate(self, start) -> TranslateHandle:
-        m = self.world_to_model()
-        return TranslateHandle(_tp(m, start), m, self.center.copy())
-
-    def translate(self, h: TranslateHandle, pos) -> bool:
-        nxt = h.center(np.asarray(pos, np.float64))
-        changed = not np.array_equal(nxt, self.center)
-        self.center = nxt
-        return changed
-
-    def zoom(self, amount: float, pos=None) -> bool:
-        if pos is not None:
-            before = self.transform_point(pos)
-            self.scale *= amount
-            after = self.transform_point(pos)
-            self.center = self.center + (before - after)
-        else:
-            self.scale *= amount
-        return amount != 1.0
-
     def to_dict(self):
         return {"center": self.center.tolist(), "scale": self.scale}
 
@@ -124,7 +130,7 @@ class View2:
 
 
 @dataclass
-class View3:
+class View3(_GestureMixin):
     """World-to-model camera: scale, then turntable rotation
     (yaw about +Z after pitch about +X), then translation
     (fidget-gui/src/lib.rs:154-305)."""
@@ -157,29 +163,6 @@ class View3:
         t = np.eye(4)
         t[:3, 3] = self.center
         return t @ self._rot_mat() @ s
-
-    def transform_point(self, p) -> np.ndarray:
-        return _tp(self.world_to_model(), p)
-
-    def begin_translate(self, start) -> TranslateHandle:
-        m = self.world_to_model()
-        return TranslateHandle(_tp(m, start), m, self.center.copy())
-
-    def translate(self, h: TranslateHandle, pos) -> bool:
-        nxt = h.center(np.asarray(pos, np.float64))
-        changed = not np.array_equal(nxt, self.center)
-        self.center = nxt
-        return changed
-
-    def zoom(self, amount: float, pos=None) -> bool:
-        if pos is not None:
-            before = self.transform_point(pos)
-            self.scale *= amount
-            after = self.transform_point(pos)
-            self.center = self.center + (before - after)
-        else:
-            self.scale *= amount
-        return amount != 1.0
 
     def begin_rotate(self, start) -> RotateHandle:
         return RotateHandle(

@@ -33,6 +33,7 @@ LIGHTS = np.array(
 SSAO_RADIUS = 0.1  # effects.rs:225
 
 
+@functools.lru_cache(maxsize=4)
 def ssao_kernel(n: int = 64, seed: int = 0) -> np.ndarray:
     """Hemisphere sample kernel (effects.rs:403-431): unit-ball
     rejection sampling with z >= 0, normalized, then scaled by
@@ -57,6 +58,7 @@ def ssao_kernel(n: int = 64, seed: int = 0) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=4)
 def ssao_noise(n: int = 256, seed: int = 1) -> np.ndarray:
     """Random XY rotation vectors (effects.rs:436-447)."""
     rng = np.random.RandomState(seed)

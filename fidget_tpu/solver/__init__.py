@@ -70,7 +70,15 @@ class Solver:
         self.free = list(free)
         self.fixed = list(fixed)
         known = set(self.free) | set(self.fixed)
-        for t in self.tapes:
+        for k, t in enumerate(self.tapes):
+            if not len(t.var_map):
+                # a constant equation (possibly by Context folding,
+                # e.g. x - x) has no gradient and would crash
+                # eval_tape mid-trace with an opaque error
+                raise ValueError(
+                    f"equation {k} is constant (no variables) — it "
+                    "cannot constrain anything"
+                )
             for v in t.var_map:
                 if v not in known:
                     raise ValueError(f"equation uses unbound variable {v!r}")

@@ -22,7 +22,7 @@ _RAMP = " .:-=+*#%@"
 
 def _ascii(img: np.ndarray, cols: int = 78) -> str:
     h, w = img.shape[:2]
-    step = max(1, w // cols)
+    step = max(1, -(-w // cols))  # ceil: rows must not exceed `cols`
     g = img[::2 * step, ::step]
     if g.ndim == 3:
         g = g.mean(axis=-1)
@@ -55,7 +55,10 @@ def watch(
     while not cancel.is_cancelled():
         try:
             mtime = p.stat().st_mtime
-        except OSError:
+        except OSError as e:
+            if once:  # single-iteration mode must not hang on a typo
+                print(f"[viewer] cannot stat {p}: {e}", file=sys.stderr)
+                return 1
             time.sleep(poll_s)
             continue
         if mtime == last_mtime:
@@ -73,8 +76,13 @@ def watch(
                 r = VoxelRenderer(
                     tape, VoxelSize(size, size, size), specialize=False
                 )
-                img = r.render(mode="normals")
-                rgb = apply_shading(img.depth, img.normal, vdepth=size)
+                img = r.render(mode="normals", cancel=cancel)
+                # denoise like the CLI shaded default, so viewer frames
+                # match `render3d --mode shaded` output
+                from .render.effects import denoise_normals
+
+                normal = denoise_normals(img.depth, img.normal)
+                rgb = apply_shading(img.depth, normal, vdepth=size)
                 frame = rgb[::-1]
             elif p.suffix == ".rhai":
                 # layered color compositing, like the reference viewer
@@ -88,7 +96,7 @@ def watch(
                 )
             else:
                 r = PixelRenderer(_tape(_load(str(p))), ImageSize(size, size))
-                im = r.render()
+                im = r.render(cancel=cancel)
                 frame = np.where(
                     im.inside()[..., None], 255, 0
                 ).astype(np.uint8) * np.ones(3, np.uint8)
