@@ -549,16 +549,27 @@ def _cull_sizing_stage(
     tape, packed, axis_of, nf, c_words = _TAPE_REGISTRY[tape_key]
     op_order = None
     s0r = max(8, _ceil_to(-(-n0 // 128), 8))
+    # bound the per-grid-step lane block: the kernel's VMEM footprint
+    # is (2*nf register planes + c_words choice planes) x s0 x 128 — at
+    # s0 = 128 (16k tiles, e.g. 8-px tiles at 1024^2) that is ~88 MB
+    # and the TPU compiler refuses it. Chunk the tiles across the grid
+    # dimension instead (tape replicated per step): s0 = 32 is the
+    # proven-safe block of the 16-px default, and G = 1 keeps existing
+    # configs bit-identical.
+    S0C = 32
+    G = -(-s0r // S0C)
+    s0c = s0r if G == 1 else S0C
+    s0r = G * s0c
     im = IntervalMode(jnp)
 
     def pad_plane(a):
-        return _pad_plane(a, s0r)
+        return _pad_plane(a, s0r).reshape(G, s0c, 128)
 
     mxi, myi, mzi = transform_intervals(
         im, mat, (x0, x0 + T0), (y0, y0 + T0), (z, z)
     )
     var_lo = jnp.broadcast_to(
-        var_vec[None, :, None, None], (1, V, s0r, 128)
+        var_vec[None, :, None, None], (G, V, s0c, 128)
     ).astype(jnp.float32)
     var_hi = var_lo
     for kind, ivl in (("x", mxi), ("y", myi), ("z", mzi)):
@@ -566,16 +577,21 @@ def _cull_sizing_stage(
         if idx is not None:
             lo = pad_plane(jnp.broadcast_to(ivl[0], x0.shape))
             hi = pad_plane(jnp.broadcast_to(ivl[1], x0.shape))
-            var_lo = var_lo.at[:, idx].set(lo[None])
-            var_hi = var_hi.at[:, idx].set(hi[None])
+            var_lo = var_lo.at[:, idx].set(lo)
+            var_hi = var_hi.at[:, idx].set(hi)
+
+    def rep(a):
+        a = jnp.asarray(a)
+        return jnp.broadcast_to(a, (G,) + a.shape[1:])
+
     olo, ohi, _ = interp_interval(
-        packed.w1, packed.w2, packed.imm, packed.lengths,
-        var_lo, var_hi,
-        nf=nf, n_inputs=V, n_outputs=1, s0=s0r,
+        rep(packed.w1), rep(packed.w2), rep(packed.imm),
+        rep(packed.lengths), var_lo, var_hi,
+        nf=nf, n_inputs=V, n_outputs=1, s0=s0c,
         c_words=c_words, interpret=interpret, op_order=op_order,
     )
-    rlo = olo[0, 0].reshape(-1)[:n0]
-    rhi = ohi[0, 0].reshape(-1)[:n0]
+    rlo = olo[:, 0].reshape(-1)[:n0]
+    rhi = ohi[:, 0].reshape(-1)[:n0]
     return rhi < 0.0, rlo > 0.0
 
 
