@@ -1053,10 +1053,12 @@ class PixelRenderer:
         standalone cull pass to size the worklist BEFORE paying the
         per-shape leaf compile; capacities bucket to n0/8 granularity
         so overflow retries (and their recompiles) are rare. 16-px
-        tiles are the default: XLA fuses over the flat pixel batch, so
-        fine tiles cost nothing extra and cull much tighter than the
-        interpreter pipeline's 128-px tiles (prospero 1024^2: 51%
-        active at 16 px vs 90% at 64 px). cull="interp" swaps the
+        tiles are the default — the measured sweet spot: they cull
+        much tighter than the interpreter pipeline's 128-px tiles
+        (prospero 1024^2: 51% active at 16 px vs 90% at 64 px), while
+        8-px tiles, despite culling to 38%, measured 2x SLOWER on TPU
+        (the 16k-tile argsort/scatter and 64-px leaf granularity
+        dominate; demos/exp_unrolled_tiles.py). cull="interp" swaps the
         unrolled interval pass for the shared Pallas interpreter —
         a ~3x cheaper per-shape compile at ~1 ms/frame cost (see
         _frame_unrolled_fn).
