@@ -30,23 +30,42 @@ def main():
     from fidget_tpu.render.region import ImageSize
     from fidget_tpu.render.render2d import PixelRenderer, _frame_unrolled_fn
 
+    from fidget_tpu.render.render2d import _cull_unrolled_fn, _ceil_to
+
     N = 1024
     TILE = 16
     tape = load_vm_tape("prospero.vm")
     r = PixelRenderer(tape, ImageSize(N, N))
-    # size the worklist once (cheap cull pass compile)
-    img = r.render_unrolled(tile_size=TILE)
-    cap = r._ucap[TILE]
+    # size the worklist via the cheap cull dispatch ONLY — a full
+    # render_unrolled here would compile the exact production HLO and
+    # the remote compile service caches identical programs, making the
+    # "default" row's cold-compile read 0.0 s
     n0x = n0y = N // TILE
-    print(f"cap={cap} n0={n0x * n0y}", flush=True)
+    n0 = n0x * n0y
+    from fidget_tpu.render.render2d import _register_tape
+    _register_tape(id(r.tape), lambda: (
+        r.tape, r.packed_b, r.axis_of, r.nf_b, r.cw_b,
+    ))
+    tx0 = np.arange(n0x) * TILE
+    gx0, gy0 = np.meshgrid(tx0, tx0)
+    cf = _cull_unrolled_fn(id(r.tape), TILE, n0x, n0y, r.n_inputs,
+                           r.interpret)
+    n_act = int(cf(
+        jnp.asarray(gx0.reshape(-1).astype(np.float32)),
+        jnp.asarray(gy0.reshape(-1).astype(np.float32)),
+        jnp.asarray(r._mat4(None)), jnp.float32(0.0),
+        jnp.zeros(r.n_inputs, jnp.float32),
+    ))
+    q = max(128, -(-n0 // 8))
+    cap = min(_ceil_to(max(n_act, 1), q), n0)
+    r._ucap = {TILE: cap}
+    print(f"cap={cap} n0={n0}", flush=True)
 
     def raw_for(cull):
         return _frame_unrolled_fn(
             id(r.tape), TILE, n0x, n0y, cap, r.n_inputs, False,
             r.interpret, cull,
         ).__wrapped__
-
-    raw = raw_for("unrolled")
 
     tx = np.arange(n0x) * TILE
     gx, gy = np.meshgrid(tx, tx)
@@ -76,10 +95,14 @@ def main():
         compiled = lowered.compile()
         t2 = time.time()
 
+        raw = raw_for(cull)
+
         def many(mat, k0):
             def body(k, acc):
                 m = mat * (1.0 + 1e-7 * (k + k0).astype(jnp.float32))
-                dist, fill, na = fn(x0, y0, m, jnp.float32(0.0), vec)
+                # call the RAW frame: compiler_options may only be set
+                # on the top-level jit, not on a nested one
+                dist, fill, na = raw(x0, y0, m, jnp.float32(0.0), vec)
                 return acc + jnp.sum(dist) + na.astype(jnp.float32)
 
             return lax.fori_loop(0, K, body, jnp.float32(0.0))
