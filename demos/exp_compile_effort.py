@@ -28,9 +28,10 @@ def main():
 
     from fidget_tpu.io.models import load_vm_tape
     from fidget_tpu.render.region import ImageSize
-    from fidget_tpu.render.render2d import PixelRenderer, _frame_unrolled_fn
-
-    from fidget_tpu.render.render2d import _cull_unrolled_fn, _ceil_to
+    from fidget_tpu.render.render2d import (
+        PixelRenderer, _frame_unrolled_fn, _cull_unrolled_fn, _ceil_to,
+        _register_tape,
+    )
 
     N = 1024
     TILE = 16
@@ -42,7 +43,6 @@ def main():
     # "default" row's cold-compile read 0.0 s
     n0x = n0y = N // TILE
     n0 = n0x * n0y
-    from fidget_tpu.render.render2d import _register_tape
     _register_tape(id(r.tape), lambda: (
         r.tape, r.packed_b, r.axis_of, r.nf_b, r.cw_b,
     ))
@@ -58,7 +58,8 @@ def main():
     ))
     q = max(128, -(-n0 // 8))
     cap = min(_ceil_to(max(n_act, 1), q), n0)
-    r._ucap = {TILE: cap}
+    r._ucap = getattr(r, "_ucap", {})
+    r._ucap[TILE] = cap
     print(f"cap={cap} n0={n0}", flush=True)
 
     def raw_for(cull):

@@ -512,7 +512,8 @@ def _unrolled_cull_stage(
     regardless of lane count — ~1 ms of the frame on prospero. The
     unrolled form pays no per-step dispatch and its cost is pure
     VPU arithmetic over [n0] lanes, which also makes fine cull tiles
-    (8 px -> 34% active vs 51% at 16 px on prospero 1024^2) free:
+    (8 px -> 38% active vs 51% at 16 px on prospero 1024^2;
+    demos/exp_unrolled_tiles.py) free:
     tile count only widens the lanes. Proofs are sound and, on
     NaN-free paths, identical to the interpreter's (see
     eval_tape_interval_fast's docstring for the NaN relaxation)."""

@@ -413,6 +413,52 @@ def test_unrolled_8px_tiles():
     assert ev.mean() <= (img16.fill == FILL_NONE).mean() + 1e-9
 
 
+def test_unrolled_sizing_cull_chunked():
+    # > 4096 tiles forces the sizing cull's chunked lane-block path
+    # (G > 1 in _cull_sizing_stage: 6400 tiles -> s0c=32, G=2); the
+    # chunked reshape/replication must count exactly the tiles the
+    # production unrolled cull marks active, and the frame itself must
+    # stay exact
+    import jax
+    import jax.numpy as jnp
+
+    from fidget_tpu.render.render2d import (
+        _cull_unrolled_fn,
+        _register_tape,
+        _unrolled_cull_stage,
+    )
+
+    if not has_model("hi.vm"):
+        pytest.skip("model assets unavailable")
+    ctx, root = load_vm("hi.vm")
+    tape = lower(ctx, [root])
+    r = PixelRenderer(tape, ImageSize(640, 640), interpret=True)
+    T0 = 8
+    n0x = n0y = 640 // T0
+    n0 = n0x * n0y
+    assert n0 > 4096  # G = 2 in the sizing cull
+    key = id(r.tape)
+    _register_tape(key, lambda: (
+        r.tape, r.packed_b, r.axis_of, r.nf_b, r.cw_b,
+    ))
+    tx = np.arange(n0x, dtype=np.float32) * T0
+    gx, gy = np.meshgrid(tx, tx)
+    x0 = jnp.asarray(gx.reshape(-1))
+    y0 = jnp.asarray(gy.reshape(-1))
+    mat = jnp.asarray(r._mat4(None))
+    vec = jnp.zeros(r.n_inputs, jnp.float32)
+    cf = _cull_unrolled_fn(key, T0, n0x, n0y, r.n_inputs, True)
+    n_act_sizing = int(cf(x0, y0, mat, jnp.float32(0.0), vec))
+    ri, ro = jax.jit(lambda m: _unrolled_cull_stage(
+        key, T0, n0, r.n_inputs, x0, y0, m, jnp.float32(0.0), vec, True
+    ))(mat)
+    n_act_unrolled = int(np.asarray(~(ri | ro)).sum())
+    assert n_act_sizing == n_act_unrolled
+    img = r.render_unrolled(tile_size=T0)
+    brute = r.render_brute()
+    np.testing.assert_array_equal(img.inside(), brute < 0)
+
+
 def test_unrolled_async_warmup():
     """warmup='interp' must never block on the leaf compile: early
     frames come from the interpreter pipeline (exact occupancy), and
