@@ -137,11 +137,12 @@ def _prep_tape_args(w1, w2, imm, lengths):
         "nf", "n_inputs", "n_outputs", "s0", "interpret", "op_order"
     ),
 )
-def interp_float(
+def _interp_float_impl(
     w1, w2, imm, lengths, vars_, *, nf: int, n_inputs: int, n_outputs: int,
     s0: int, interpret: bool = False, op_order: tuple | None = None,
 ):
-    """Evaluates packed tapes in bulk float mode.
+    """Evaluates packed tapes in bulk float mode (non-differentiable
+    kernel body — the public `interp_float` adds the custom JVP).
 
     Args:
       w1/w2/imm: [T, L] packed arena (compiler/pack.py).
@@ -196,6 +197,56 @@ def interp_float(
     )(*_prep_tape_args(w1, w2, imm, lengths), vars_)
 
 
+@functools.lru_cache(maxsize=None)
+def _float_diff_fn(nf, n_inputs, n_outputs, s0, interpret, op_order):
+    """Builds (and caches per static config) the custom-JVP wrapper
+    that makes the float kernel forward-differentiable."""
+    kw = dict(
+        nf=nf, n_inputs=n_inputs, n_outputs=n_outputs, s0=s0,
+        interpret=interpret, op_order=op_order,
+    )
+
+    @jax.custom_jvp
+    def f(w1, w2, imm, lengths, vars_):
+        return _interp_float_impl(w1, w2, imm, lengths, vars_, **kw)
+
+    @f.defjvp
+    def f_jvp(primals, tangents):
+        w1, w2, imm, lengths, vars_ = primals
+        dvars = tangents[4]
+        # primal through the exact float kernel (the dual kernel's
+        # value channel differs at NaN ties: GradMode min/max pick a
+        # side where FloatMode propagates NaN)
+        primal_out = f(w1, w2, imm, lengths, vars_)
+        zero = jnp.zeros_like(vars_)
+        duals = jnp.stack([vars_, dvars, zero, zero], axis=2)
+        g = interp_grad(w1, w2, imm, lengths, duals, **kw)
+        return primal_out, g[:, :, 1]
+
+    return f
+
+
+def interp_float(
+    w1, w2, imm, lengths, vars_, *, nf: int, n_inputs: int, n_outputs: int,
+    s0: int, interpret: bool = False, op_order: tuple | None = None,
+):
+    """Evaluates packed tapes in bulk float mode (see
+    `_interp_float_impl` for the argument contract).
+
+    Forward-differentiable w.r.t. `vars_`: the custom JVP evaluates the
+    tangent through the dual-number kernel (`interp_grad`) with the
+    tangent in the dx channel, so `jax.jvp`/`jax.jacfwd`/`jax.linearize`
+    work through the zero-recompile interpreter pipeline. Reverse mode
+    (`jax.grad`) is NOT defined on this kernel — use the unrolled
+    evaluators (eval/unrolled.py, render_dense, fit_step) when a VJP is
+    required. Tangents w.r.t. `imm` are dropped: tape immediates are
+    compiler-baked constants, never parameters (parameters enter as
+    Var input planes)."""
+    return _float_diff_fn(nf, n_inputs, n_outputs, s0, interpret, op_order)(
+        w1, w2, imm, lengths, vars_
+    )
+
+
 # ======================================================================
 # float mode fused with a per-column voxel depth reduction
 
@@ -207,7 +258,7 @@ def interp_float(
         "tiles_per_step",
     ),
 )
-def interp_voxel_depth(
+def _interp_voxel_depth_impl(
     w1, w2, imm, lengths, vars_, *, nf: int, n_inputs: int, s0: int,
     sub: int, interpret: bool = False, op_order: tuple | None = None,
     tiles_per_step: int = 1,
@@ -344,6 +395,43 @@ def interp_voxel_depth(
     return out[:T]
 
 
+@functools.lru_cache(maxsize=None)
+def _voxel_depth_nondiff_fn(nf, n_inputs, s0, sub, interpret, op_order,
+                            tiles_per_step):
+    kw = dict(
+        nf=nf, n_inputs=n_inputs, s0=s0, sub=sub, interpret=interpret,
+        op_order=op_order, tiles_per_step=tiles_per_step,
+    )
+
+    @jax.custom_jvp
+    def f(w1, w2, imm, lengths, vars_):
+        return _interp_voxel_depth_impl(w1, w2, imm, lengths, vars_, **kw)
+
+    @f.defjvp
+    def f_jvp(primals, tangents):
+        out = f(*primals)
+        # integer depths: piecewise constant in the inputs -> float0
+        return out, np.zeros(out.shape, dtype=jax.dtypes.float0)
+
+    return f
+
+
+def interp_voxel_depth(
+    w1, w2, imm, lengths, vars_, *, nf: int, n_inputs: int, s0: int,
+    sub: int, interpret: bool = False, op_order: tuple | None = None,
+    tiles_per_step: int = 1,
+):
+    """Fused voxel float-eval + per-column depth reduction (see
+    `_interp_voxel_depth_impl` for the contract). The integer depth
+    output is piecewise constant in the inputs, so its JVP is defined
+    as zero — surface-position gradients come from the normals pass
+    (`interp_grad` duals), matching the reference's split (voxel.rs
+    depths are u32; gradients only ever come from grad-mode evals)."""
+    return _voxel_depth_nondiff_fn(
+        nf, n_inputs, s0, sub, interpret, op_order, tiles_per_step
+    )(w1, w2, imm, lengths, vars_)
+
+
 # ======================================================================
 # float mode over a shared tape with per-tile action codes
 
@@ -448,7 +536,7 @@ def interp_float_coded(
         "op_order",
     ),
 )
-def interp_interval(
+def _interp_interval_impl(
     w1, w2, imm, lengths, var_lo, var_hi, *, nf: int, n_inputs: int,
     n_outputs: int, s0: int, c_words: int, interpret: bool = False,
     op_order: tuple | None = None,
@@ -568,6 +656,52 @@ def interp_interval(
         ],
         interpret=interpret,
     )(*_prep_tape_args(w1, w2, imm, lengths), var_lo, var_hi)
+
+
+@functools.lru_cache(maxsize=None)
+def _interval_nondiff_fn(nf, n_inputs, n_outputs, s0, c_words, interpret,
+                         op_order):
+    kw = dict(
+        nf=nf, n_inputs=n_inputs, n_outputs=n_outputs, s0=s0,
+        c_words=c_words, interpret=interpret, op_order=op_order,
+    )
+
+    @jax.custom_jvp
+    def f(w1, w2, imm, lengths, var_lo, var_hi):
+        return _interp_interval_impl(w1, w2, imm, lengths, var_lo, var_hi,
+                                     **kw)
+
+    @f.defjvp
+    def f_jvp(primals, tangents):
+        olo, ohi, ch = f(*primals)
+        return (olo, ohi, ch), (
+            jnp.zeros_like(olo),
+            jnp.zeros_like(ohi),
+            np.zeros(ch.shape, dtype=jax.dtypes.float0),
+        )
+
+    return f
+
+
+def interp_interval(
+    w1, w2, imm, lengths, var_lo, var_hi, *, nf: int, n_inputs: int,
+    n_outputs: int, s0: int, c_words: int, interpret: bool = False,
+    op_order: tuple | None = None,
+):
+    """Interval evaluation with choice capture (see
+    `_interp_interval_impl` for the contract).
+
+    Defines a ZERO JVP: in every pipeline the interval outputs feed
+    only region proofs and tape specialization — control flow that is
+    piecewise constant in the shape parameters (the same stop-gradient
+    contract as the reference's fill pixels, which carry no distance).
+    That makes the whole interpreter render pipeline `jax.jvp`-able:
+    tangents flow through the leaf float kernel and die at the proofs.
+    Do NOT use interval mode to compute derivative bounds via autodiff;
+    for derivative intervals evaluate a `Context.deriv` tape instead."""
+    return _interval_nondiff_fn(
+        nf, n_inputs, n_outputs, s0, c_words, interpret, op_order
+    )(w1, w2, imm, lengths, var_lo, var_hi)
 
 
 # ======================================================================
