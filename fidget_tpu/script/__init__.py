@@ -42,12 +42,12 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\d+\.(?!\.)(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<str>"(?:[^"\\]|\\.)*")
-  | (?P<op>\#\{|\.\.=?|==|!=|<=|>=|&&|\|\||\+=|-=|\*=|/=|%=|[-+*/%(){}\[\],;:.<>=!|&])
+  | (?P<op>\#\{|\.\.=?|=>|==|!=|<=|>=|&&|\|\||\+=|-=|\*=|/=|%=|[-+*/%(){}\[\],;:.<>=!|&])
     """,
     re.VERBOSE | re.DOTALL,
 )
 
-_KEYWORDS = {"let", "fn", "for", "in", "if", "else", "return", "true", "false", "while", "break", "continue"}
+_KEYWORDS = {"let", "fn", "for", "in", "if", "else", "return", "true", "false", "while", "break", "continue", "switch"}
 
 
 def tokenize(src: str):
@@ -241,6 +241,11 @@ class Parser:
             elif k == "(" and e[0] == "ident":
                 args = self.parse_args()
                 e = ("call", e[1], args)
+            elif k == "(":
+                # calling a non-ident callee: closure values, e.g.
+                # (make_adder(1))(2) or fns[0](x)
+                args = self.parse_args()
+                e = ("callv", e, args)
             elif k == "[":
                 self.next()
                 idx = self.parse_expr()
@@ -310,6 +315,40 @@ class Parser:
         if k == "{":
             self.i -= 1
             return self.parse_block()
+        if k in ("|", "||"):
+            # anonymous function / closure: |a, b| expr  (Rhai's
+            # closure syntax; `||` is the zero-parameter form)
+            params = []
+            if k == "|":
+                while self.peek()[0] != "|":
+                    params.append(self.expect("ident")[1])
+                    if not self.accept(","):
+                        break
+                self.expect("|")
+            body = self.parse_expr()
+            return ("closure", params, body)
+        if k == "switch":
+            val = self.parse_expr()
+            self.expect("{")
+            arms = []
+            while self.peek()[0] != "}":
+                if self.peek() == ("ident", "_"):
+                    self.next()
+                    pats = None  # default arm
+                else:
+                    pats = [self.parse_expr()]
+                    while self.accept("|"):
+                        pats.append(self.parse_expr())
+                guard = None
+                if self.accept("if"):
+                    guard = self.parse_expr()
+                self.expect("=>")
+                body = self.parse_expr()
+                arms.append((pats, guard, body))
+                if not self.accept(","):
+                    break
+            self.expect("}")
+            return ("switch", val, arms)
         raise ScriptError(f"unexpected token {k!r}")
 
 
@@ -327,6 +366,23 @@ class _Continue(Exception):
 class _Return(Exception):
     def __init__(self, value):
         self.value = value
+
+
+@dataclass
+class _Closure:
+    """An anonymous-function value (Rhai `|x| ...`).
+
+    Captures the defining environment chain by reference — mutations to
+    captured variables are visible in both directions, matching Rhai's
+    shared-variable closure capture (fidget embeds full Rhai:
+    fidget-rhai/src/lib.rs:74-120)."""
+
+    params: list
+    body: tuple
+    env: list
+
+    def __repr__(self) -> str:
+        return f"<closure({', '.join(self.params)})>"
 
 
 @dataclass
@@ -746,11 +802,59 @@ class Engine:
         if k == "call":
             args = [self._eval(a, env) for a in e[2]]
             return self._call(e[1], args, env)
+        if k == "callv":
+            fn = self._eval(e[1], env)
+            args = [self._eval(a, env) for a in e[2]]
+            if not isinstance(fn, _Closure):
+                raise ScriptError(
+                    f"cannot call a {type(fn).__name__} value"
+                )
+            return self._invoke_closure(fn, args)
         if k == "method":
             obj = self._eval(e[1], env)
             args = [self._eval(a, env) for a in e[3]]
             return self._call(e[2], [obj] + args, env)
+        if k == "closure":
+            return _Closure(e[1], e[2], list(env))
+        if k == "switch":
+            v = self._eval(e[1], env)
+            default = None
+            for pats, guard, body in e[2]:
+                if pats is None:
+                    default = (guard, body)
+                    continue
+                for p in pats:
+                    pv = self._eval(p, env)
+                    if isinstance(pv, range):
+                        hit = (
+                            isinstance(v, (int, float))
+                            and not isinstance(v, bool)
+                            and pv.start <= v < pv.stop
+                        )
+                    else:
+                        hit = type(v) is type(pv) and v == pv
+                    if hit and (
+                        guard is None
+                        or self._truthy(self._eval(guard, env))
+                    ):
+                        return self._eval(body, env)
+            if default is not None:
+                guard, body = default
+                if guard is None or self._truthy(self._eval(guard, env)):
+                    return self._eval(body, env)
+            return None
         raise ScriptError(f"unknown expression {k!r}")
+
+    def _invoke_closure(self, c: _Closure, args):
+        if len(args) != len(c.params):
+            raise ScriptError(
+                f"closure expects {len(c.params)} args, got {len(args)}"
+            )
+        env2 = c.env + [dict(zip(c.params, args))]
+        try:
+            return self._eval(c.body, env2)
+        except _Return as r:
+            return r.value
 
     def _prop(self, obj, name):
         if isinstance(obj, dict):
@@ -824,7 +928,20 @@ class Engine:
     # -- calls -------------------------------------------------------------
 
     def _call(self, name, args, env):
-        # user-defined functions
+        # closure values: `f(x)` where f is a variable holding a
+        # closure, and the explicit `f.call(x)` form
+        if name == "call" and args and isinstance(args[0], _Closure):
+            return self._invoke_closure(args[0], args[1:])
+        if name not in self._fns:
+            for scope in reversed(env):
+                if name in scope:
+                    v = scope[name]
+                    if isinstance(v, _Closure):
+                        return self._invoke_closure(v, args)
+                    break
+
+        # user-defined functions (checked before builtins: Rhai lets
+        # script fns shadow the standard library)
         if name in self._fns:
             params, body = self._fns[name]
             if len(args) != len(params):
@@ -843,6 +960,57 @@ class Engine:
                 raise ScriptError(
                     f"break/continue outside of a loop in fn {name}"
                 )
+
+        # array / map builtins (the Rhai standard-library subset that
+        # the reference's scripts lean on)
+        if args and isinstance(args[0], list):
+            arr, rest = args[0], args[1:]
+            if name == "len" and not rest:
+                return len(arr)
+            if name == "is_empty" and not rest:
+                return len(arr) == 0
+            if name == "push" and len(rest) == 1:
+                arr.append(rest[0])
+                return None
+            if name == "pop" and not rest:
+                if not arr:
+                    raise ScriptError("pop from an empty array")
+                return arr.pop()
+            if name == "contains" and len(rest) == 1:
+                return rest[0] in arr
+            if name == "reverse" and not rest:
+                arr.reverse()
+                return None
+            if name == "map" and len(rest) == 1 and isinstance(rest[0], _Closure):
+                return [self._invoke_closure(rest[0], [v]) for v in arr]
+            if name == "filter" and len(rest) == 1 and isinstance(rest[0], _Closure):
+                return [
+                    v for v in arr
+                    if self._truthy(self._invoke_closure(rest[0], [v]))
+                ]
+            if name == "reduce" and rest and isinstance(rest[0], _Closure):
+                f = rest[0]
+                if len(rest) == 2:
+                    acc = rest[1]
+                    items = arr
+                elif arr:
+                    acc = arr[0]
+                    items = arr[1:]
+                else:
+                    return None
+                for v in items:
+                    acc = self._invoke_closure(f, [acc, v])
+                return acc
+        if isinstance(args[0] if args else None, dict):
+            m, rest = args[0], args[1:]
+            if name == "len" and not rest:
+                return len(m)
+            if name == "contains" and len(rest) == 1:
+                return rest[0] in m
+            if name == "keys" and not rest:
+                return list(m.keys())
+            if name == "values" and not rest:
+                return list(m.values())
 
         # tree / math builtins
         if name in _TREE_UNARY and len(args) == 1:

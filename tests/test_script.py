@@ -193,3 +193,86 @@ def test_scale_zero_component_is_ieee():
     # 1/0 = inf like the reference's Rust f64, not ZeroDivisionError
     res = eval_script("draw(scale(circle(#{radius: 0.5}), [0.0, 1.0, 1.0]));")
     assert len(res.shapes) == 1
+
+
+# ---------------------------------------------------------------------
+# round 3: closures + switch (fidget embeds full Rhai; these are the
+# two most common idioms beyond the round-2 subset —
+# fidget-rhai/src/lib.rs:74-225)
+
+
+def test_closure_basics():
+    assert engine().eval("let f = |x| x * 2; f(21)") == 42
+    assert engine().eval("let f = |x| x * 2; f.call(21)") == 42
+    assert engine().eval("let f = || 7; f()") == 7
+    assert engine().eval("(|x, y| x + y)(2, 3)") == 5
+    assert engine().eval("let f = |x| { let y = x + 1; y * 2 }; f(3)") == 8
+
+
+def test_closure_capture_is_shared():
+    # Rhai closures capture variables as shared references
+    assert engine().eval(
+        "let n = 0; let inc = || { n += 1; n }; inc(); inc(); n"
+    ) == 2
+    assert engine().eval(
+        "fn make_adder(n) { |x| x + n } let g = make_adder(5); g(2)"
+    ) == 7
+
+
+def test_closure_builds_trees():
+    res = eval_script(
+        "let ball = |r| sphere(#{radius: r});\n"
+        "draw(ball(0.5));"
+    )
+    assert len(res.shapes) == 1
+
+
+def test_closure_arity_error():
+    with pytest.raises(ScriptError, match="expects 1 args"):
+        engine().eval("let f = |x| x; f(1, 2)")
+    with pytest.raises(ScriptError, match="cannot call"):
+        engine().eval("let a = [3]; a[0](1)")
+
+
+def test_switch_literals_and_default():
+    assert engine().eval("switch 2 { 1 => 10, 2 => 20, _ => 0 }") == 20
+    assert engine().eval("switch 9 { 1 => 10, 2 => 20, _ => 0 }") == 0
+    assert engine().eval('switch "b" { "a" => 1, "b" => 2, _ => 0 }') == 2
+    # no match and no default -> unit (None)
+    assert engine().eval("switch 9 { 1 => 10 }") is None
+
+
+def test_switch_multi_and_range_patterns():
+    assert engine().eval("switch 5 { 1 | 5 | 9 => 100, _ => 0 }") == 100
+    assert engine().eval("switch 7 { 0..10 => 1, _ => 2 }") == 1
+    assert engine().eval("switch 10 { 0..10 => 1, _ => 2 }") == 2
+    assert engine().eval("switch 10 { 0..=10 => 1, _ => 2 }") == 1
+    # Rhai switch matching is type-strict: int case doesn't match float
+    assert engine().eval("switch 2.0 { 2 => 1, _ => 0 }") == 0
+
+
+def test_switch_guards_and_blocks():
+    assert engine().eval(
+        "let x = 6; switch x { 6 if x > 5 => 1, 6 => 2, _ => 3 }"
+    ) == 1
+    assert engine().eval(
+        "let x = 6; switch x { 6 if x > 9 => 1, 6 => 2, _ => 3 }"
+    ) == 2
+    assert engine().eval(
+        "switch 1 { 1 => { let t = 4; t * 2 }, _ => 0 }"
+    ) == 8
+
+
+def test_array_closure_methods():
+    assert engine().eval("[1,2,3].map(|v| v * v)") == [1, 4, 9]
+    assert engine().eval("[1,2,3,4].filter(|v| v % 2 == 0)") == [2, 4]
+    assert engine().eval("[1,2,3].reduce(|s, v| s + v, 0)") == 6
+    assert engine().eval("[1,2,3].reduce(|s, v| s + v)") == 6
+    assert engine().eval("let a = [1]; a.push(5); a.len()") == 2
+    assert engine().eval("[].is_empty()") is True
+    assert engine().eval("[1,2].contains(2)") is True
+    assert engine().eval("#{a: 1, b: 2}.keys().len()") == 2
+
+
+def test_user_fn_shadows_builtin():
+    assert engine().eval("fn len(a) { 99 } [1,2,3].len()") == 99
