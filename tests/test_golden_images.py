@@ -82,3 +82,233 @@ def test_hi_golden_python_compiler():
     occ = r.render().inside()
     got = ["".join("X" if v else "." for v in row) for row in occ]
     assert got == HI_32
+
+
+# ---------------------------------------------------------------------
+# round 3: the reference's golden VARIANTS — wide images, affine
+# transforms, View2 cameras, ShapeVars, and the -inf constant
+# (fidget/tests/pixel_render.rs:108-420). Goldens are verbatim test
+# data from the reference (the cross-validation target).
+
+HI_WIDE_64 = [
+    ".................................#..............................",
+    ".................................#..............................",
+    ".................................#..............................",
+    ".................................#..........##..................",
+    ".................................#..........##..................",
+    ".................................#..............................",
+    ".................................#..............................",
+    ".................................######.....##..................",
+    ".................................###..##....##..................",
+    ".................................##....##...##..................",
+    ".................................#......#...##..................",
+    ".................................#......#...##..................",
+    ".................................#......#...##..................",
+    ".................................#......#...##..................",
+    ".................................#......#...##..................",
+    "................................................................",
+    "................................................................",
+    "................................................................",
+    "................................................................",
+    "................................................................",
+    "................................................................",
+    "................................................................",
+    "................................................................",
+    "................................................................",
+    "................................................................",
+    "................................................................",
+    "................................................................",
+    "................................................................",
+    "................................................................",
+    "................................................................",
+    "................................................................",
+    "................................................................",
+]
+
+HI_TRANSFORMED_32 = [
+    ".###............................",
+    ".###............................",
+    ".###............................",
+    ".###............................",
+    ".###............................",
+    ".###............................",
+    ".###............................",
+    ".###....................###.....",
+    ".###...................#####....",
+    ".###...................#####....",
+    ".###...................####.....",
+    ".###............................",
+    ".###............................",
+    ".###............................",
+    ".###..######............###.....",
+    ".#############..........###.....",
+    ".###############........###.....",
+    ".######....#####........###.....",
+    ".#####.......####.......###.....",
+    ".####.........###.......###.....",
+    ".###..........####......###.....",
+    ".###...........###......###.....",
+    ".###...........###......###.....",
+    ".###...........###......###.....",
+    ".###...........###......###.....",
+    ".###...........###......###.....",
+    ".###...........###......###.....",
+    ".###...........###......###.....",
+    ".###...........###......###.....",
+    ".###...........###......###.....",
+    ".###...........###......###.....",
+    "................................",
+]
+
+CIRCLE_VAR_075 = [
+    "................................",
+    "................................",
+    "................................",
+    "................................",
+    "............#########...........",
+    "..........#############.........",
+    ".........###############........",
+    "........#################.......",
+    ".......###################......",
+    "......#####################.....",
+    "......#####################.....",
+    ".....#######################....",
+    ".....#######################....",
+    ".....#######################....",
+    ".....#######################....",
+    ".....#######################....",
+    ".....#######################....",
+    ".....#######################....",
+    ".....#######################....",
+    ".....#######################....",
+    "......#####################.....",
+    "......#####################.....",
+    ".......###################......",
+    "........#################.......",
+    ".........###############........",
+    "..........#############.........",
+    "............#########...........",
+    "................................",
+    "................................",
+    "................................",
+    "................................",
+    "................................",
+]
+
+CIRCLE_VAR_05 = [
+    "................................",
+    "................................",
+    "................................",
+    "................................",
+    "................................",
+    "................................",
+    "................................",
+    "................................",
+    ".............#######............",
+    "...........###########..........",
+    "..........#############.........",
+    "..........#############.........",
+    ".........###############........",
+    ".........###############........",
+    ".........###############........",
+    ".........###############........",
+    ".........###############........",
+    ".........###############........",
+    ".........###############........",
+    "..........#############.........",
+    "..........#############.........",
+    "...........###########..........",
+    ".............#######............",
+    "................................",
+    "................................",
+    "................................",
+    "................................",
+    "................................",
+    "................................",
+    "................................",
+    "................................",
+    "................................",
+]
+
+
+
+def _check_tape(tape, golden, *, size=None, world_to_model=None,
+                vars=None, tile_sizes=(32, 16)):
+    W, H = (len(golden[0]), len(golden)) if size is None else size
+    r = PixelRenderer(
+        tape, ImageSize(W, H), tile_sizes=tile_sizes, interpret=True
+    )
+    occ = r.render(world_to_model, vars=vars).inside()
+    got = ["".join("#" if v else "." for v in row) for row in occ]
+    if got != golden:
+        diff = "\n".join(
+            f"{g}   {e}   {'<<<' if g != e else ''}"
+            for g, e in zip(got, golden)
+        )
+        pytest.fail(f"golden mismatch (got / expected):\n{diff}")
+
+
+@pytest.mark.skipif(not has_model("hi.vm"), reason="models unavailable")
+def test_hi_wide_golden():
+    # non-square image: width 64, height 32 (pixel_render.rs wide cfg)
+    _check_tape(load_vm_tape("hi.vm"), HI_WIDE_64)
+
+
+@pytest.mark.skipif(not has_model("hi.vm"), reason="models unavailable")
+@pytest.mark.parametrize("tile_sizes", [(32, 16), (16,)])
+def test_hi_transformed_golden(tile_sizes):
+    # world->model = translate(0.5, 0.5) ∘ scale(0.5)
+    # (pixel_render.rs check_hi_transformed)
+    mat = np.array(
+        [[0.5, 0.0, 0.5], [0.0, 0.5, 0.5], [0.0, 0.0, 1.0]], np.float64
+    )
+    _check_tape(
+        load_vm_tape("hi.vm"), HI_TRANSFORMED_32,
+        world_to_model=mat, tile_sizes=tile_sizes,
+    )
+
+
+@pytest.mark.skipif(not has_model("hi.vm"), reason="models unavailable")
+def test_hi_bounded_golden_via_view2():
+    # the same region expressed as a View2 camera
+    # (pixel_render.rs check_hi_bounded): must match the raw-matrix
+    # golden exactly
+    from fidget_tpu.gui import View2
+
+    view = View2.from_center_and_scale((0.5, 0.5), 0.5)
+    _check_tape(
+        load_vm_tape("hi.vm"), HI_TRANSFORMED_32,
+        world_to_model=view.world_to_model(),
+    )
+
+
+@pytest.mark.parametrize("radius,golden", [
+    (0.75, CIRCLE_VAR_075), (0.5, CIRCLE_VAR_05),
+])
+def test_circle_var_golden(radius, golden):
+    # Var-radius circle with ShapeVars bindings
+    # (pixel_render.rs check_circle_var)
+    from fidget_tpu import Context, lower
+    from fidget_tpu.core.var import Var
+
+    ctx = Context()
+    v = Var.new()
+    f = ctx.sub(
+        ctx.sqrt(ctx.add(ctx.square(ctx.x()), ctx.square(ctx.y()))),
+        ctx.input(v),
+    )
+    tape = lower(ctx, [f])
+    _check_tape(tape, golden, vars={v: radius})
+
+
+def test_neg_infinity_constant_inside():
+    # a -inf constant shape renders all-inside, pixel_perfect
+    # (pixel_render.rs check_neg_infinity)
+    from fidget_tpu import Context, lower
+
+    ctx = Context()
+    root = ctx.constant(float("-inf"))
+    tape = lower(ctx, [root])
+    r = PixelRenderer(tape, ImageSize(64, 64), interpret=True)
+    img = r.render(pixel_perfect=True)
+    assert img.inside().all()

@@ -448,3 +448,55 @@ def test_voxels_sharded_refuses_oversize_fused_slab():
             tape, VoxelSize(1024, 1024, 1024), mesh,
             tile_size=64, sub_size=16, interpret=True,
         )
+
+
+def test_sphere_var_closed_form():
+    """The reference's Var-radius analytic-sphere check
+    (fidget/tests/voxel_render.rs:13-75): render at two View3 scales
+    and two ShapeVars radii, then verify every non-saturated voxel
+    against the closed form with the same 2-voxel epsilon."""
+    from fidget_tpu.gui import View3
+
+    ctx = Context()
+    v = Var.new()
+    r2 = ctx.add(
+        ctx.square(ctx.x()),
+        ctx.add(ctx.square(ctx.y()), ctx.square(ctx.z())),
+    )
+    tape = lower(ctx, [ctx.sub(ctx.sqrt(r2), ctx.input(v))])
+
+    size = 32
+    vsize = VoxelSize(size, size, size)
+    s2w = vsize.screen_to_world()
+    xs, ys = np.meshgrid(
+        np.arange(size, dtype=np.float64),
+        np.arange(size, dtype=np.float64),
+    )
+    renderer = VoxelRenderer(
+        tape, vsize, tile_size=16, sub_size=8,
+        interpret=True, specialize=False,
+    )
+    for scale in (1.0, 0.5):
+        w2m = View3.from_center_and_scale(
+            np.zeros(3), scale
+        ).world_to_model()
+        for rad in (0.5, 0.75):
+            img = renderer.render(w2m, vars={v: rad}, mode="heightmap")
+            depth = img.depth.astype(np.float64)
+            eps = 2.0 / size / scale * 2.0
+            pts = np.stack(
+                [xs, ys, depth, np.ones_like(xs)], axis=-1
+            ) @ s2w.T
+            pos = pts[..., :3] * scale
+            sat = img.depth >= size
+            empty = (img.depth == 0) & ~sat
+            filled = ~empty & ~sat
+            rr_xy = np.hypot(pos[..., 0], pos[..., 1])
+            assert (
+                rr_xy[empty] + eps > rad
+            ).all(), "empty column inside the sphere"
+            rr = np.linalg.norm(pos, axis=-1)
+            err = np.abs(rr - rad)
+            assert (
+                err[filled] < eps
+            ).all(), f"max depth error {err[filled].max()} >= {eps}"
