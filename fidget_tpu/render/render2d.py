@@ -607,18 +607,24 @@ def _unrolled_leaf_stage(tape_key, T0, cx0, cy0, valid, mat, z, var_vec):
     px = cx0[:, None] + ii[None, :] % T0
     py = cy0[:, None] + ii[None, :] // T0
     mx, my, mz = transform_points(mat, px, py, z)
-    # flatten to 1D lanes: XLA tiles a [C*pp] vector densely even when
-    # pp < 128 (8-px tiles have 64-px leaves), where [C, pp] would
-    # waste (128 - pp)/128 of every vreg
+    # the whole tape chain MUST evaluate in the same [C, pp] shape the
+    # planes are built in: a bitcast reshape (e.g. to flat [C*pp]
+    # lanes) between the iota-rooted plane construction and the chain
+    # stops XLA:TPU fusing across it, materializing one HBM buffer per
+    # tape op (measured on prospero 1024^2/16px: 916 MB of temps,
+    # 710 MB/frame of traffic, 8.3 ms vs 2.3 ms for the 2D form —
+    # demos/exp_leaf_bisect.py). At pp < 128 (8-px tiles) the 2D form
+    # wastes (128-pp)/128 of each vreg, but staying fused is ~4x
+    # faster than the dense-tiled flat form regardless.
     inputs = [
-        jnp.broadcast_to(var_vec[i], (C * pp,)) for i in range(V)
+        jnp.broadcast_to(var_vec[i], (C, pp)) for i in range(V)
     ]
     for kind, plane in (("x", mx), ("y", my), ("z", mz)):
         idx = axis_of.get(kind)
         if idx is not None:
-            inputs[idx] = jnp.broadcast_to(plane, (C, pp)).reshape(C * pp)
+            inputs[idx] = jnp.broadcast_to(plane, (C, pp))
     outs = eval_tape_float_fast(tape, inputs)
-    return jnp.where(valid[:, None], outs[0].reshape(C, pp), 0.0)
+    return jnp.where(valid[:, None], outs[0], 0.0)
 
 
 @functools.lru_cache(maxsize=32)

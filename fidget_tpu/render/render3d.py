@@ -540,20 +540,22 @@ class _Pipeline3:
             from ..eval.unrolled_fast import eval_tape_float_fast
 
             mx, my, mz = transform_points(mat, px, py, pz)
-            flat = (cap_s * sub**3,)
+            # evaluate the chain in the [cap_s, sub^3] shape the planes
+            # are built in: a bitcast reshape to flat lanes between the
+            # iota-rooted plane construction and the chain stops
+            # XLA:TPU fusing across it and materializes one HBM buffer
+            # per tape op (demos/exp_leaf_bisect.py; same fix as the 2D
+            # _unrolled_leaf_stage)
+            shp = (cap_s, sub**3)
             inputs = [
-                jnp.broadcast_to(var_vec[i], flat).astype(jnp.float32)
+                jnp.broadcast_to(var_vec[i], shp).astype(jnp.float32)
                 for i in range(b.V)
             ]
             for kind, plane in (("x", mx), ("y", my), ("z", mz)):
                 i = b.axis_of.get(kind)
                 if i is not None:
-                    inputs[i] = jnp.broadcast_to(
-                        plane, (cap_s, sub**3)
-                    ).reshape(flat)
-            dv = eval_tape_float_fast(b.tape, inputs)[0].reshape(
-                cap_s, sub**3
-            )
+                    inputs[i] = jnp.broadcast_to(plane, shp)
+            dv = eval_tape_float_fast(b.tape, inputs)[0]
             inside = (dv < 0.0) & valid[:, None]
             inside = inside.reshape(cap_s, sub, sub, sub)
             vz_col = jnp.arange(sub, dtype=jnp.int32)[None, :, None, None]
