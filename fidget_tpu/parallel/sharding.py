@@ -35,6 +35,20 @@ from ..eval.unrolled import eval_tape
 from ..render.region import ImageSize, compose2
 
 
+def _to_host(a) -> np.ndarray:
+    """Device array -> host numpy, multi-process safe.
+
+    Under `jax.distributed` each process only holds its addressable
+    shards, so a plain np.asarray on a sharded global array raises;
+    process_allgather replicates the value across hosts first (bulk
+    image rows ride the ICI/DCN allgather exactly once)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(a)
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "tiles") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
@@ -267,7 +281,7 @@ def render_tiles_sharded(
     img, fill = f(mat, jnp.float32(z), vec, x0, y0)
     H, W = size.height, size.width
     return Image2D(
-        np.asarray(img)[:H, :W], np.asarray(fill)[:H, :W]
+        _to_host(img)[:H, :W], _to_host(fill)[:H, :W]
     )
 
 
@@ -445,9 +459,9 @@ def render_unrolled_sharded(
             break
         cap = bucket(int(n_active))
     H, W = size.height, size.width
-    out = Image2D(np.asarray(img)[:H, :W], np.asarray(fill)[:H, :W])
+    out = Image2D(_to_host(img)[:H, :W], _to_host(fill)[:H, :W])
     if _debug_counts:
-        return out, np.asarray(counts)
+        return out, _to_host(counts)
     return out
 
 
