@@ -3,9 +3,10 @@
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 The metric is steady-state render throughput in Mpix/s via the
-tiled-unrolled pipeline (16-px interval culling + the whole tape
+tiled-unrolled pipeline (8-px interval culling + the whole tape
 compiled into XLA over the compacted active-tile worklist — the
-fidget-JIT-with-culling analog). The reference baseline is fidget's
+fidget-JIT-with-culling analog; 8-px tiles cull to 38% active on
+prospero and won the round-3 sweep, demos/exp_unrolled_tiles.py). The reference baseline is fidget's
 published number — 14.489 ms/frame at 512^2 with the multithreaded VM
 evaluator (demos/README.md:8-13) = 18.1 Mpix/s.
 
@@ -28,7 +29,7 @@ import time
 import numpy as np
 
 BASELINE_MPIX_S = 18.1  # fidget demos/README.md: 14.489 ms @ 512^2
-TILE = 16
+TILE = 8
 
 
 def fail(metric, value):

@@ -293,7 +293,7 @@ def render_unrolled_sharded(
     world_to_model: np.ndarray | None = None,
     z: float = 0.0,
     vars: dict | None = None,
-    tile_size: int = 16,
+    tile_size: int = 8,
     cap: int | None = None,
     interpret: bool | None = None,
     max_retries: int = 3,

@@ -1047,7 +1047,7 @@ class PixelRenderer:
         z: float = 0.0,
         vars: "ShapeVars | dict | None" = None,
         pixel_perfect: bool = False,
-        tile_size: int = 16,
+        tile_size: int = 8,
         cap: int | None = None,
         max_retries: int = 3,
         cull: str = "unrolled",
@@ -1059,14 +1059,13 @@ class PixelRenderer:
         fidget-JIT analog with culling. The first render runs a cheap
         standalone cull pass to size the worklist BEFORE paying the
         per-shape leaf compile; capacities bucket to n0/8 granularity
-        so overflow retries (and their recompiles) are rare. 16-px
-        tiles are the default — the measured sweet spot: they cull
-        much tighter than the interpreter pipeline's 128-px tiles
-        (prospero 1024^2: 51% active at 16 px vs 90% at 64 px), while
-        8-px tiles, despite culling to 38%, measured 2x SLOWER on TPU
-        (the 16k-tile argsort/scatter and 64-px leaf granularity
-        dominate; demos/exp_unrolled_tiles.py). cull="interp" swaps the
-        unrolled interval pass for the shared Pallas interpreter —
+        so overflow retries (and their recompiles) are rare. 8-px
+        tiles are the measured default since the round-3 fusion fix
+        made leaf cost track the active fraction (prospero 1024^2:
+        38% active at 8 px = 1156 Mpix/s vs 51%/855 at 16 px and
+        75%/766 at 32 px; the 16k-tile cull+argsort cost ~0.25 ms —
+        demos/exp_unrolled_tiles.py, 2026-08-19). cull="interp" swaps
+        the unrolled interval pass for the shared Pallas interpreter —
         a ~3x cheaper per-shape compile at ~1 ms/frame cost (see
         _frame_unrolled_fn).
 
