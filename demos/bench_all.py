@@ -30,7 +30,7 @@ def bench_2d(name, N, results):
     from fidget_tpu.render.region import ImageSize
     from fidget_tpu.render.render2d import PixelRenderer, _frame_unrolled_fn
 
-    TILE = 16
+    TILE = 8   # round-3 sweep winner (demos/exp_unrolled_tiles.py)
     tape = load_vm_tape(name)
     r = PixelRenderer(tape, ImageSize(N, N))
     img = r.render_unrolled(tile_size=TILE)
@@ -184,6 +184,16 @@ def main():
             print(json.dumps(r), flush=True)
         bench_mesh(results)
         print(json.dumps(results[-1]), flush=True)
+    out = os.environ.get("BENCH_ALL_OUT")
+    if out:
+        import datetime
+
+        with open(out, "w") as f:
+            json.dump({
+                "configs": results,
+                "note": "K-slope 2D Mpix/s; 3D/mesh device-frame ms / "
+                        "warm-build s; occupancy-guarded",
+            }, f, indent=1)
 
 
 if __name__ == "__main__":

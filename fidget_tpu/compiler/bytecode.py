@@ -251,3 +251,66 @@ def decode(words: np.ndarray, var_map: VarMap | None = None) -> Tape:
 def as_bytes(tape: Tape) -> bytes:
     """Serializes to little-endian bytes (the stable interop surface)."""
     return encode(tape).astype("<u4").tobytes()
+
+
+# ---------------------------------------------------------------------
+# self-contained tape container: bytecode + variable identities
+#
+# The wire bytecode deliberately carries no variable identities (the
+# reference keeps the VarMap alongside the Bytecode buffer, and its
+# web editor ships a bincoded VmData between workers instead —
+# fidget-core/src/vm/data.rs:64, demos/web-editor/crate/src/lib.rs:30-45).
+# This container is that VmData-serde analog: a decoded tape binds the
+# SAME Var identities, so ShapeVars written against the original shape
+# keep working across save/load (and across processes).
+
+_FTPT_MAGIC = 0x46545054  # "FTPT"
+_FTPT_VERSION = 1
+_VAR_KINDS = ("x", "y", "z", "v")
+
+
+def save_tape(tape: Tape) -> bytes:
+    """Serializes tape + VarMap into one self-contained buffer.
+
+    Layout (all little-endian): u32 magic 'FTPT', u32 version,
+    u32 n_vars, u32 reserved; per var (in argument-index order)
+    u32 kind (0=x 1=y 2=z 3=custom) + u64 ident; then the canonical
+    bytecode words (`as_bytes`)."""
+    vars_in_order = [
+        v for v, _ in sorted(tape.var_map.items(), key=lambda kv: kv[1])
+    ]
+    head = np.array(
+        [_FTPT_MAGIC, _FTPT_VERSION, len(vars_in_order), 0], "<u4"
+    ).tobytes()
+    body = b"".join(
+        np.array([_VAR_KINDS.index(v.kind)], "<u4").tobytes()
+        + np.array([v.ident], "<u8").tobytes()
+        for v in vars_in_order
+    )
+    return head + body + as_bytes(tape)
+
+
+def load_tape(data: bytes) -> Tape:
+    """Decodes a `save_tape` buffer, restoring Var identities."""
+    from ..core.var import Var
+
+    head = np.frombuffer(data[:16], "<u4")
+    if len(head) < 4 or int(head[0]) != _FTPT_MAGIC:
+        raise ValueError("not a fidget_tpu tape container (bad magic)")
+    if int(head[1]) != _FTPT_VERSION:
+        raise ValueError(f"unsupported tape container version {head[1]}")
+    n_vars = int(head[2])
+    off = 16
+    var_map = VarMap()
+    for _ in range(n_vars):
+        kind = int(np.frombuffer(data[off:off + 4], "<u4")[0])
+        ident = int(np.frombuffer(data[off + 4:off + 12], "<u8")[0])
+        if not 0 <= kind < len(_VAR_KINDS):
+            raise ValueError(f"bad var kind {kind}")
+        k = _VAR_KINDS[kind]
+        var_map.insert(
+            getattr(Var, k.upper()) if k != "v" else Var("v", ident)
+        )
+        off += 12
+    words = np.frombuffer(data[off:], "<u4")
+    return decode(words, var_map)

@@ -151,7 +151,7 @@ def test_editor_service():
         page = urllib.request.urlopen(
             f"http://127.0.0.1:{port}/", timeout=30
         ).read()
-        assert b"fidget_tpu editor" in page
+        assert b"fidget_tpu viewer" in page
         script = b"draw(circle(#{ radius: 0.5 }));"
         png = urllib.request.urlopen(
             urllib.request.Request(
@@ -160,6 +160,39 @@ def test_editor_service():
             timeout=120,
         ).read()
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        # interactive-viewer cameras: a panned/zoomed View2 and a
+        # rotated View3 must render through the same endpoints
+        png2 = urllib.request.urlopen(
+            urllib.request.Request(
+                f"http://127.0.0.1:{port}/render?size=64"
+                "&mode=2d&view2=0.25,-0.1,0.5",
+                data=script,
+            ),
+            timeout=120,
+        ).read()
+        assert png2[:8] == b"\x89PNG\r\n\x1a\n" and png2 != png
+        png3 = urllib.request.urlopen(
+            urllib.request.Request(
+                f"http://127.0.0.1:{port}/render?size=64"
+                "&mode=3d&view3=0,0,0,1,0.7,0.3",
+                data=script,
+            ),
+            timeout=300,
+        ).read()
+        assert png3[:8] == b"\x89PNG\r\n\x1a\n"
+        # malformed camera -> 400, not a server error
+        import urllib.error as _ue
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    f"http://127.0.0.1:{port}/render?view2=1,2",
+                    data=script,
+                ),
+                timeout=60,
+            )
+            assert False, "expected HTTPError"
+        except _ue.HTTPError as e:
+            assert e.code == 400
         tape = urllib.request.urlopen(
             urllib.request.Request(
                 f"http://127.0.0.1:{port}/tape", data=script

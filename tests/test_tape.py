@@ -297,3 +297,58 @@ def test_decode_malformed_raises_valueerror():
         decode(np.array([1, 2, 3], np.uint32))
     with pytest.raises(ValueError, match="header"):
         decode(np.zeros(6, np.uint32))
+
+
+def test_tape_container_roundtrip_preserves_vars():
+    """save_tape/load_tape (the VmData-serde analog,
+    fidget-core/src/vm/data.rs:64): Var identities survive the
+    round trip, so ShapeVars written against the original shape keep
+    working on the decoded tape — and evaluation matches."""
+    import numpy as np
+
+    from fidget_tpu import Context, lower
+    from fidget_tpu.compiler.bytecode import load_tape, save_tape
+    from fidget_tpu.core.var import Var
+    from fidget_tpu.eval.arith import FloatMode
+    from fidget_tpu.eval.unrolled import eval_tape
+
+    ctx = Context()
+    v = Var.new()
+    f = ctx.sub(
+        ctx.sqrt(ctx.add(ctx.square(ctx.x()), ctx.square(ctx.y()))),
+        ctx.input(v),
+    )
+    tape = lower(ctx, [f])
+    t2 = load_tape(save_tape(tape))
+    # identity, not just positional equivalence
+    assert list(t2.var_map.items()) == list(tape.var_map.items())
+    assert v in t2.var_map
+
+    fm = FloatMode(np)
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(3, 64)).astype(np.float32)
+
+    def ev(t):
+        inputs = [None] * len(t.var_map)
+        inputs[t.var_map[Var.X]] = pts[0]
+        inputs[t.var_map[Var.Y]] = pts[1]
+        inputs[t.var_map[v]] = pts[2]
+        (out,), _ = eval_tape(t, fm, inputs)
+        return out
+
+    np.testing.assert_array_equal(ev(tape), ev(t2))
+
+
+def test_tape_container_rejects_garbage():
+    import pytest as _pytest
+
+    from fidget_tpu.compiler.bytecode import load_tape
+
+    with _pytest.raises(ValueError, match="magic"):
+        load_tape(b"\x00" * 32)
+    with _pytest.raises(ValueError, match="version"):
+        import numpy as np
+
+        load_tape(
+            np.array([0x46545054, 99, 0, 0], "<u4").tobytes() + b"\x00" * 8
+        )
