@@ -284,7 +284,7 @@ def _classify_cells(ev, cells, h, m, var_vec):
         A = m[:3, :3].astype(np.float32)
         core = _u_jit(ev, "classify", lambda: _u_classify_core(ev))
         act = core(
-            jnp.asarray(cpad), jnp.float32(h),
+            jnp.asarray(np.ascontiguousarray(cpad.T)), jnp.float32(h),
             jnp.asarray(np.maximum(A, 0.0)),
             jnp.asarray(np.minimum(A, 0.0)),
             jnp.asarray(m[:3, 3].astype(np.float32)),
@@ -436,7 +436,10 @@ def offset_signs(ev, base, offsets, scale, h, m, var_vec):
             np.float32
         )
         core = _u_jit(ev, "points", lambda: _u_points_core(ev))
-        signs = core(jnp.asarray(mp), jnp.asarray(_vvec(ev, var_vec)))
+        signs = core(
+            jnp.asarray(np.ascontiguousarray(mp.T)),
+            jnp.asarray(_vvec(ev, var_vec)),
+        )
         return np.asarray(signs)[: C * K].reshape(C, K)
     s0 = _lane_block(ev.nf, 1)
     Cpad = 1 << max(0, (C - 1).bit_length())
@@ -469,29 +472,38 @@ def _u_jit(ev, key, build):
     return cache[key]
 
 
-def _u_float_inputs(ev, mp, var_vec_):
-    """mp: [L, 3] model coords -> per-tape-input flat [L] arrays."""
-    L = mp.shape[0]
+def _u_float_inputs(ev, comps, var_vec_, shape):
+    """(mx, my, mz) model-coord planes -> per-tape-input arrays.
+
+    All planes share `shape` and the tape chain evaluates IN that
+    shape: no mid-graph reshape/slice may sit between the coordinate
+    math and the chain or XLA:TPU stops fusing across it and
+    materializes one HBM buffer per tape op (the round-3 8x renderer
+    regression; demos/exp_leaf_bisect.py)."""
     inputs = [
-        jnp.broadcast_to(var_vec_[i], (L,)).astype(jnp.float32)
+        jnp.broadcast_to(var_vec_[i], shape).astype(jnp.float32)
         for i in range(ev.n_inputs)
     ]
     for k, kind in enumerate(("x", "y", "z")):
         idx = ev.axis_of.get(kind)
         if idx is not None:
-            inputs[idx] = mp[:, k]
+            inputs[idx] = comps[k]
     return inputs
 
 
 def _u_classify_core(ev):
     from ..eval.unrolled_fast import eval_tape_interval_fast
 
-    def core(cells, hsize, pos, neg, off, var_vec_):
-        wlo = cells.astype(jnp.float32) * hsize - 1.0
-        whi = wlo + hsize
-        mlo = wlo @ pos.T + whi @ neg.T + off
-        mhi = whi @ pos.T + wlo @ neg.T + off
-        L = cells.shape[0]
+    def core(cells3, hsize, pos, neg, off, var_vec_):
+        # cells3: [3, L] (component-major upload: row slices of an
+        # input are contiguous; a [L, 3] column slice is strided).
+        # Interval transform written componentwise — a [L,3]x[3,3]
+        # matmul pads K=3 onto the MXU and its column slices un-fuse
+        # the chain.
+        w_lo = [cells3[k].astype(jnp.float32) * hsize - 1.0
+                for k in range(3)]
+        w_hi = [w + hsize for w in w_lo]
+        L = cells3.shape[1]
         inputs = [
             (
                 jnp.broadcast_to(var_vec_[i], (L,)).astype(jnp.float32),
@@ -501,7 +513,15 @@ def _u_classify_core(ev):
         for k, kind in enumerate(("x", "y", "z")):
             idx = ev.axis_of.get(kind)
             if idx is not None:
-                inputs[idx] = (mlo[:, k], mhi[:, k])
+                mlo = off[k] + sum(
+                    pos[k, j] * w_lo[j] + neg[k, j] * w_hi[j]
+                    for j in range(3)
+                )
+                mhi = off[k] + sum(
+                    pos[k, j] * w_hi[j] + neg[k, j] * w_lo[j]
+                    for j in range(3)
+                )
+                inputs[idx] = (mlo, mhi)
         los, his = eval_tape_interval_fast(ev.tape, inputs)
         return ~((los[0] > 0.0) | (his[0] < 0.0))
 
@@ -511,8 +531,12 @@ def _u_classify_core(ev):
 def _u_points_core(ev):
     from ..eval.unrolled_fast import eval_tape_float_fast
 
-    def core(mp, var_vec_):
-        out = eval_tape_float_fast(ev.tape, _u_float_inputs(ev, mp, var_vec_))
+    def core(mp3, var_vec_):
+        # mp3: [3, L] component-major model coords
+        comps = (mp3[0], mp3[1], mp3[2])
+        out = eval_tape_float_fast(
+            ev.tape, _u_float_inputs(ev, comps, var_vec_, mp3.shape[1:])
+        )
         return out[0] < 0.0
 
     return jax.jit(core)
@@ -527,12 +551,16 @@ def _u_corner_core(ev):
         kx = keys // (stride * stride)
         ky = (keys // stride) % stride
         kz = keys % stride
-        pts = jnp.stack(
-            [kx, ky, kz], axis=-1
-        ).astype(jnp.float32) * hsize - 1.0
-        mp = pts @ mat[:, :3].T + mat[:, 3]
+        f = [
+            k.astype(jnp.float32) * hsize - 1.0 for k in (kx, ky, kz)
+        ]
+        comps = tuple(
+            mat[r, 0] * f[0] + mat[r, 1] * f[1] + mat[r, 2] * f[2]
+            + mat[r, 3]
+            for r in range(3)
+        )
         out = eval_tape_float_fast(
-            ev.tape, _u_float_inputs(ev, mp, var_vec_)
+            ev.tape, _u_float_inputs(ev, comps, var_vec_, keys.shape)
         )
         return out[0] < 0.0
 
@@ -544,32 +572,44 @@ def _u_edge_search_core(ev, rounds, samples):
 
     def core(p_start, p_end, mat, var_vec_):
         E = p_start.shape[0]
+        S = samples
+        # [S, E] layout: edges ride the 128-lane minor axis densely;
+        # sample index is the 8-sublane axis. Bracket sample positions
+        # are recomputed arithmetically (ts(k) = ta + (tb-ta)(k+1)/(S+1))
+        # instead of take_along_axis gathers.
         frac = (
-            jnp.arange(samples, dtype=jnp.float32) + 1.0
-        ) / (samples + 1.0)
-        d = p_end - p_start
+            (jnp.arange(S, dtype=jnp.float32) + 1.0) / (S + 1.0)
+        )[:, None]
+        sxyz = [p_start[:, k] for k in range(3)]
+        dxyz = [p_end[:, k] - p_start[:, k] for k in range(3)]
 
         def round_(_, carry):
             ta, tb = carry
-            ts = ta[:, None] + (tb - ta)[:, None] * frac[None, :]
-            pts = p_start[:, None, :] + d[:, None, :] * ts[..., None]
-            mp = (pts @ mat[:, :3].T + mat[:, 3]).reshape(-1, 3)
-            out = eval_tape_float_fast(
-                ev.tape, _u_float_inputs(ev, mp, var_vec_)
-            )[0]
-            inside = (out < 0.0).reshape(E, samples)
-            outside = ~inside
-            any_out = outside.any(axis=1)
-            F = jnp.argmax(outside, axis=1)
-            tbF = jnp.take_along_axis(ts, F[:, None], 1)[:, 0]
-            tb = jnp.where(any_out, tbF, tb)
-            prev = jnp.maximum(F - 1, 0)
-            taF = jnp.take_along_axis(ts, prev[:, None], 1)[:, 0]
-            ta = jnp.where(
-                any_out & (F > 0), taF,
-                jnp.where(any_out, ta, ts[:, -1]),
+            ts = ta[None, :] + (tb - ta)[None, :] * frac      # [S, E]
+            p = [
+                sxyz[k][None, :] + dxyz[k][None, :] * ts for k in range(3)
+            ]
+            comps = tuple(
+                mat[r, 0] * p[0] + mat[r, 1] * p[1] + mat[r, 2] * p[2]
+                + mat[r, 3]
+                for r in range(3)
             )
-            return ta, tb
+            out = eval_tape_float_fast(
+                ev.tape, _u_float_inputs(ev, comps, var_vec_, (S, E))
+            )[0]
+            outside = ~(out < 0.0)                            # [S, E]
+            any_out = outside.any(axis=0)
+            F = jnp.argmax(outside, axis=0).astype(jnp.float32)
+            span = tb - ta
+            tbF = ta + span * (F + 1.0) / (S + 1.0)
+            taF = ta + span * F / (S + 1.0)
+            ts_last = ta + span * S / (S + 1.0)
+            new_tb = jnp.where(any_out, tbF, tb)
+            new_ta = jnp.where(
+                any_out & (F > 0), taF,
+                jnp.where(any_out, ta, ts_last),
+            )
+            return new_ta, new_tb
 
         ta0 = jnp.zeros(E, jnp.float32)
         tb0 = jnp.ones(E, jnp.float32)
