@@ -690,6 +690,29 @@ def _edge_search_core(
     return 0.5 * (ta + tb)
 
 
+#: evaluator cache: repeat builds of the same tape (viewer reload,
+#: parameter fitting, benchmarks) must reuse one BulkEvaluator so its
+#: jitted cores — especially the per-shape unrolled XLA cores — stay
+#: warm; a fresh evaluator per build re-jits every core (measured:
+#: 23.8 s "warm" unrolled colonnade depth-8 from persistent-cache
+#: reloads alone). Values pin their tape, keeping the id key stable.
+_EV_CACHE: dict = {}
+_EV_CACHE_CAP = 16
+
+
+def _get_evaluator(tape, interpret, unrolled):
+    key = (id(tape), bool(interpret), bool(unrolled))
+    ev = _EV_CACHE.get(key)
+    if ev is None:
+        while len(_EV_CACHE) >= _EV_CACHE_CAP:
+            _EV_CACHE.pop(next(iter(_EV_CACHE)))
+        ev = BulkEvaluator(tape, interpret=interpret)
+        ev.unrolled = unrolled
+        ev._pinned_tape = tape
+        _EV_CACHE[key] = ev
+    return ev
+
+
 def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     """Builds an MDC mesh of the surface inside the world ±1 cube."""
     settings = settings or Settings()
@@ -707,8 +730,7 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
             f"got {settings.depth}"
         )
     tape, m, var_vec = _mat_and_vars(tape, settings)
-    ev = BulkEvaluator(tape, interpret=settings.interpret)
-    ev.unrolled = settings.eval == "unrolled"
+    ev = _get_evaluator(tape, settings.interpret, settings.eval == "unrolled")
     depth = settings.depth
     G = 1 << depth  # leaf grid resolution per axis
     h_leaf = 2.0 / G

@@ -78,14 +78,114 @@ _FACE_CHECKS = np.array(_FACE_CHECKS, np.int64)
 _CENTER_LAT = _lat(1, 1, 1)
 
 
+def _sym_eigvals3(A):
+    """Closed-form eigenvalues of symmetric [N,3,3], descending
+    (Smith's trigonometric method) — float64."""
+    a00, a01, a02 = A[:, 0, 0], A[:, 0, 1], A[:, 0, 2]
+    a11, a12, a22 = A[:, 1, 1], A[:, 1, 2], A[:, 2, 2]
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = (
+        b00 * b00 + b11 * b11 + b22 * b22
+        + 2.0 * (a01 * a01 + a02 * a02 + a12 * a12)
+    ) / 6.0
+    p = np.sqrt(np.maximum(p2, 0.0))
+    det_b = (
+        b00 * (b11 * b22 - a12 * a12)
+        - a01 * (a01 * b22 - a12 * a02)
+        + a02 * (a01 * a12 - b11 * a02)
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = det_b / (2.0 * p * p * p)
+    r = np.clip(np.where(np.isfinite(r), r, 0.0), -1.0, 1.0)
+    phi = np.arccos(r) / 3.0
+    w0 = q + 2.0 * p * np.cos(phi)
+    w2 = q + 2.0 * p * np.cos(phi + 2.0 * np.pi / 3.0)
+    return np.stack([w0, 3.0 * q - w0 - w2, w2], axis=1)
+
+
+def _eigvec3(A, lam):
+    """Unit eigenvector of symmetric A for eigenvalue lam via the
+    largest cross product of rows of (A - lam I); flags degenerate
+    (repeated-eigenvalue) rows where every cross product vanishes."""
+    M = A - lam[:, None, None] * np.eye(3)
+    crosses = np.stack(
+        [
+            np.cross(M[:, 0], M[:, 1]),
+            np.cross(M[:, 0], M[:, 2]),
+            np.cross(M[:, 1], M[:, 2]),
+        ],
+        axis=1,
+    )
+    norms2 = (crosses * crosses).sum(axis=2)
+    pick = np.argmax(norms2, axis=1)
+    v = crosses[np.arange(len(A)), pick]
+    n = np.sqrt((v * v).sum(axis=1, keepdims=True))
+    scale = np.maximum(np.abs(lam), np.abs(A).sum(axis=(1, 2)))
+    good = n[:, 0] > 1e-14 * np.maximum(scale * scale, 1e-30)
+    return np.where(good[:, None], v / np.where(n == 0, 1.0, n), 0.0), good
+
+
+def _sym_eig3(A):
+    """Full closed-form eigendecomposition of symmetric [N,3,3].
+
+    Returns (lam [N,3] descending, Q [N,3,3] with matching eigenvector
+    COLUMNS). Strategy robust to every multiplicity pattern: take the
+    most ISOLATED extreme eigenvalue (simple whenever the matrix is
+    not a multiple of I, so the cross-product kernel extraction is
+    well-conditioned), then diagonalize the projected 2x2 on its
+    orthogonal complement in closed form."""
+    n = len(A)
+    W = _sym_eigvals3(A)
+    iso_hi = (W[:, 0] - W[:, 1]) >= (W[:, 1] - W[:, 2])
+    lam_iso = np.where(iso_hi, W[:, 0], W[:, 2])
+    v_iso, good = _eigvec3(A, lam_iso)
+    e0 = np.zeros((n, 3))
+    e0[:, 0] = 1.0
+    v_iso = np.where(good[:, None], v_iso, e0)  # A ~ qI: any basis
+    # orthonormal complement {u, w}
+    alt = np.zeros((n, 3))
+    alt[np.arange(n), np.argmin(np.abs(v_iso), axis=1)] = 1.0
+    u = np.cross(v_iso, alt)
+    u /= np.sqrt((u * u).sum(axis=1, keepdims=True))
+    w = np.cross(v_iso, u)
+    # projected 2x2 symmetric [[p00, p01], [p01, p11]]
+    Au = np.einsum("vij,vj->vi", A, u)
+    Aw = np.einsum("vij,vj->vi", A, w)
+    p00 = (u * Au).sum(axis=1)
+    p01 = (u * Aw).sum(axis=1)
+    p11 = (w * Aw).sum(axis=1)
+    theta = 0.5 * np.arctan2(2.0 * p01, p00 - p11)
+    c, s = np.cos(theta), np.sin(theta)
+    va = c[:, None] * u + s[:, None] * w
+    vb = -s[:, None] * u + c[:, None] * w
+    la = c * c * p00 + 2.0 * c * s * p01 + s * s * p11
+    lb = (p00 + p11) - la
+    lam = np.stack([lam_iso, la, lb], axis=1)
+    vecs = np.stack([v_iso, va, vb], axis=1)  # [N, 3(which), 3(xyz)]
+    order = np.argsort(-lam, axis=1, kind="stable")
+    lam = np.take_along_axis(lam, order, axis=1)
+    vecs = np.take_along_axis(vecs, order[:, :, None], axis=1)
+    return lam, vecs.transpose(0, 2, 1)
+
+
 def _solve_qef(AtA, Atb, mass):
-    """Batched truncated-SVD QEF solve about the mass point."""
-    rhs = Atb - np.einsum("vij,vj->vi", AtA, mass)
-    U, S, Vt = np.linalg.svd(AtA)
-    smax = S[:, :1]
-    keep = S > np.maximum(smax * 0.1, 1e-12)
-    sinv = np.divide(1.0, S, out=np.zeros_like(S), where=keep)
-    delta = np.einsum("vji,vj->vi", Vt, sinv * np.einsum("vij,vi->vj", U, rhs))
+    """Batched truncated QEF solve about the mass point.
+
+    AtA is symmetric PSD 3x3, so the truncated pseudo-inverse comes
+    from a closed-form eigendecomposition (`_sym_eig3`) vectorized over
+    the batch — LAPACK's batched SVD was the single largest host cost
+    of a depth-8 mesh build (0.66 s of 5.2 s). Truncation matches the
+    reference: drop directions below 10% of the largest eigenvalue
+    (fidget-mesh/src/qef.rs)."""
+    AtA = AtA.astype(np.float64, copy=False)
+    rhs = (Atb - np.einsum("vij,vj->vi", AtA, mass)).astype(np.float64)
+    W, Q = _sym_eig3(AtA)
+    keep = W > np.maximum(W[:, :1] * 0.1, 1e-12)
+    winv = np.divide(1.0, W, out=np.zeros_like(W), where=keep)
+    delta = np.einsum(
+        "vik,vk->vi", Q, winv * np.einsum("vjk,vj->vk", Q, rhs)
+    )
     v = mass + delta
     return np.where(np.isfinite(v), v, mass)
 

@@ -276,3 +276,52 @@ def test_mesh_settings_validation_and_pathlike_writers(tmp_path):
     po = tmp_path / "out.obj"
     m.write_obj(po)
     assert po.read_text().startswith("v ")
+
+
+def test_qef_closed_form_matches_svd():
+    """_solve_qef's closed-form symmetric eigendecomposition must match
+    the LAPACK truncated-SVD solve on every multiplicity pattern —
+    including the repeated-DOMINANT eigenvalue case (box edges:
+    AtA = diag(0, c, c)) that a naive cross-product eigenvector
+    extraction gets wrong."""
+    from fidget_tpu.mesh.collapse import _solve_qef
+
+    def svd_ref(AtA, Atb, mass):
+        rhs = Atb - np.einsum("vij,vj->vi", AtA, mass)
+        U, S, Vt = np.linalg.svd(AtA)
+        keep = S > np.maximum(S[:, :1] * 0.1, 1e-12)
+        sinv = np.divide(1.0, S, out=np.zeros_like(S), where=keep)
+        delta = np.einsum(
+            "vji,vj->vi", Vt, sinv * np.einsum("vij,vi->vj", U, rhs)
+        )
+        v = mass + delta
+        return np.where(np.isfinite(v), v, mass)
+
+    rng = np.random.default_rng(0)
+    N = 500
+    cases = []
+    for rank in (3, 2, 1):
+        M = rng.normal(size=(N, rank, 3))
+        cases.append(np.einsum("vkj,vki->vji", M, M))
+    cases.append(
+        np.repeat(np.eye(3)[None], N, 0)
+        * rng.uniform(0.5, 2, (N, 1, 1))
+    )
+    cases.append(np.zeros((N, 3, 3)))
+    for pat in ([0, 1, 1], [1, 1, 0], [1, 0, 1], [0, 0, 1]):
+        c = rng.uniform(1, 20, (N, 1))
+        d = np.zeros((N, 3, 3))
+        d[:, [0, 1, 2], [0, 1, 2]] = np.asarray(pat)[None] * c
+        cases.append(d)
+    qr = np.linalg.qr(rng.normal(size=(N, 3, 3)))[0]
+    dd = np.zeros((N, 3, 3))
+    dd[:, 0, 0] = dd[:, 1, 1] = rng.uniform(1, 20, N)
+    cases.append(np.einsum("vij,vjk,vlk->vil", qr, dd, qr))
+    AtA = np.concatenate(cases)
+    n = len(AtA)
+    Atb = rng.normal(size=(n, 3))
+    mass = rng.normal(size=(n, 3)) * 0.1
+    np.testing.assert_allclose(
+        _solve_qef(AtA, Atb, mass), svd_ref(AtA, Atb, mass),
+        rtol=1e-7, atol=1e-9,
+    )
