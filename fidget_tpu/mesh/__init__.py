@@ -45,6 +45,7 @@ from __future__ import annotations
 import functools
 import os
 import struct
+import time
 from dataclasses import dataclass, field
 
 import jax
@@ -68,6 +69,25 @@ __all__ = ["Mesh", "Settings", "build_mesh", "write_obj", "write_stl"]
 
 _EDGE_SAMPLES = 16  # octree.rs: 16 samples ...
 _EDGE_ROUNDS = 4  # ... x 4 rounds
+
+#: FIDGET_MESH_TIMING=1 prints per-stage wall times of every build
+_TIMING = os.environ.get("FIDGET_MESH_TIMING", "") not in ("", "0")
+
+
+class _StageClock:
+    """Wall-clock stage attribution (device waits land in the stage
+    that synchronizes)."""
+
+    def __init__(self, enabled=_TIMING):
+        self.enabled = enabled
+        self.t = time.perf_counter()
+
+    def tick(self, label):
+        if not self.enabled:
+            return
+        now = time.perf_counter()
+        print(f"  [mesh] {label}: {(now - self.t) * 1e3:.1f} ms")
+        self.t = now
 
 
 @dataclass
@@ -425,22 +445,23 @@ def offset_signs(ev, base, offsets, scale, h, m, var_vec):
     C = len(base)
     K = len(offsets)
     if getattr(ev, "unrolled", False):
+        # device-side decode like the interp core: upload 12 B/base
+        # (int32 lattice coords, component-major) and build the C*K
+        # model points on device — the host einsum over C*27 points
+        # was ~0.4 s of a depth-8 collapse
         Cpad = 1 << max(0, (C - 1).bit_length())
-        bpad = np.zeros((Cpad, 3), np.int32)
-        bpad[:C] = base
-        pts = (
-            bpad[:, None, :]
-            + np.asarray(offsets, np.int32)[None, :, :] * int(scale)
-        ).reshape(-1, 3).astype(np.float32) * h - 1.0
-        mp = pts @ m[:3, :3].astype(np.float32).T + m[:3, 3].astype(
-            np.float32
+        bpad = np.zeros((3, Cpad), np.int32)
+        bpad[:, :C] = np.asarray(base).T
+        core = _u_jit(
+            ev, ("offsets",) + tuple(map(tuple, np.asarray(offsets))),
+            lambda: _u_offset_signs_core(ev, np.asarray(offsets, np.int32)),
         )
-        core = _u_jit(ev, "points", lambda: _u_points_core(ev))
         signs = core(
-            jnp.asarray(np.ascontiguousarray(mp.T)),
+            jnp.asarray(bpad), jnp.int32(scale), jnp.float32(h),
+            jnp.asarray(m[:3, :].astype(np.float32)),
             jnp.asarray(_vvec(ev, var_vec)),
         )
-        return np.asarray(signs)[: C * K].reshape(C, K)
+        return np.asarray(signs)[:C]
     s0 = _lane_block(ev.nf, 1)
     Cpad = 1 << max(0, (C - 1).bit_length())
     T, used = _bucket(Cpad * K, s0)
@@ -489,6 +510,38 @@ def _u_float_inputs(ev, comps, var_vec_, shape):
         if idx is not None:
             inputs[idx] = comps[k]
     return inputs
+
+
+def _u_offset_signs_core(ev, offsets):
+    """offset_signs' unrolled core: device-side lattice decode +
+    whole-tape point eval at [K, C] (offsets on sublanes, bases on the
+    dense 128-lane axis)."""
+    from ..eval.unrolled_fast import eval_tape_float_fast
+
+    offs = [
+        jnp.asarray(offsets[:, k].astype(np.float32))[:, None]
+        for k in range(3)
+    ]
+    K = len(offsets)
+
+    def core(b3, scale, h, mat, var_vec_):
+        s = scale.astype(jnp.float32)
+        f = [
+            (b3[k].astype(jnp.float32)[None, :] + offs[k] * s) * h - 1.0
+            for k in range(3)
+        ]
+        comps = tuple(
+            mat[r, 0] * f[0] + mat[r, 1] * f[1] + mat[r, 2] * f[2]
+            + mat[r, 3]
+            for r in range(3)
+        )
+        out = eval_tape_float_fast(
+            ev.tape,
+            _u_float_inputs(ev, comps, var_vec_, (K, b3.shape[1])),
+        )
+        return (out[0] < 0.0).T
+
+    return jax.jit(core)
 
 
 def _u_classify_core(ev):
@@ -731,6 +784,7 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
         )
     tape, m, var_vec = _mat_and_vars(tape, settings)
     ev = _get_evaluator(tape, settings.interpret, settings.eval == "unrolled")
+    clock = _StageClock()
     depth = settings.depth
     G = 1 << depth  # leaf grid resolution per axis
     h_leaf = 2.0 / G
@@ -738,12 +792,25 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     # ---- stage 1: level-synchronous interval build ----------------------
     # cells go up as int32 lattice coords; the exact box transform and
     # interval classification run device-side (_classify_cells_core)
-    cells = np.zeros((1, 3), np.int64)  # lattice coords at current depth
-    for d in range(depth):
+    # Levels 0-3 hold at most 585 cells total but cost one ~30 ms
+    # dispatch+sync round trip each: start directly from the dense
+    # 16^3 grid at depth 4 (one classify dispatch covers what four
+    # sequential ones did; interval proofs are per-cell, so pruning is
+    # unaffected).
+    d_start = 4 if depth > 4 else 0
+    if d_start:
+        g0 = np.arange(1 << d_start, dtype=np.int64)
+        cells = np.stack(
+            np.meshgrid(g0, g0, g0, indexing="ij"), axis=-1
+        ).reshape(-1, 3)
+    else:
+        cells = np.zeros((1, 3), np.int64)  # coords at current depth
+    for d in range(d_start, depth):
         check_cancel(settings.cancel)
         h = 2.0 / (1 << d)
         active = _classify_cells(ev, cells, h, m, var_vec)
         cells = cells[active]
+        clock.tick(f"classify d={d} ({len(cells)} active)")
         if len(cells) == 0:
             return Mesh()
         # subdivide x8
@@ -758,6 +825,7 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     h = h_leaf
     active = _classify_cells(ev, cells, h, m, var_vec)
     cells = cells[active]
+    clock.tick(f"classify leaf ({len(cells)} active)")
     if len(cells) == 0:
         return Mesh()
     N = len(cells)
@@ -773,6 +841,7 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     ) * (G + 1) + corners[..., 2]
     uniq, inv = np.unique(ckeys.reshape(-1), return_inverse=True)
     usigns = _corner_signs(ev, uniq, G, h, m, var_vec)
+    clock.tick(f"corner signs ({len(uniq)} unique)")
     csigns = usigns[inv].reshape(N, 8)
     mask = (csigns << np.arange(8)[None, :]).sum(axis=1).astype(np.int32)
     surf = (mask != 0) & (mask != 255)
@@ -846,10 +915,12 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
             )
         )[:E].astype(np.float64)
     ipts = p_start + (p_end - p_start) * t_star[:, None]  # world coords [E,3]
+    clock.tick(f"edge search ({E} edges)")
 
     # ---- stage 4: gradients + per-vertex QEF ------------------------------
     mip = _xform(m, ipts)
     g = ev.eval_grad(mip[:, 0], mip[:, 1], mip[:, 2], var_vec)[0]
+    clock.tick("gradients")
     grads_model = g[1:4].T  # [E, 3]
     grads = grads_model @ m[:3, :3]  # chain rule: d/d(world) = J^T g
     bad = ~np.isfinite(grads).all(axis=1)
@@ -896,6 +967,7 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     cell_of_vert = np.repeat(np.arange(N), nvert)
     clo = cells[cell_of_vert] * h - 1.0
     vpos = np.clip(vpos, clo, clo + h)
+    clock.tick(f"QEF accumulate+solve ({NV} verts)")
 
     # enumerate each crossing edge once, from its canonical owner cell
     # (the cell whose local edge has both fixed coords == 0) — shared by
@@ -913,7 +985,9 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
             cells=cells, mask=mask, nvert=nvert, voff=voff,
             AtA=AtA, Atb=Atb, btb=btb, msum=msum, mcnt=mcnt, vpos=vpos,
             oci=oci_all, oei=oei_all, cancel=settings.cancel,
+            clock=clock,
         )
+        clock.tick("dual walk")
         return Mesh(vertices=verts, triangles=tris.astype(np.int32))
 
     # ---- stage 5: uniform dual triangulation ------------------------------

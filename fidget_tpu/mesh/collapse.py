@@ -218,6 +218,7 @@ def collapse_and_walk(
     oci,
     oei,
     cancel=None,
+    clock=None,
 ):
     """Runs bottom-up collapse then the adaptive dual walk.
 
@@ -383,6 +384,11 @@ def collapse_and_walk(
                 [c_fine[keep_rows], np.full(len(acc), -1, np.int64)]
             )
             c_vid = np.concatenate([c_vid[keep_rows], new_vids])
+        if clock is not None:
+            clock.tick(
+                f"collapse s={s} ({len(cand)} cand, "
+                f"{len(np.nonzero(accept)[0])} merged)"
+            )
         s = ps
 
     # ---- adaptive dual walk over the fine crossing edges ----------------
