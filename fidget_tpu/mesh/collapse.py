@@ -104,26 +104,48 @@ def _sym_eigvals3(A):
     return np.stack([w0, 3.0 * q - w0 - w2, w2], axis=1)
 
 
+def _cross_c(ax, ay, az, bx, by, bz):
+    return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+
+
 def _eigvec3(A, lam):
     """Unit eigenvector of symmetric A for eigenvalue lam via the
     largest cross product of rows of (A - lam I); flags degenerate
-    (repeated-eigenvalue) rows where every cross product vanishes."""
-    M = A - lam[:, None, None] * np.eye(3)
-    crosses = np.stack(
-        [
-            np.cross(M[:, 0], M[:, 1]),
-            np.cross(M[:, 0], M[:, 2]),
-            np.cross(M[:, 1], M[:, 2]),
-        ],
-        axis=1,
+    (repeated-eigenvalue) rows where every cross product vanishes.
+
+    Componentwise over the batch: the straightforward np.stack/np.cross
+    version spent ~9 us/element in temporaries (the single largest host
+    cost of a depth-8 build); this form runs ~10x faster."""
+    a01, a02, a12 = A[:, 0, 1], A[:, 0, 2], A[:, 1, 2]
+    m00, m11, m22 = A[:, 0, 0] - lam, A[:, 1, 1] - lam, A[:, 2, 2] - lam
+    # rows of M: r0 = (m00, a01, a02), r1 = (a01, m11, a12),
+    #            r2 = (a02, a12, m22)
+    c0 = _cross_c(m00, a01, a02, a01, m11, a12)
+    c1 = _cross_c(m00, a01, a02, a02, a12, m22)
+    c2 = _cross_c(a01, m11, a12, a02, a12, m22)
+    n0 = c0[0] * c0[0] + c0[1] * c0[1] + c0[2] * c0[2]
+    n1 = c1[0] * c1[0] + c1[1] * c1[1] + c1[2] * c1[2]
+    n2 = c2[0] * c2[0] + c2[1] * c2[1] + c2[2] * c2[2]
+    use1 = n1 >= n0
+    nb = np.where(use1, n1, n0)
+    use2 = n2 >= nb
+    nbest = np.where(use2, n2, nb)
+    vx = np.where(use2, c2[0], np.where(use1, c1[0], c0[0]))
+    vy = np.where(use2, c2[1], np.where(use1, c1[1], c0[1]))
+    vz = np.where(use2, c2[2], np.where(use1, c1[2], c0[2]))
+    n = np.sqrt(nbest)
+    absum = (
+        np.abs(A[:, 0, 0]) + np.abs(A[:, 1, 1]) + np.abs(A[:, 2, 2])
+        + 2.0 * (np.abs(a01) + np.abs(a02) + np.abs(a12))
     )
-    norms2 = (crosses * crosses).sum(axis=2)
-    pick = np.argmax(norms2, axis=1)
-    v = crosses[np.arange(len(A)), pick]
-    n = np.sqrt((v * v).sum(axis=1, keepdims=True))
-    scale = np.maximum(np.abs(lam), np.abs(A).sum(axis=(1, 2)))
-    good = n[:, 0] > 1e-14 * np.maximum(scale * scale, 1e-30)
-    return np.where(good[:, None], v / np.where(n == 0, 1.0, n), 0.0), good
+    scale = np.maximum(np.abs(lam), absum)
+    good = n > 1e-14 * np.maximum(scale * scale, 1e-30)
+    inv = np.where(good, 1.0 / np.where(n == 0, 1.0, n), 0.0)
+    v = np.empty((len(lam), 3))
+    v[:, 0] = vx * inv
+    v[:, 1] = vy * inv
+    v[:, 2] = vz * inv
+    return v, good
 
 
 def _sym_eig3(A):
@@ -140,33 +162,71 @@ def _sym_eig3(A):
     iso_hi = (W[:, 0] - W[:, 1]) >= (W[:, 1] - W[:, 2])
     lam_iso = np.where(iso_hi, W[:, 0], W[:, 2])
     v_iso, good = _eigvec3(A, lam_iso)
-    e0 = np.zeros((n, 3))
-    e0[:, 0] = 1.0
-    v_iso = np.where(good[:, None], v_iso, e0)  # A ~ qI: any basis
-    # orthonormal complement {u, w}
-    alt = np.zeros((n, 3))
-    alt[np.arange(n), np.argmin(np.abs(v_iso), axis=1)] = 1.0
-    u = np.cross(v_iso, alt)
-    u /= np.sqrt((u * u).sum(axis=1, keepdims=True))
-    w = np.cross(v_iso, u)
+    # A ~ qI: any basis
+    vx = np.where(good, v_iso[:, 0], 1.0)
+    vy = np.where(good, v_iso[:, 1], 0.0)
+    vz = np.where(good, v_iso[:, 2], 0.0)
+    # orthonormal complement {u, w}: alt = e_k at the smallest |v| comp
+    ax_, ay_, az_ = np.abs(vx), np.abs(vy), np.abs(vz)
+    min_x = (ax_ <= ay_) & (ax_ <= az_)
+    min_y = ~min_x & (ay_ <= az_)
+    altx = np.where(min_x, 1.0, 0.0)
+    alty = np.where(min_y, 1.0, 0.0)
+    altz = 1.0 - altx - alty
+    ux, uy, uz = _cross_c(vx, vy, vz, altx, alty, altz)
+    uinv = 1.0 / np.sqrt(ux * ux + uy * uy + uz * uz)
+    ux, uy, uz = ux * uinv, uy * uinv, uz * uinv
+    wx, wy, wz = _cross_c(vx, vy, vz, ux, uy, uz)
     # projected 2x2 symmetric [[p00, p01], [p01, p11]]
-    Au = np.einsum("vij,vj->vi", A, u)
-    Aw = np.einsum("vij,vj->vi", A, w)
-    p00 = (u * Au).sum(axis=1)
-    p01 = (u * Aw).sum(axis=1)
-    p11 = (w * Aw).sum(axis=1)
+    a00, a01, a02 = A[:, 0, 0], A[:, 0, 1], A[:, 0, 2]
+    a11, a12, a22 = A[:, 1, 1], A[:, 1, 2], A[:, 2, 2]
+
+    def matv(x, y, z):
+        return (
+            a00 * x + a01 * y + a02 * z,
+            a01 * x + a11 * y + a12 * z,
+            a02 * x + a12 * y + a22 * z,
+        )
+
+    Aux, Auy, Auz = matv(ux, uy, uz)
+    Awx, Awy, Awz = matv(wx, wy, wz)
+    p00 = ux * Aux + uy * Auy + uz * Auz
+    p01 = ux * Awx + uy * Awy + uz * Awz
+    p11 = wx * Awx + wy * Awy + wz * Awz
     theta = 0.5 * np.arctan2(2.0 * p01, p00 - p11)
     c, s = np.cos(theta), np.sin(theta)
-    va = c[:, None] * u + s[:, None] * w
-    vb = -s[:, None] * u + c[:, None] * w
+    vax, vay, vaz = c * ux + s * wx, c * uy + s * wy, c * uz + s * wz
+    vbx, vby, vbz = c * wx - s * ux, c * wy - s * uy, c * wz - s * uz
     la = c * c * p00 + 2.0 * c * s * p01 + s * s * p11
     lb = (p00 + p11) - la
-    lam = np.stack([lam_iso, la, lb], axis=1)
-    vecs = np.stack([v_iso, va, vb], axis=1)  # [N, 3(which), 3(xyz)]
-    order = np.argsort(-lam, axis=1, kind="stable")
-    lam = np.take_along_axis(lam, order, axis=1)
-    vecs = np.take_along_axis(vecs, order[:, :, None], axis=1)
-    return lam, vecs.transpose(0, 2, 1)
+    # sort the three (lam, vec) pairs descending by lam with explicit
+    # comparisons (matches the former stable argsort over
+    # [lam_iso, la, lb]: ties keep that listing order)
+    lam = np.empty((n, 3))
+    Q = np.empty((n, 3, 3))
+    l0, l1, l2 = lam_iso, la, lb
+    v0 = (vx, vy, vz)
+    v1 = (vax, vay, vaz)
+    v2 = (vbx, vby, vbz)
+
+    def pick(cond, t, f):
+        return tuple(np.where(cond, a, b) for a, b in zip(t, f))
+
+    # stable 3-element insertion sort on keys (descending)
+    swap01 = l1 > l0
+    k0, k1 = np.where(swap01, l1, l0), np.where(swap01, l0, l1)
+    e0, e1 = pick(swap01, v1, v0), pick(swap01, v0, v1)
+    swap12 = l2 > k1
+    k1, k2 = np.where(swap12, l2, k1), np.where(swap12, k1, l2)
+    e1, e2 = pick(swap12, v2, e1), pick(swap12, e1, v2)
+    swap01b = k1 > k0
+    k0, k1 = np.where(swap01b, k1, k0), np.where(swap01b, k0, k1)
+    e0, e1 = pick(swap01b, e1, e0), pick(swap01b, e0, e1)
+    lam[:, 0], lam[:, 1], lam[:, 2] = k0, k1, k2
+    # eigenvector COLUMNS
+    for j, e in enumerate((e0, e1, e2)):
+        Q[:, 0, j], Q[:, 1, j], Q[:, 2, j] = e
+    return lam, Q
 
 
 def _solve_qef(AtA, Atb, mass):
@@ -179,23 +239,38 @@ def _solve_qef(AtA, Atb, mass):
     reference: drop directions below 10% of the largest eigenvalue
     (fidget-mesh/src/qef.rs)."""
     AtA = AtA.astype(np.float64, copy=False)
-    rhs = (Atb - np.einsum("vij,vj->vi", AtA, mass)).astype(np.float64)
+    # rhs = Atb - AtA @ mass, componentwise (einsum's per-call batch
+    # overhead dominated the depth-8 profile)
+    a00, a01, a02 = AtA[:, 0, 0], AtA[:, 0, 1], AtA[:, 0, 2]
+    a11, a12, a22 = AtA[:, 1, 1], AtA[:, 1, 2], AtA[:, 2, 2]
+    mx, my, mz = mass[:, 0], mass[:, 1], mass[:, 2]
+    r0 = Atb[:, 0] - (a00 * mx + a01 * my + a02 * mz)
+    r1 = Atb[:, 1] - (a01 * mx + a11 * my + a12 * mz)
+    r2 = Atb[:, 2] - (a02 * mx + a12 * my + a22 * mz)
     W, Q = _sym_eig3(AtA)
     keep = W > np.maximum(W[:, :1] * 0.1, 1e-12)
     winv = np.divide(1.0, W, out=np.zeros_like(W), where=keep)
-    delta = np.einsum(
-        "vik,vk->vi", Q, winv * np.einsum("vjk,vj->vk", Q, rhs)
-    )
-    v = mass + delta
+    # delta = Q @ diag(winv) @ Q^T rhs, componentwise
+    c0 = winv[:, 0] * (Q[:, 0, 0] * r0 + Q[:, 1, 0] * r1 + Q[:, 2, 0] * r2)
+    c1 = winv[:, 1] * (Q[:, 0, 1] * r0 + Q[:, 1, 1] * r1 + Q[:, 2, 1] * r2)
+    c2 = winv[:, 2] * (Q[:, 0, 2] * r0 + Q[:, 1, 2] * r1 + Q[:, 2, 2] * r2)
+    v = np.empty_like(mass, dtype=np.float64)
+    v[:, 0] = mx + Q[:, 0, 0] * c0 + Q[:, 0, 1] * c1 + Q[:, 0, 2] * c2
+    v[:, 1] = my + Q[:, 1, 0] * c0 + Q[:, 1, 1] * c1 + Q[:, 1, 2] * c2
+    v[:, 2] = mz + Q[:, 2, 0] * c0 + Q[:, 2, 1] * c1 + Q[:, 2, 2] * c2
     return np.where(np.isfinite(v), v, mass)
 
 
 def _qef_err(v, AtA, Atb, btb):
-    return (
-        np.einsum("vi,vij,vj->v", v, AtA, v)
-        - 2.0 * np.einsum("vi,vi->v", Atb, v)
-        + btb
+    x, y, z = v[:, 0], v[:, 1], v[:, 2]
+    vav = (
+        AtA[:, 0, 0] * x * x + AtA[:, 1, 1] * y * y + AtA[:, 2, 2] * z * z
+        + 2.0 * (
+            AtA[:, 0, 1] * x * y + AtA[:, 0, 2] * x * z
+            + AtA[:, 1, 2] * y * z
+        )
     )
+    return vav - 2.0 * (Atb[:, 0] * x + Atb[:, 1] * y + Atb[:, 2] * z) + btb
 
 
 def collapse_and_walk(
