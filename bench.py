@@ -40,13 +40,11 @@ def fail(metric, value):
     sys.exit(1)
 
 
-def probe_device(timeout_s: float = 240.0) -> bool:
-    """True if the accelerator answers a trivial jitted call in time.
+def _probe_once(timeout_s: float) -> bool:
+    """One accelerator probe: a trivial jitted call in a subprocess.
 
-    The axon TPU tunnel can go down for hours (worker recovery, relay
-    outage); when it does, even `jax.devices()` blocks forever. Probe
-    in a subprocess under a hard timeout so a dead tunnel produces a
-    fast, explicit bench failure instead of a silent hang."""
+    When the axon tunnel is down even `jax.devices()` blocks forever,
+    so the probe must run under a hard external timeout."""
     import subprocess
 
     code = (
@@ -67,9 +65,31 @@ def probe_device(timeout_s: float = 240.0) -> bool:
         return False
 
 
+def probe_device(budget_s: float = 2700.0) -> float:
+    """Wait (bounded) for the accelerator; return seconds waited or -1.
+
+    The axon TPU tunnel goes down for minutes-to-hours (normal worker
+    recovery is 5-25 min).  Round 3 failed its scored bench by giving
+    up after one probe during an outage, so now we probe in a
+    retry loop: short probes at first (a live tunnel answers in
+    seconds), then 90 s probes spaced 60 s apart until the budget
+    (default 45 min) runs out.  The wait is reported in the JSON."""
+    t0 = time.time()
+    timeout = 120.0
+    while True:
+        if _probe_once(timeout):
+            return time.time() - t0
+        if time.time() - t0 > budget_s:
+            return -1.0
+        time.sleep(60.0)
+        timeout = 90.0
+
+
 def main() -> None:
-    if not probe_device():
-        fail("FAILED device unreachable (axon tunnel down?)", 0.0)
+    waited = probe_device()
+    if waited < 0:
+        fail("FAILED device unreachable after 45 min of retries "
+             "(axon tunnel down?)", 0.0)
 
     import jax
     import jax.numpy as jnp
@@ -140,17 +160,16 @@ def main() -> None:
         best = min(best, (time.time() - t0) / K)
 
     mpix_s = N * N / best / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "prospero.vm 1024^2 2D tiled-unrolled render "
-                          "throughput",
-                "value": round(mpix_s, 2),
-                "unit": "Mpix/s",
-                "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 2),
-            }
-        )
-    )
+    record = {
+        "metric": "prospero.vm 1024^2 2D tiled-unrolled render "
+                  "throughput",
+        "value": round(mpix_s, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 2),
+    }
+    if waited > 10.0:
+        record["tunnel_wait_s"] = round(waited, 1)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
