@@ -24,9 +24,12 @@ thread-local evaluators, the octree advances as dense batched levels —
    sign-crossing lattice edge connects its 4 adjacent cell vertices
    into 2 triangles, wound by the edge's sign direction.
 
-Topology-safe cell collapse (octree.rs:248-440) is intentionally not
-performed: all surface cells sit at max depth, which MDC handles
-manifoldly by construction.
+Topology-safe cell collapse (octree.rs:248-440) runs as a host-side
+post-pass (`Settings.collapse`, default True → `collapse.py`): Ju'02
+27-point topology predicates plus the reference's 2x merged-QEF error
+bound drive a graded adaptive dual walk. With `collapse=False` every
+surface cell stays at max depth, which MDC handles manifoldly by
+construction.
 
 Known topology caveat (shared with the reference): an *ambiguous face*
 — alternating corner signs, so all 4 of its lattice edges cross — whose
