@@ -613,9 +613,13 @@ def _unrolled_leaf_stage(tape_key, T0, cx0, cy0, valid, mat, z, var_vec):
     # stops XLA:TPU fusing across it, materializing one HBM buffer per
     # tape op (measured on prospero 1024^2/16px: 916 MB of temps,
     # 710 MB/frame of traffic, 8.3 ms vs 2.3 ms for the 2D form —
-    # demos/exp_leaf_bisect.py). At pp < 128 (8-px tiles) the 2D form
-    # wastes (128-pp)/128 of each vreg, but staying fused is ~4x
-    # faster than the dense-tiled flat form regardless.
+    # demos/exp_leaf_bisect.py). Packing K = 128//pp tiles per
+    # 128-lane row to "reclaim" the (128-pp)/128 minor-dim padding is
+    # a measured NEGATIVE (2026-08-20, demos/exp_packed_leaf.py):
+    # 925 Mpix/s slope at 8 px and 606 at 4 px vs 1156 for this [C, pp]
+    # form — the K-way iota select plus the output's 128->pp relayout
+    # cost more than the padding they save; XLA:TPU evidently executes
+    # narrow-minor-dim elementwise chains without the naive 2x waste.
     inputs = [
         jnp.broadcast_to(var_vec[i], (C, pp)) for i in range(V)
     ]
@@ -1101,9 +1105,13 @@ class PixelRenderer:
         vec = jnp.asarray(self._var_vec(vars))
 
         def bucket(n):
-            # capacity buckets at n0/8 granularity (few compile variants)
-            q = max(128, -(-n0 // 8))
-            return min(_ceil_to(max(int(n), 1), q), n0)
+            # 8% headroom rounded to 128 slots: with the cull sizing
+            # pass at ~0.25 ms, fine buckets cost little compile-variant
+            # churn and reclaim the ~11-21% leaf padding the old n0/8
+            # granularity left (VERDICT r3 item 8). Overflow (camera
+            # motion growing the active set past the headroom) still
+            # retries into a bigger bucket exactly as before.
+            return min(_ceil_to(int(int(n) * 1.08) + 1, 128), n0)
 
         self._ucap = getattr(self, "_ucap", {})
         if pixel_perfect:
