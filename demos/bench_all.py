@@ -124,13 +124,17 @@ def bench_3d(results):
             float(frame_sum(jnp.asarray(m)))
             ts.append(time.perf_counter() - t0)
         ms = min(ts) * 1e3
+        # the reference publishes no absolute 3D numbers; vs_baseline
+        # is our own declared target (25 ms device frame at 512^3,
+        # VERDICT r3 item 6) so progress is judgeable round-over-round
         results.append(dict(
             metric=(
                 f"gyroid-sphere.rhai {n}^3 3D {mode}"
                 + (" unrolled" if kw else "")
                 + " device frame"
             ),
-            value=round(ms, 1), unit="ms", vs_baseline=0.0,
+            value=round(ms, 1), unit="ms",
+            vs_baseline=round(25.0 / ms, 2),
         ))
 
 
@@ -147,9 +151,12 @@ def bench_mesh(results):
         t0 = time.perf_counter()
         m = build_mesh(tape, Settings(depth=8, world_to_model=w))
         best = min(best, time.perf_counter() - t0)
+    # declared target: 2 s warm depth-8 (VERDICT r3 item 4); the
+    # reference publishes no absolute mesh numbers
     results.append(dict(
         metric="colonnade.vm MDC depth-8 mesh build (warm)",
-        value=round(best, 2), unit="s", vs_baseline=0.0,
+        value=round(best, 2), unit="s",
+        vs_baseline=round(2.0 / best, 2),
     ))
     # unrolled eval cores (whole tape as straight-line XLA)
     build_mesh(tape, Settings(depth=8, eval="unrolled"))  # compile/warm
@@ -164,7 +171,8 @@ def bench_mesh(results):
         best = min(best, time.perf_counter() - t0)
     results.append(dict(
         metric="colonnade.vm MDC depth-8 mesh build (warm, unrolled)",
-        value=round(best, 2), unit="s", vs_baseline=0.0,
+        value=round(best, 2), unit="s",
+        vs_baseline=round(2.0 / best, 2),
     ))
 
 
@@ -191,8 +199,9 @@ def main():
         with open(out, "w") as f:
             json.dump({
                 "configs": results,
-                "note": "K-slope 2D Mpix/s; 3D/mesh device-frame ms / "
-                        "warm-build s; occupancy-guarded",
+                "note": "K-slope 2D Mpix/s vs fidget 18.1; 3D/mesh vs_baseline "
+                        "= declared target/actual (25 ms 512^3 frame, "
+                        "2 s depth-8 warm build); occupancy-guarded",
             }, f, indent=1)
 
 

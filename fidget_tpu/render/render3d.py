@@ -826,9 +826,12 @@ class VoxelRenderer:
         Volumes that need a host strata driver (> 512^3) always use
         the specialized path.
       voxel_tiles_per_step: subtiles evaluated per Pallas grid step in
-        the voxel pass (interp_voxel_depth tiles_per_step); > 1
-        amortizes the fixed per-grid-step dispatch cost when the
-        compacted worklist is large. Specialized pipeline only.
+        the voxel pass (interp_voxel_depth tiles_per_step); batching
+        amortizes the fixed ~2 us per-grid-step dispatch cost across
+        subtiles. Default 16: the 2026-08-20 hardware sweep
+        (demos/exp_voxel_batch.py, gyroid 512^3 heightmap slope) read
+        25.5 / 20.7 / 19.4 / 19.5 ms per frame at G = 1 / 4 / 16 / 64.
+        Specialized pipeline only.
       leaf: "interp" (default) re-specializes each subtile's tape from
         its interval trace and runs the Pallas interpreter over its
         voxels. "unrolled" evaluates the WHOLE tape as straight-line
@@ -855,7 +858,7 @@ class VoxelRenderer:
         interpret: bool | None = None,
         strata: str = "auto",
         specialize: bool = True,
-        voxel_tiles_per_step: int = 1,
+        voxel_tiles_per_step: int = 16,
         leaf: str = "interp",
         proofs: str = "interp",
     ):
