@@ -510,21 +510,11 @@ def render_voxels_sharded(
             f"tile rows ({r.nty}) must divide over {D} devices; pick an "
             f"image height that is a multiple of {tile_size * D}"
         )
-    # each device traces ONE fused-scan program over its slab; the
-    # fused drivers hit a known XLA:TPU program-level fault above the
-    # 512^3 volume the single-device path routes to its stages driver
-    # (render3d._strata_mode, demos/probe_1024.py). There is no sharded
-    # stages driver (a host loop cannot run inside shard_map), so
-    # refuse rather than crash the TPU worker (5-25 min recovery).
-    slab_vox = r.W * (r.H // D) * r.D
-    if slab_vox > 512**3:
-        raise ValueError(
-            f"per-device slab is {r.W}x{r.H // D}x{r.D} ="
-            f" {slab_vox} voxels > 512^3: the fused sharded driver"
-            " would hit the known XLA:TPU fault (BUGREPORT.md). Use"
-            " more devices, a smaller volume, or the unsharded"
-            " VoxelRenderer (its stages driver handles >512^3)."
-        )
+    # each device traces ONE fused-scan program over its slab; any
+    # slab size is fine (the former >512^3 refusal guarded an XLA:TPU
+    # fault that turned out to be the liveness-kernel OOB write fixed
+    # in f56c4a6 — demos/probe_fused_1024.py verified the fused
+    # drivers bit-exact at 1024^3 on hardware, 2026-08-20).
     matM = jnp.asarray(r._mat4(world_to_model))
     vec = jnp.asarray(r._var_vec(vars))
     # (ty, tz, tx) major so y-slabs are contiguous for sharding

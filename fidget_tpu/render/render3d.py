@@ -47,7 +47,6 @@ VM evaluator renders any new tape without code generation.
 from __future__ import annotations
 
 import functools
-import os
 from dataclasses import dataclass
 
 import jax
@@ -403,10 +402,7 @@ class _Pipeline3:
         floor fold. Composed from the stage methods below; shared by
         the fused `lax.scan` path, the host-loop driver
         (`strata='loop'`), and — stage by stage, with host compaction —
-        the `strata='stages'` driver that works around the XLA:TPU
-        program-level faults at very large volumes (demos/probe_1024.py:
-        every stage passes in isolation at 1024^3, the fused
-        compositions kill the worker)."""
+        the diagnostic `strata='stages'` driver."""
         floor, aux = self.stratum_proofs(
             b, floor, s, mat=mat, var_vec=var_vec, nty=nty
         )
@@ -810,21 +806,20 @@ class VoxelRenderer:
       cap: max active subtiles processed per frame (None = auto from
         the screen area); overflow triggers a host-side retry at 2x.
       strata: "scan" traces the whole strata loop into one XLA program
-        (fastest, default for volumes <= 512^3). "loop" drives one
+        (fastest; the "auto" default at every size). "loop" drives one
         fused dispatch per stratum from the host and polls the
         CancelToken between strata. "stages" additionally splits each
         stratum into proofs | host compaction | leaf | fold dispatches
-        — the compositions demos/probe_1024.py verified fault-free at
-        1024^3, where both fused drivers hit XLA:TPU program-level
-        faults; "auto" picks scan up to 512^3 and stages beyond.
+        (a diagnostic driver, kept for stage isolation; all three are
+        bit-exact at 1024^3 — demos/probe_fused_1024.py).
       specialize: True (default) compiles the pipeline per shape with
         per-shape opcode renumbering — fastest steady-state, used by
         the benchmarks. False uses the zero-recompile bucketed
         pipeline (canonical opcode order, arena as traced data): any
         shape whose tape fits the same capacity bucket renders through
         ONE shared compiled frame — the interactive/editor path.
-        Volumes that need a host strata driver (> 512^3) always use
-        the specialized path.
+        Explicit host strata drivers (strata="loop"/"stages") always
+        use the specialized path.
       voxel_tiles_per_step: subtiles evaluated per Pallas grid step in
         the voxel pass (interp_voxel_depth tiles_per_step); batching
         amortizes the fixed ~2 us per-grid-step dispatch cost across
@@ -897,28 +892,14 @@ class VoxelRenderer:
         self.sub = sub_size
         assert tile_size % sub_size == 0
         self.interpret = default_interpret() if interpret is None else interpret
-        if (
-            not self.interpret
-            and tile_size == 32
-            and sub_size == 16
-            and max(size.width, size.height, size.depth) >= 512
-            # FIDGET_TPU_ALLOW_CRASH_CONFIGS=1 bypasses the fence for
-            # fault reproduction only (demos/probe_crash.py re-tests
-            # after kernel fixes) — a crashed worker takes 5-25 min
-            and os.environ.get("FIDGET_TPU_ALLOW_CRASH_CONFIGS") != "1"
-        ):
-            # (tile=32, sub=16) at >=512^3 triggers an XLA:TPU
-            # program-level miscompile that kills the TPU worker (every
-            # stage passes in isolation; identical kernel shapes work
-            # at tile_size=64 — see demos/probe_crash.py). A crashed
-            # worker takes minutes to recover, so refuse the config
-            # outright rather than let a user hit it.
-            raise ValueError(
-                "VoxelRenderer(tile_size=32, sub_size=16) at volumes >= "
-                "512 crashes the TPU runtime (known XLA:TPU miscompile; "
-                "demos/probe_crash.py). Use tile_size=64 (default) or a "
-                "different sub_size."
-            )
+        # Historical note: before the IMM12 liveness OOB-write fix
+        # (commit f56c4a6), (tile=32, sub=16) at >=512^3 and both fused
+        # strata drivers at 1024^3 crashed the TPU worker, and this
+        # constructor fenced those configs. The 2026-08-20 hardware
+        # re-probes (demos/probe_crash.py, demos/probe_fused_1024.py)
+        # confirmed the liveness bug was the cause: every previously
+        # faulting config now runs clean and bit-exact vs the staged
+        # drivers, so the fences are gone (see BUGREPORT.md).
 
         W, H, D = size.width, size.height, size.depth
         self.geo = _geo3(W, H, D, tile_size, sub_size)
@@ -1076,12 +1057,11 @@ class VoxelRenderer:
     def _strata_mode(self) -> str:
         if self.strata != "auto":
             return self.strata
-        # >512^3 volumes fault the XLA:TPU compiler in BOTH fused
-        # drivers (scan AND per-stratum loop, demos/probe_1024.py);
-        # the stages driver keeps every dispatch inside the
-        # probe-verified-safe compositions
-        if self.W * self.H * self.D > 512**3:
-            return "stages"
+        # scan (one fused XLA program over all strata) is the fastest
+        # driver at every size: 11.0 s vs 22.9 s for stages at 1024^3
+        # cold (demos/probe_fused_1024.py, 2026-08-20, bit-exact across
+        # all three drivers). The former >512^3 stages auto-route
+        # worked around a liveness-kernel OOB write fixed in f56c4a6.
         return "scan"
 
     def _loop_fn(self, name: str, build):
@@ -1095,10 +1075,8 @@ class VoxelRenderer:
     def _render_loop(self, matM, vec, *, mode: str, cap: int, cancel=None):
         """Host-driven strata loop: one dispatch per Z-stratum,
         carrying the depth floor between dispatches. ~self.ntz extra
-        dispatch latencies (~28 ms each over the axon tunnel) — noise
-        at the volume sizes that need it — in exchange for avoiding
-        the fused-scan miscompile and gaining per-stratum cancellation
-        polls."""
+        dispatch latencies (~28 ms each over the axon tunnel) in
+        exchange for per-stratum cancellation polls."""
         from .config import check_cancel
 
         nsub_s = self.nl * (self.nty * self.nl) * self.nx2
@@ -1151,12 +1129,12 @@ class VoxelRenderer:
         """Host-driven strata loop with per-stage dispatches: proofs |
         (host compaction) | leaf | fold, each its own XLA program.
 
-        These are exactly the compositions demos/probe_1024.py verified
-        fault-free at 1024^3, where BOTH fused drivers (the lax.scan
-        frame and the composed per-stratum step) hit XLA:TPU
-        program-level faults. Costs ~3 dispatch latencies per stratum
-        (~0.1 s at 1024^3 over the axon tunnel) — the correctness path
-        for very large volumes until the miscompile is bisected."""
+        A diagnostic driver: running stage boundaries as separate
+        dispatches isolates faults to a stage (this is how the
+        pre-f56c4a6 liveness bug was localized, demos/probe_1024.py).
+        Costs ~3 dispatch latencies per stratum (~0.1 s at 1024^3 over
+        the axon tunnel) — about 2x slower than the fused scan
+        (demos/probe_fused_1024.py: 22.9 s vs 11.0 s cold)."""
         from .config import check_cancel
 
         nl = self.nl

@@ -392,23 +392,25 @@ def test_3d_async_warmup():
     np.testing.assert_array_equal(img2.depth, brute.depth)
 
 
-def test_crash_prone_config_refused():
-    # (tile=32, sub=16) at >=512^3 is a known XLA:TPU miscompile that
-    # kills the TPU worker; the constructor must refuse it on hardware
-    # (interpret mode is unaffected)
+def test_formerly_fenced_configs_construct():
+    # (tile=32, sub=16) at >=512^3 used to crash the TPU worker via the
+    # pre-f56c4a6 liveness-kernel OOB write and was refused by the
+    # constructor; the 2026-08-20 hardware re-probe (demos/probe_crash.py)
+    # confirmed the fix, so every config constructs and autos to the
+    # fused scan driver at any size.
     from fidget_tpu.render.region import VoxelSize
 
     tape = gyroid_sphere_tape()
-    with pytest.raises(ValueError, match="crash"):
-        VoxelRenderer(
+    for interpret in (False, True):
+        r = VoxelRenderer(
             tape, VoxelSize(512, 512, 512), tile_size=32, sub_size=16,
-            interpret=False,
+            interpret=interpret,
         )
-    # the same config in interpret mode (CPU) constructs fine
-    VoxelRenderer(
-        tape, VoxelSize(512, 512, 512), tile_size=32, sub_size=16,
-        interpret=True,
+        assert r._strata_mode() == "scan"
+    big = VoxelRenderer(
+        tape, VoxelSize(1024, 1024, 1024), interpret=True,
     )
+    assert big._strata_mode() == "scan"
 
 
 def test_mesh_and_3d_cancellation():
@@ -427,27 +429,6 @@ def test_mesh_and_3d_cancellation():
     )
     with pytest.raises(RenderCancelled):
         r.render(mode="heightmap", cancel=tok)
-
-
-def test_voxels_sharded_refuses_oversize_fused_slab():
-    """render_voxels_sharded traces one fused-scan program per device;
-    per-device slabs above the 512^3 fused-driver safety limit must be
-    refused (the single-device path routes them to its stages driver;
-    a sharded host-loop driver cannot exist inside shard_map)."""
-    import jax
-
-    from fidget_tpu.parallel.sharding import make_mesh, render_voxels_sharded
-
-    n_dev = min(2, jax.device_count())
-    if n_dev < 2:
-        pytest.skip("needs a multi-device mesh")
-    mesh = make_mesh(n_dev)
-    tape = sphere_tape()
-    with pytest.raises(ValueError, match="512"):
-        render_voxels_sharded(
-            tape, VoxelSize(1024, 1024, 1024), mesh,
-            tile_size=64, sub_size=16, interpret=True,
-        )
 
 
 def test_sphere_var_closed_form():
