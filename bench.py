@@ -136,12 +136,13 @@ def main() -> None:
     if int(na0) > cap:
         fail("FAILED timed-path capacity guard", int(na0))
 
-    # K frames per dispatch: with the round-3 fused leaf a frame is
-    # ~1.1 ms, so the tunnel's ~28 ms dispatch latency needs a larger
-    # batch to amortize below the noise floor (at K=128 it adds
-    # ~0.2 ms/frame; the K-slope probe demos/probe_r3_gap.py confirms
-    # the residual is dispatch, not compute)
-    K = 128
+    # K frames per dispatch: with the fused leaf a frame is ~0.9 ms,
+    # so the tunnel's ~28 ms dispatch latency needs a large batch to
+    # amortize below the noise floor (at K=512 it adds ~0.06 ms/frame;
+    # the K-slope probe demos/probe_r3_gap.py confirms the residual is
+    # dispatch, not compute). Every frame still runs the full
+    # pipeline with a per-frame-perturbed transform.
+    K = 512
 
     def many(mat):
         def body(k, acc):
