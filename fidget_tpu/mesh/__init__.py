@@ -792,6 +792,9 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     G = 1 << depth  # leaf grid resolution per axis
     h_leaf = 2.0 / G
 
+    if settings.eval == "unrolled":
+        return _build_mesh_fused(ev, m, var_vec, settings, clock)
+
     # ---- stage 1: level-synchronous interval build ----------------------
     # cells go up as int32 lattice coords; the exact box transform and
     # interval classification run device-side (_classify_cells_core)
@@ -972,6 +975,73 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     vpos = np.clip(vpos, clo, clo + h)
     clock.tick(f"QEF accumulate+solve ({NV} verts)")
 
+    return _assemble_mesh(
+        ev, m, var_vec, settings, clock, G, h, cells, mask, nvert, voff,
+        AtA, Atb, btb, msum, mcnt, vpos, crossing,
+    )
+
+
+def _build_mesh_fused(ev, m, var_vec, settings, clock):
+    """build_mesh body for Settings(eval="unrolled"): the device-
+    resident fine pipeline (mesh/fused.py) replaces the staged
+    classify / corner / edge-search / gradient dispatches, and the
+    collapse runs against the DeviceVertexStore so per-vertex QEF data
+    never crosses the tunnel — only cell keys, masks, and per-round
+    candidate results do."""
+    from .collapse import collapse_and_walk
+    from .fused import DeviceVertexStore, fine_stage
+
+    depth = settings.depth
+    G = 1 << depth
+    h = 2.0 / G
+    r = fine_stage(
+        ev, m, var_vec, depth, rounds=_EDGE_ROUNDS,
+        samples=_EDGE_SAMPLES, cancel=settings.cancel, clock=clock,
+    )
+    if r is None:
+        return Mesh()
+    cells, mask, res, ns, cs_cap = r
+    nvert = VERT_COUNT[mask]
+    crossing = CELL_TO_EDGE_TO_VERT[mask] >= 0
+
+    if settings.collapse:
+        # flat vertex ids 4*cell + slot match the device store layout
+        voff4 = np.arange(len(cells) + 1, dtype=np.int64) * 4
+        store = DeviceVertexStore(ev, m, var_vec, h, res, cs_cap, depth)
+        v_bits_all = (np.arange(12) % 4)[None, :]
+        own_all = crossing & (v_bits_all == 0)
+        oci_all, oei_all = np.nonzero(own_all)
+        check_cancel(settings.cancel)
+        verts, tris = collapse_and_walk(
+            ev=ev, m=m, var_vec=var_vec, G=G, h=h,
+            cells=cells, mask=mask, nvert=nvert, voff=voff4,
+            oci=oci_all, oei=oei_all, store=store,
+            cancel=settings.cancel, clock=clock,
+        )
+        clock.tick("dual walk")
+        return Mesh(vertices=verts, triangles=tris.astype(np.int32))
+
+    # uniform walk: only the vertex positions come down
+    voff = np.concatenate([[0], np.cumsum(nvert)]).astype(np.int64)
+    ci2, lv2 = np.nonzero(np.arange(4)[None, :] < nvert[:, None])
+    vpos_d = (
+        np.asarray(res["vpos"])[: ns * 4]
+        .reshape(ns, 4, 3)
+        .astype(np.float64)[ci2, lv2]
+    )
+    clock.tick(f"vertex download ({len(vpos_d)} verts)")
+    return _assemble_mesh(
+        ev, m, var_vec, settings, clock, G, h, cells, mask, nvert, voff,
+        None, None, None, None, None, vpos_d, crossing,
+    )
+
+
+def _assemble_mesh(
+    ev, m, var_vec, settings, clock, G, h, cells, mask, nvert, voff,
+    AtA, Atb, btb, msum, mcnt, vpos, crossing,
+):
+    """Shared tail of build_mesh: canonical crossing-edge enumeration,
+    then the adaptive (collapse) or uniform dual walk."""
     # enumerate each crossing edge once, from its canonical owner cell
     # (the cell whose local edge has both fixed coords == 0) — shared by
     # the uniform and adaptive walks

@@ -273,6 +273,105 @@ def _qef_err(v, AtA, Atb, btb):
     return vav - 2.0 * (Atb[:, 0] * x + Atb[:, 1] * y + Atb[:, 2] * z) + btb
 
 
+def topo_safe(inside):
+    """Ju'02 topology-safety test on the 27-point sign lattice.
+
+    inside: [K, 27] bool. True where the coarse cell's iso-topology
+    equals the fine one's AND the merged mask has exactly one MDC
+    vertex (see module docstring)."""
+    corner = inside[:, _CORNER_LAT]  # [K, 8]
+    pmask = (corner << np.arange(8)[None, :]).sum(axis=1)
+    topo = VERT_COUNT[pmask] == 1
+    for mid, a, b in _EDGE_CHECKS:
+        topo &= (inside[:, mid] == inside[:, a]) | (
+            inside[:, mid] == inside[:, b]
+        )
+    for row in _FACE_CHECKS:
+        mid, quad = row[0], row[1:]
+        topo &= (inside[:, mid][:, None] == inside[:, quad]).any(axis=1)
+        # reject ambiguous (diagonal) coarse faces — they pinch the
+        # single merged vertex between two surface sheets; corners
+        # are ordered (u,v) = (0,0),(0,2),(2,0),(2,2)
+        c0, c1, c2, c3 = (inside[:, q] for q in quad)
+        ambiguous = (c0 == c3) & (c1 == c2) & (c0 != c1)
+        topo &= ~ambiguous
+    topo &= (inside[:, _CENTER_LAT][:, None] == corner).any(axis=1)
+    return topo
+
+
+class HostVertexStore:
+    """Host-side vertex store for the collapse: per-vertex QEF sums,
+    positions and residuals as numpy arrays (the eval="interp" path).
+
+    The store interface (merge_round / commit / final_positions) is
+    shared with mesh/fused.py's DeviceVertexStore, which keeps the same
+    data device-resident and runs the merge mathematics on the TPU."""
+
+    def __init__(self, ev, m, var_vec, G, h, AtA, Atb, btb, msum, mcnt,
+                 vpos):
+        self.ev, self.m, self.var_vec = ev, m, var_vec
+        self.G, self.h = G, h
+        self.vAtA = AtA.copy()
+        self.vAtb = Atb.copy()
+        self.vbtb = btb.copy()
+        self.vms = msum.copy()
+        self.vmc = mcnt.copy()
+        self.vpos = vpos.copy()
+        self.verr = _qef_err(vpos, AtA, Atb, btb)
+
+    def merge_round(self, member_vids, seg_member, pbase, ps):
+        """Merged QEF solve + topology test for K candidate parents.
+
+        member_vids: [M] vertex ids, candidate-major; seg_member: [M]
+        candidate index per member (nondecreasing); pbase: [K, 3] fine
+        lattice coords of each parent's lo corner; ps: parent size.
+        Returns (topo [K], mv [K,3], merr [K], cerr [K])."""
+        from . import offset_signs
+
+        K = len(pbase)
+        starts = np.searchsorted(seg_member, np.arange(K))
+        inside = offset_signs(
+            self.ev, pbase, _LATTICE, ps // 2, self.h, self.m,
+            self.var_vec,
+        )
+        topo = topo_safe(inside)
+
+        def seg(a):
+            return np.add.reduceat(a[member_vids], starts, axis=0)
+
+        mAtA = seg(self.vAtA)
+        mAtb = seg(self.vAtb)
+        mbtb = seg(self.vbtb)
+        mms = seg(self.vms)
+        mmc = seg(self.vmc)
+        cerr = seg(self.verr)
+        mmass = mms / np.maximum(mmc, 1.0)[:, None]
+        mv = _solve_qef(mAtA, mAtb, mmass)
+        lo = pbase.astype(np.float64) * self.h - 1.0
+        mv = np.clip(mv, lo, lo + ps * self.h)
+        merr = _qef_err(mv, mAtA, mAtb, mbtb)
+        self._pending = (mAtA, mAtb, mbtb, mms, mmc, mv, merr)
+        return topo, mv, merr, cerr
+
+    def commit(self, accept):
+        """Appends the accepted candidates' merged vertices; returns
+        their new vertex ids [n_accepted]."""
+        mAtA, mAtb, mbtb, mms, mmc, mv, merr = self._pending
+        acc = np.nonzero(accept)[0]
+        new_vids = len(self.vpos) + np.arange(len(acc))
+        self.vpos = np.concatenate([self.vpos, mv[acc]])
+        self.vAtA = np.concatenate([self.vAtA, mAtA[acc]])
+        self.vAtb = np.concatenate([self.vAtb, mAtb[acc]])
+        self.vbtb = np.concatenate([self.vbtb, mbtb[acc]])
+        self.vms = np.concatenate([self.vms, mms[acc]])
+        self.vmc = np.concatenate([self.vmc, mmc[acc]])
+        self.verr = np.concatenate([self.verr, merr[acc]])
+        return new_vids
+
+    def final_positions(self, ids):
+        return self.vpos[ids].astype(np.float32)
+
+
 def collapse_and_walk(
     *,
     ev,
@@ -284,14 +383,15 @@ def collapse_and_walk(
     mask,
     nvert,
     voff,
-    AtA,
-    Atb,
-    btb,
-    msum,
-    mcnt,
-    vpos,
     oci,
     oei,
+    AtA=None,
+    Atb=None,
+    btb=None,
+    msum=None,
+    mcnt=None,
+    vpos=None,
+    store=None,
     cancel=None,
     clock=None,
 ):
@@ -299,10 +399,11 @@ def collapse_and_walk(
 
     Inputs are the fine-stage products of build_mesh (see mesh/__init__).
     oci/oei enumerate every fine crossing edge once from its canonical
-    owner cell. Returns (vertices [V,3] f32, triangles [T,3] i64).
+    owner cell. Vertex data comes either as numpy arrays (AtA..vpos, the
+    staged interp path — wrapped in a HostVertexStore) or as a
+    ready-made `store` (mesh/fused.py's DeviceVertexStore with the data
+    device-resident). Returns (vertices [V,3] f32, triangles [T,3] i64).
     """
-    from . import offset_signs
-
     N = len(cells)
     # live cell state: coords in fine-lattice units, size (fine units),
     # vid >= 0 for single-vertex / merged cells, else -(fine row)-1 for
@@ -313,14 +414,10 @@ def collapse_and_walk(
     single = nvert == 1
     c_vid = np.where(single, voff[np.arange(N)], -1)
 
-    # vertex data grows as merges append
-    vAtA = AtA.copy()
-    vAtb = Atb.copy()
-    vbtb = btb.copy()
-    vms = msum.copy()
-    vmc = mcnt.copy()
-    vpos = vpos.copy()
-    verr = _qef_err(vpos, vAtA, vAtb, vbtb)
+    if store is None:
+        store = HostVertexStore(
+            ev, m, var_vec, G, h, AtA, Atb, btb, msum, mcnt, vpos
+        )
 
     from ..render.config import check_cancel
 
@@ -338,9 +435,13 @@ def collapse_and_walk(
         order = np.argsort(pkey, kind="stable")
         pkey_s = pkey[order]
         idx_sorted = idx_s[order]
-        uk, starts, counts = np.unique(
-            pkey_s, return_index=True, return_counts=True
-        )
+        # pkey_s is sorted: run-length boundaries instead of np.unique
+        # (which would re-sort the 370k keys every round)
+        newk = np.ones(len(pkey_s), bool)
+        newk[1:] = pkey_s[1:] != pkey_s[:-1]
+        starts = np.nonzero(newk)[0]
+        uk = pkey_s[starts]
+        counts = np.diff(np.append(starts, len(pkey_s)))
         # a parent qualifies structurally if all its member cells are
         # single-vertex; cells of other sizes cannot share the parent
         # region (power-of-two nesting)
@@ -374,82 +475,38 @@ def collapse_and_walk(
         if len(cand) == 0:
             s = ps
             continue
-        # 27-point sign lattice per candidate parent
         pbase = np.zeros((len(cand), 3), np.int64)
         pbase[:, 0] = uk[cand] // ((G // ps) * (G // ps))
         pbase[:, 1] = (uk[cand] // (G // ps)) % (G // ps)
         pbase[:, 2] = uk[cand] % (G // ps)
         pbase *= ps
-        # 27-point lattice decoded device-side: 12 B/candidate up,
-        # 27 B down (mesh/__init__.py offset_signs)
-        inside = offset_signs(
-            ev, pbase, _LATTICE, ps // 2, h, m, var_vec
+
+        # candidate-major member lists for the store's segment sums
+        parent_of_member = np.repeat(
+            np.arange(len(uk), dtype=np.int64), counts
         )
+        cand_mask = np.zeros(len(uk), bool)
+        cand_mask[cand] = True
+        rank = np.cumsum(cand_mask) - 1  # parent group -> candidate idx
+        mkeep = cand_mask[parent_of_member]
+        member_rows = idx_sorted[mkeep]
+        member_vids = c_vid[member_rows]  # all >= 0 (structural filter)
+        seg_member = rank[parent_of_member][mkeep]
 
-        corner = inside[:, _CORNER_LAT]  # [C, 8]
-        pmask = (corner << np.arange(8)[None, :]).sum(axis=1)
-        topo = VERT_COUNT[pmask] == 1
-        for mid, a, b in _EDGE_CHECKS:
-            topo &= (inside[:, mid] == inside[:, a]) | (
-                inside[:, mid] == inside[:, b]
-            )
-        for row in _FACE_CHECKS:
-            mid, quad = row[0], row[1:]
-            topo &= (inside[:, mid][:, None] == inside[:, quad]).any(axis=1)
-            # reject ambiguous (diagonal) coarse faces — they pinch the
-            # single merged vertex between two surface sheets; corners
-            # are ordered (u,v) = (0,0),(0,2),(2,0),(2,2)
-            c0, c1, c2, c3 = (inside[:, q] for q in quad)
-            ambiguous = (c0 == c3) & (c1 == c2) & (c0 != c1)
-            topo &= ~ambiguous
-        topo &= (inside[:, _CENTER_LAT][:, None] == corner).any(axis=1)
-        cand = cand[topo]
-        pmask = pmask[topo]
-        pbase = pbase[topo]
-        if len(cand) == 0:
-            s = ps
-            continue
-
-        # merged QEFs: segment sums over the parent-sorted member rows
-        vids_sorted = np.where(
-            c_vid[idx_sorted] >= 0, c_vid[idx_sorted], 0
+        # one store round: 27-point topology probe + merged QEF solve
+        # (device-resident on the fused path — only topo/mv/merr/cerr
+        # sized K cross the tunnel)
+        topo, mv, merr, cerr = store.merge_round(
+            member_vids, seg_member, pbase, int(ps)
         )
-        def seg(a):
-            return np.add.reduceat(a[vids_sorted], starts, axis=0)[cand]
-
-        mAtA = seg(vAtA)
-        mAtb = seg(vAtb)
-        mbtb = seg(vbtb)
-        mms = seg(vms)
-        mmc = seg(vmc)
-        cerr = seg(verr)
-        mmass = mms / np.maximum(mmc, 1.0)[:, None]
-        mv = _solve_qef(mAtA, mAtb, mmass)
-        lo = pbase.astype(np.float64) * h - 1.0
-        mv = np.clip(mv, lo, lo + ps * h)
-        merr = _qef_err(mv, mAtA, mAtb, mbtb)
-        accept = merr <= 2.0 * cerr + 1e-10
+        accept = topo & (merr <= 2.0 * cerr + 1e-10)
+        new_vids = store.commit(accept)
 
         # apply accepted merges: drop members, batch-append merged cells
         acc = np.nonzero(accept)[0]
         if len(acc):
-            # vectorized member drop: map each sorted member row to its
-            # parent group, then test group acceptance
-            parent_of_member = np.repeat(
-                np.arange(len(uk), dtype=np.int64), counts
-            )
-            acc_parent = np.zeros(len(uk), bool)
-            acc_parent[cand[acc]] = True
             drop = np.zeros(len(c_size), bool)
-            drop[idx_sorted[acc_parent[parent_of_member]]] = True
-            new_vids = len(vpos) + np.arange(len(acc))
-            vpos = np.concatenate([vpos, mv[acc]])
-            vAtA = np.concatenate([vAtA, mAtA[acc]])
-            vAtb = np.concatenate([vAtb, mAtb[acc]])
-            vbtb = np.concatenate([vbtb, mbtb[acc]])
-            vms = np.concatenate([vms, mms[acc]])
-            vmc = np.concatenate([vmc, mmc[acc]])
-            verr = np.concatenate([verr, merr[acc]])
+            drop[member_rows[accept[seg_member]]] = True
             keep_rows = ~drop
             c_coord = np.concatenate([c_coord[keep_rows], pbase[acc]])
             c_size = np.concatenate(
@@ -461,8 +518,7 @@ def collapse_and_walk(
             c_vid = np.concatenate([c_vid[keep_rows], new_vids])
         if clock is not None:
             clock.tick(
-                f"collapse s={s} ({len(cand)} cand, "
-                f"{len(np.nonzero(accept)[0])} merged)"
+                f"collapse s={s} ({len(cand)} cand, {len(acc)} merged)"
             )
         s = ps
 
@@ -498,13 +554,18 @@ def collapse_and_walk(
     u1 = (axis + 1) % 3
     u2 = (axis + 2) % 3
     base = cells[oci].astype(np.int64)
-    rng = np.arange(len(oci))
-    quad = np.full((len(oci), 4), -1, np.int64)
+    K = len(oci)
+    rng = np.arange(K)
+    # all 4 neighbor queries in ONE locate call (the per-size
+    # searchsorted loop runs once instead of four times)
+    nb4 = np.broadcast_to(base, (4, K, 3)).copy()
     for qi, (d1, d2) in enumerate(((0, 0), (1, 0), (1, 1), (0, 1))):
-        nb = base.copy()
-        nb[rng, u1] -= d1
-        nb[rng, u2] -= d2
-        rows = locate(nb)
+        nb4[qi, rng, u1] -= d1
+        nb4[qi, rng, u2] -= d2
+    rows4 = locate(nb4.reshape(-1, 3)).reshape(4, K)
+    quad = np.full((K, 4), -1, np.int64)
+    for qi, (d1, d2) in enumerate(((0, 0), (1, 0), (1, 1), (0, 1))):
+        rows = rows4[qi]
         found = rows >= 0
         fine = np.where(found, c_fine[np.maximum(rows, 0)], -1)
         vbits = np.where(u1 < u2, d1 + 2 * d2, d2 + 2 * d1)
@@ -525,9 +586,17 @@ def collapse_and_walk(
     quad = quad[good]
     lo_inside = ((mask[oci] >> EDGE_LO[oei]) & 1).astype(bool)[good]
     qq = np.where(lo_inside[:, None], quad, quad[:, ::-1])
-    # dedupe repeated quads from coarse faces by unordered id set
+    # dedupe repeated quads from coarse faces by unordered id set;
+    # two packed int64 lexsort keys instead of np.unique(axis=0)'s
+    # void-dtype sort (vertex ids stay < 2^31)
     key = np.sort(qq, axis=1)
-    _, first = np.unique(key, axis=0, return_index=True)
+    k1 = (key[:, 0] << 32) | key[:, 1]
+    k2 = (key[:, 2] << 32) | key[:, 3]
+    order_q = np.lexsort((k2, k1))
+    k1s, k2s = k1[order_q], k2[order_q]
+    new = np.ones(len(k1s), bool)
+    new[1:] = (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
+    first = order_q[new]
     qq = qq[np.sort(first)]
     tris = np.concatenate([qq[:, [0, 1, 2]], qq[:, [0, 2, 3]]], axis=0)
     ok = (
@@ -537,8 +606,10 @@ def collapse_and_walk(
     )
     tris = tris[ok]
 
-    # compact the vertex array to referenced vertices
+    # compact the vertex array to referenced vertices; only these rows
+    # ever leave the store (on the fused path that is the single
+    # vertex-position download of the whole build)
     used = np.unique(tris)
-    remap = np.full(len(vpos), -1, np.int64)
+    remap = np.full(int(used[-1]) + 1 if len(used) else 0, -1, np.int64)
     remap[used] = np.arange(len(used))
-    return vpos[used].astype(np.float32), remap[tris]
+    return store.final_positions(used), remap[tris]
