@@ -236,8 +236,8 @@ def _solve_qef(AtA, Atb, mass):
     from a closed-form eigendecomposition (`_sym_eig3`) vectorized over
     the batch — LAPACK's batched SVD was the single largest host cost
     of a depth-8 mesh build (0.66 s of 5.2 s). Truncation matches the
-    reference: drop directions below 10% of the largest eigenvalue
-    (fidget-mesh/src/qef.rs)."""
+    reference: drop directions below 1e-3 of the largest eigenvalue
+    (EIGENVALUE_CUTOFF_RELATIVE, fidget-mesh/src/qef.rs:96)."""
     AtA = AtA.astype(np.float64, copy=False)
     # rhs = Atb - AtA @ mass, componentwise (einsum's per-call batch
     # overhead dominated the depth-8 profile)
@@ -248,7 +248,7 @@ def _solve_qef(AtA, Atb, mass):
     r1 = Atb[:, 1] - (a01 * mx + a11 * my + a12 * mz)
     r2 = Atb[:, 2] - (a02 * mx + a12 * my + a22 * mz)
     W, Q = _sym_eig3(AtA)
-    keep = W > np.maximum(W[:, :1] * 0.1, 1e-12)
+    keep = W > np.maximum(W[:, :1] * 1e-3, 1e-12)
     winv = np.divide(1.0, W, out=np.zeros_like(W), where=keep)
     # delta = Q @ diag(winv) @ Q^T rhs, componentwise
     c0 = winv[:, 0] * (Q[:, 0, 0] * r0 + Q[:, 1, 0] * r1 + Q[:, 2, 0] * r2)

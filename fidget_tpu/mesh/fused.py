@@ -69,7 +69,10 @@ def _compact_keys(act, keys, cap, extra=None):
     keys = keys.reshape(-1)
     n = act.shape[0]
     pos = jnp.cumsum(act.astype(jnp.int32)) - 1
-    dest = jnp.where(act, pos, cap + jnp.arange(n, dtype=jnp.int32))
+    # culled dests start past n (> any possible pos), so indices are
+    # provably unique even when n_act > cap — every out-of-capacity
+    # index is dropped by mode="drop" either way
+    dest = jnp.where(act, pos, cap + n + jnp.arange(n, dtype=jnp.int32))
     out = (
         jnp.full(cap, -1, jnp.int32)
         .at[dest]
@@ -177,8 +180,10 @@ def level_core(ev, cin: int, cout: int):
 def leaf_core(ev, cl: int, cs: int):
     """Jitted: leaf cells -> compacted surface cells with sign masks.
 
-    core(keys [cl] i32, n_leaf, h, mat, var_vec_)
-      -> (surf_keys [cs], surf_mask [cs], n_surf)
+    core(keys [cl] i32, n_leaf, cvec, li, h, mat, var_vec_)
+      -> (surf_keys [cs], surf_mask [cs], n_surf, cvec')
+    where cvec is the per-level count vector and li the level index;
+    the returned cvec' has cvec[li] updated to n_surf.
     """
 
     def core(keys, n_leaf, cvec, li, h, mat, var_vec_):

@@ -141,9 +141,10 @@ def solve_qef_c(xp, ata, atb, mass):
     """Truncated QEF solve about the mass point, componentwise.
 
     ata: 6-tuple (a00, a01, a02, a11, a12, a22); atb / mass: 3-tuples.
-    Truncation matches the reference: directions below 10% of the
-    largest eigenvalue are dropped (fidget-mesh/src/qef.rs). Returns a
-    3-tuple; non-finite solutions fall back to the mass point."""
+    Truncation matches the reference: directions below 1e-3 of the
+    largest eigenvalue are dropped (EIGENVALUE_CUTOFF_RELATIVE,
+    fidget-mesh/src/qef.rs:96). Returns a 3-tuple; non-finite
+    solutions fall back to the mass point."""
     a00, a01, a02, a11, a12, a22 = ata
     mx, my, mz = mass
     r0 = atb[0] - (a00 * mx + a01 * my + a02 * mz)
@@ -155,7 +156,7 @@ def solve_qef_c(xp, ata, atb, mass):
     out = []
     deltas = None
     for w, e in ((w0, e0), (w1, e1), (w2, e2)):
-        keep = w > xp.maximum(w0 * 0.1, 1e-12)
+        keep = w > xp.maximum(w0 * 1e-3, 1e-12)
         winv = xp.where(keep, 1.0 / xp.where(keep, w, 1.0), 0.0)
         c = winv * (e[0] * r0 + e[1] * r1 + e[2] * r2)
         d = (e[0] * c, e[1] * c, e[2] * c)

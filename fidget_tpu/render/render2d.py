@@ -698,8 +698,10 @@ def _frame_unrolled_fn(
         # distinct out-of-bounds dests for culled tiles keep the
         # unique_indices guarantee honest (all are dropped); the flag
         # lets XLA vectorize the scatter (demos/exp_compact.py: 117 ->
-        # 87 us, matching argsort, while slot_of below stays free)
-        dest = jnp.where(act, pos, C + jnp.arange(n0, dtype=jnp.int32))
+        # 87 us, matching argsort, while slot_of below stays free).
+        # Culled dests start past C + n0 so they can never collide
+        # with an overflowing active pos (pos < n0 <= C + n0)
+        dest = jnp.where(act, pos, C + n0 + jnp.arange(n0, dtype=jnp.int32))
         o1 = (
             jnp.zeros(C, jnp.int32)
             .at[dest]

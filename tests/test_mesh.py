@@ -289,7 +289,7 @@ def test_qef_closed_form_matches_svd():
     def svd_ref(AtA, Atb, mass):
         rhs = Atb - np.einsum("vij,vj->vi", AtA, mass)
         U, S, Vt = np.linalg.svd(AtA)
-        keep = S > np.maximum(S[:, :1] * 0.1, 1e-12)
+        keep = S > np.maximum(S[:, :1] * 1e-3, 1e-12)
         sinv = np.divide(1.0, S, out=np.zeros_like(S), where=keep)
         delta = np.einsum(
             "vji,vj->vi", Vt, sinv * np.einsum("vij,vi->vj", U, rhs)
