@@ -40,13 +40,23 @@ from .arith import FloatMode, IntervalMode
 from .softmath import kernel_namespace
 
 
-def eval_tape_interval_fast(tape: Tape, inputs: list):
+def eval_tape_interval_fast(tape: Tape, inputs: list, *, capture: bool = False):
     """Interval-mode unrolled evaluation with a minimal trace footprint.
 
     Built for the tiled-unrolled pipeline's CULL stage: the whole tape
     as straight-line XLA interval arithmetic over per-tile boxes — no
-    interpreter scan (~90 ns/step/instance), no choice capture (the
-    unrolled mode never simplifies).
+    interpreter scan (~90 ns/step/instance) and, by default, no choice
+    capture.
+
+    capture=True additionally packs a 2-bit choice code per choice op
+    (1=Left, 2=Right, 3=Both — reference interval semantics,
+    fidget-core/src/types/interval.rs:295-381; NaN operands capture
+    Both, which is always sound) into uint32 words — choice j lands in
+    word j//16 at bit 2*(j%16), the layout `compiler.unions.
+    pack_choices` mirrors on the host. Returns (los, his, words) where
+    `words` is a list of ceil(choice_count/16) uint32 arrays. The
+    union-tape leaf (render2d) uses these for its per-frame
+    tape-validity test.
 
     Semantics are the reference's interval rules
     (fidget-core/src/types/interval.rs) with one deliberate relaxation:
@@ -92,6 +102,28 @@ def eval_tape_interval_fast(tape: Tape, inputs: list):
     )
 
     like = inputs[0][0]
+    #: per-word OR-accumulated int32 choice contributions (capture)
+    words: list = []
+    n_choice_seen = 0
+
+    def emit_choice(left, right):
+        """Packs one 2-bit code from bool (left, right) lane masks."""
+        nonlocal n_choice_seen
+        j = n_choice_seen
+        n_choice_seen += 1
+        if not capture:
+            return
+        s = 2 * (j % 16)
+        contrib = jnp.where(
+            left,
+            np.uint32(1 << s),
+            jnp.where(right, np.uint32(2 << s), np.uint32(3 << s)),
+        )
+        w = j // 16
+        if w == len(words):
+            words.append(contrib)
+        else:
+            words[w] = words[w] | contrib
 
     def operand(sel, imm):
         if sel == IMM:
@@ -108,8 +140,11 @@ def eval_tape_interval_fast(tape: Tape, inputs: list):
             bl, bu = operand(b, imms[i])
             if op == MIN:
                 regs[out] = (jnp.minimum(al, bl), jnp.minimum(au, bu))
+                # NaN anywhere fails both strict compares -> Both
+                emit_choice(au < bl, bu < al)
             else:
                 regs[out] = (jnp.maximum(al, bl), jnp.maximum(au, bu))
+                emit_choice(al > bu, bl > au)
         elif op == DIV:
             (al, au) = operand(a, imms[i])
             (bl, bu) = operand(b, imms[i])
@@ -153,7 +188,9 @@ def eval_tape_interval_fast(tape: Tape, inputs: list):
                 va = (jnp.full_like(like, imms[i]),) * 2
             if b == IMM:
                 vb = (jnp.full_like(like, imms[i]),) * 2
-            regs[out] = im.choice_binary(TapeOp(op), va, vb)[0]
+            val, ch = im.choice_binary(TapeOp(op), va, vb)
+            regs[out] = val
+            emit_choice(ch == 1, ch == 2)
         elif op == COPY:
             if a == IMM:
                 c = jnp.full_like(like, imms[i])
@@ -171,6 +208,10 @@ def eval_tape_interval_fast(tape: Tape, inputs: list):
         if los[o] is not None and not hasattr(los[o], "shape"):
             los[o] = jnp.full_like(like, los[o])
             his[o] = jnp.full_like(like, his[o])
+    if capture:
+        assert n_choice_seen == tape.choice_count
+        words = [jnp.broadcast_to(w, like.shape) for w in words]
+        return los, his, words
     return los, his
 
 
