@@ -218,10 +218,32 @@ def _float_diff_fn(nf, n_inputs, n_outputs, s0, interpret, op_order):
         # value channel differs at NaN ties: GradMode min/max pick a
         # side where FloatMode propagates NaN)
         primal_out = f(w1, w2, imm, lengths, vars_)
-        zero = jnp.zeros_like(vars_)
-        duals = jnp.stack([vars_, dvars, zero, zero], axis=2)
-        g = interp_grad(w1, w2, imm, lengths, duals, **kw)
-        return primal_out, g[:, :, 1]
+        # Full input Jacobian J[t, o, i] via ceil(V/3) dual-kernel
+        # passes with one-hot tangent channels (primal-only data),
+        # then a contraction that is LINEAR in dvars through standard
+        # jnp ops — so JAX can transpose the linearized JVP and
+        # `jax.grad` works through the interpreter kernel (reverse
+        # mode on the zero-recompile pipeline; V is tiny: x/y/z plus
+        # a handful of ShapeVars, so the extra passes are bounded and
+        # V <= 3 costs exactly the one pass the directional JVP did).
+        cols = []
+        for i0 in range(0, n_inputs, 3):
+            kk = min(3, n_inputs - i0)
+            e = np.zeros((3, n_inputs), np.float32)
+            for c in range(kk):
+                e[c, i0 + c] = 1.0
+            chans = [vars_] + [
+                jnp.broadcast_to(
+                    jnp.asarray(e[c])[None, :, None, None], vars_.shape
+                )
+                for c in range(3)
+            ]
+            duals = jnp.stack(chans, axis=2)
+            g = interp_grad(w1, w2, imm, lengths, duals, **kw)
+            cols.append(g[:, :, 1:1 + kk])
+        J = lax.stop_gradient(jnp.concatenate(cols, axis=2))
+        tangent_out = (J * dvars[:, None]).sum(axis=2)
+        return primal_out, tangent_out
 
     return f
 
@@ -233,13 +255,16 @@ def interp_float(
     """Evaluates packed tapes in bulk float mode (see
     `_interp_float_impl` for the argument contract).
 
-    Forward-differentiable w.r.t. `vars_`: the custom JVP evaluates the
-    tangent through the dual-number kernel (`interp_grad`) with the
-    tangent in the dx channel, so `jax.jvp`/`jax.jacfwd`/`jax.linearize`
-    work through the zero-recompile interpreter pipeline. Reverse mode
-    (`jax.grad`) is NOT defined on this kernel — use the unrolled
-    evaluators (eval/unrolled.py, render_dense, fit_step) when a VJP is
-    required. Tangents w.r.t. `imm` are dropped: tape immediates are
+    Differentiable w.r.t. `vars_` in BOTH modes: the custom JVP
+    computes the full input Jacobian through the dual-number kernel
+    (`interp_grad`, ceil(V/3) passes with one-hot tangent channels)
+    and contracts it with the tangent in transposable jnp ops — so
+    `jax.jvp`/`jax.jacfwd`/`jax.linearize` AND `jax.grad`/`jax.vjp`
+    all work through the zero-recompile interpreter pipeline (the
+    north-star "gradients flow via JAX autodiff through the tape
+    evaluator", BASELINE.md; reverse mode costs ceil(V/3) forward dual
+    passes since the reference-style tape has no adjoint form).
+    Tangents w.r.t. `imm` are dropped: tape immediates are
     compiler-baked constants, never parameters (parameters enter as
     Var input planes)."""
     return _float_diff_fn(nf, n_inputs, n_outputs, s0, interpret, op_order)(

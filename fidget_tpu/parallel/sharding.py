@@ -104,6 +104,48 @@ def _eval_rows(tape: Tape, mat, rows, W: int, z, params: dict):
     return d
 
 
+def _eval_rows_interp(tape, packed, mat, rows, W: int, z, params: dict,
+                      interpret: bool):
+    """Evaluates a slab of image rows through the Pallas float
+    interpreter — the zero-recompile path, differentiable in both
+    modes via interp_float's custom JVP (reverse mode backs
+    fit_step(pipeline="interp"))."""
+    from ..eval.pallas_interp import interp_float
+
+    R = rows.shape[0]
+    K = R * W
+    s0 = max(8, -(-(-(-K // 128)) // 8) * 8)  # ceil(K/128) up to 8n
+    cols = jnp.arange(W, dtype=jnp.float32)
+    px, py = jnp.meshgrid(cols, rows)
+    mx = mat[0, 0] * px + mat[0, 1] * py + mat[0, 2]
+    my = mat[1, 0] * px + mat[1, 1] * py + mat[1, 2]
+    V = max(1, len(tape.var_map))
+    planes = [jnp.zeros((R, W), jnp.float32)] * V
+    for v, i in tape.var_map.items():
+        if v == Var.X:
+            planes[i] = mx
+        elif v == Var.Y:
+            planes[i] = my
+        elif v == Var.Z:
+            planes[i] = jnp.full_like(mx, z)
+        else:
+            planes[i] = jnp.full_like(mx, params[v])
+    pad = s0 * 128 - K
+    flat = [
+        jnp.concatenate([p.reshape(-1), jnp.zeros(pad, jnp.float32)])
+        .reshape(s0, 128)
+        for p in planes
+    ]
+    vars_ = jnp.stack(flat)[None]  # [1, V, s0, 128]
+    nf = tape.reg_count + tape.mem_count
+    out = interp_float(
+        jnp.asarray(packed.w1), jnp.asarray(packed.w2),
+        jnp.asarray(packed.imm), jnp.asarray(packed.lengths), vars_,
+        nf=nf, n_inputs=V, n_outputs=1, s0=s0, interpret=interpret,
+    )
+    return out[0, 0].reshape(-1)[:K].reshape(R, W)
+
+
 def render_sharded(
     tape: Tape,
     size: ImageSize,
@@ -153,6 +195,8 @@ def fit_step(
     *,
     lr: float = 0.5,
     z: float = 0.0,
+    pipeline: str = "unrolled",
+    interpret: bool | None = None,
 ):
     """One data-parallel gradient-descent step on shape parameters.
 
@@ -161,12 +205,24 @@ def fit_step(
     inside `shard_map`, overlapping reduction with the backward pass as
     XLA schedules it.
 
+    pipeline: "unrolled" (default) differentiates the whole-tape
+    unrolled evaluator via native XLA autodiff; "interp" drives the
+    ZERO-RECOMPILE Pallas float interpreter, whose custom JVP exposes
+    a transposable Jacobian contraction so reverse mode works without
+    per-shape compilation (pallas_interp.interp_float) — gradients
+    match the unrolled path (tests/test_grad_parity.py).
+
     Returns (new_params, loss).
     """
     axis = mesh.axis_names[0]
     H, W = size.height, size.width
     n_dev = mesh.devices.size
     assert H % n_dev == 0
+    assert pipeline in ("unrolled", "interp")
+    if interpret is None:
+        from ..eval.pallas_interp import default_interpret
+
+        interpret = default_interpret()
 
     param_vars = tuple(sorted(params.keys(), key=lambda v: (v.kind, v.ident)))
     theta = jnp.asarray([float(params[v]) for v in param_vars], jnp.float32)
@@ -174,20 +230,41 @@ def fit_step(
     def build():
         mat = jnp.asarray(compose2(None, size), jnp.float32)
         rows_all = jnp.arange(H, dtype=jnp.float32)
+        if pipeline == "interp":
+            from ..compiler.pack import pack_tapes
+
+            packed = pack_tapes([tape])
+        else:
+            packed = None
 
         @functools.partial(
             jax.shard_map,
             mesh=mesh,
             in_specs=(P(), P(axis), P(axis, None)),
             out_specs=(P(), P()),
+            # pallas_call outputs carry no vma annotation; the explicit
+            # psums below make the outputs replicated by construction
+            # (gradient parity with check_vma=True is pinned by
+            # tests/test_grad_parity.py::test_fit_step_interp_...)
+            check_vma=pipeline != "interp",
         )
         def grad_shard(theta, rows, tgt):
             def local_loss(theta):
                 p = {v: theta[i] for i, v in enumerate(param_vars)}
-                d = _eval_rows(tape, mat, rows, W, jnp.float32(z), p)
+                if pipeline == "interp":
+                    d = _eval_rows_interp(
+                        tape, packed, mat, rows, W, jnp.float32(z), p,
+                        interpret,
+                    )
+                else:
+                    d = _eval_rows(tape, mat, rows, W, jnp.float32(z), p)
                 return jnp.sum((d - tgt) ** 2) / (H * W)
 
             loss, g = jax.value_and_grad(local_loss)(theta)
+            if pipeline == "interp":
+                # with check_vma off, shard_map AD does not know theta
+                # was replicated: all-reduce its cotangent explicitly
+                g = jax.lax.psum(g, axis)
             # `theta` is replicated (P()), so shard_map's AD already
             # all-reduces its cotangent across the mesh — `g` is the
             # global gradient; only the (varying) loss needs an
@@ -203,7 +280,7 @@ def fit_step(
 
     step = _cached(
         ("fit", id(tape), W, H, param_vars, float(lr), float(z),
-         _mesh_key(mesh)),
+         pipeline, bool(interpret), _mesh_key(mesh)),
         (tape,), build,
     )
     new_theta, loss = step(theta, jnp.asarray(target, jnp.float32))

@@ -225,3 +225,53 @@ def test_fit_step_gradient_vs_fd(circle):
         lo[v] = theta[v] - H_FD
         fd = (loss_at(hi) - loss_at(lo)) / (2 * H_FD)
         np.testing.assert_allclose(g[v], fd, rtol=2e-2, atol=1e-4)
+
+
+def test_interp_float_reverse_mode_matches_forward(circle):
+    """jax.grad through the Pallas float interpreter (custom JVP's
+    transposable Jacobian contraction) must match jacfwd and FD — the
+    north-star 'gradients via JAX autodiff through the tape
+    evaluator' on the zero-recompile path."""
+    tape, cx, rv = circle
+    r = PixelRenderer(tape, ImageSize(N, N), interpret=True)
+    mat = jnp.asarray(r._mat4(None))
+
+    def loss(vec):
+        img, fill = r._frame(mat, jnp.float32(0.0), vec, pixel_perfect=True)
+        return jnp.sum(img**2) / (N * N)
+
+    vec = _vec(tape, cx, rv, 0.1, 0.5)
+    g_rev = np.asarray(jax.grad(loss)(vec))
+    g_fwd = np.asarray(jax.jacfwd(loss)(vec))
+    np.testing.assert_allclose(g_rev, g_fwd, rtol=1e-5, atol=1e-6)
+    for k in range(len(vec)):
+        e = np.zeros(len(vec), np.float32)
+        e[k] = 1.0
+        fd = (
+            float(loss(vec + H_FD * e)) - float(loss(vec - H_FD * e))
+        ) / (2 * H_FD)
+        np.testing.assert_allclose(g_rev[k], fd, rtol=2e-2, atol=1e-3)
+
+
+def test_fit_step_interp_matches_unrolled(circle):
+    """fit_step(pipeline="interp") — reverse mode through the Pallas
+    interpreter under shard_map/psum — must produce the same gradients
+    as the unrolled pipeline."""
+    from fidget_tpu.parallel.sharding import fit_step, make_mesh, render_sharded
+
+    tape, cx, rv = circle
+    mesh = make_mesh()
+    size = ImageSize(N, N)
+    target = np.asarray(
+        render_sharded(tape, size, mesh, params={cx: 0.25, rv: 0.6})
+    )
+    theta = {cx: 0.1, rv: 0.5}
+    p_u, l_u = fit_step(tape, size, mesh, theta, target, lr=0.5)
+    p_i, l_i = fit_step(
+        tape, size, mesh, theta, target, lr=0.5, pipeline="interp"
+    )
+    np.testing.assert_allclose(l_i, l_u, rtol=1e-5, atol=1e-7)
+    for v in theta:
+        np.testing.assert_allclose(
+            float(p_i[v]), float(p_u[v]), rtol=1e-4, atol=1e-5
+        )
