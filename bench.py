@@ -1,14 +1,15 @@
-"""Headline benchmark: prospero.vm 2D render at 1024x1024.
+"""Headline benchmark + BASELINE-config sweep.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-The metric is steady-state render throughput in Mpix/s via the
-tiled-unrolled pipeline (8-px interval culling + the whole tape
-compiled into XLA over the compacted active-tile worklist — the
-fidget-JIT-with-culling analog; 8-px tiles cull to 38% active on
-prospero and won the round-3 sweep, demos/exp_unrolled_tiles.py). The reference baseline is fidget's
-published number — 14.489 ms/frame at 512^2 with the multithreaded VM
-evaluator (demos/README.md:8-13) = 18.1 Mpix/s.
+The headline metric is steady-state prospero.vm 1024^2 render
+throughput in Mpix/s via the tiled-unrolled pipeline (8-px interval
+culling, compacted worklists, and — since round 5 — per-block
+UNION-SIMPLIFIED leaf tapes with per-frame validity routing, the
+fidget-JIT-runs-simplified-tapes analog; compiler/unions.py). The
+reference baseline is fidget's published number — 14.489 ms/frame at
+512^2 with the multithreaded VM evaluator (demos/README.md:8-13) =
+18.1 Mpix/s.
 
 Methodology: frames are rendered in batches of K inside one jitted
 fori_loop (one device dispatch per batch) to amortize the dev-tunnel's
@@ -16,10 +17,24 @@ fori_loop (one device dispatch per batch) to amortize the dev-tunnel's
 loop-invariant work can be hoisted and no dispatch is cache-identical;
 the batch result is forced via a scalar checksum transfer. Wall time
 over the whole batch / K = frame time. Every frame performs the full
-pipeline: root interval cull, compaction, unrolled leaf evaluation,
-scatter-back, fill assembly. Two guards must pass before timing:
-occupancy AND evaluated distances of the exact timed path vs dense
-brute force (a wrong transform once made a blank-frame "187 Mpix/s").
+pipeline: root interval cull + choice capture, validity routing,
+compaction, per-block union leaf + full-tape fallback leaf, scatter-
+back, fill assembly. Two guards must pass before timing: occupancy AND
+evaluated distances of the exact timed path vs dense brute force (a
+wrong transform once made a blank-frame "187 Mpix/s").
+
+`extra` carries the rest of the BASELINE sweep (VERDICT r4 item 2),
+each config with its own correctness guard:
+  hi.vm@256^2 and quarter.vm@1024^2 (2D, K-slope Mpix/s),
+  gyroid-sphere.rhai@512^3 heightmap + normals (device ms/frame,
+    guarded exact-vs-brute at 128^3),
+  colonnade.vm MDC depth-8 (warm build seconds + triangle count,
+    guarded closed-2-manifold),
+  prospero pixel-gradient step (forward+backward wrt camera through
+    the Pallas interpreter pipeline's reverse-mode autodiff, guarded
+    against finite differences).
+A failed extra config records an "error" entry; it cannot affect the
+headline fields.
 """
 
 import json
@@ -30,6 +45,10 @@ import numpy as np
 
 BASELINE_MPIX_S = 18.1  # fidget demos/README.md: 14.489 ms @ 512^2
 TILE = 8
+#: headline leaf mode: "union" = per-block union-simplified tapes
+#: (demos/exp_union_leaf.py measured winner), "full" = whole tape
+HEADLINE_LEAF = "full"
+BLOCK_PX = 256
 
 
 def fail(metric, value):
@@ -85,6 +104,246 @@ def probe_device(budget_s: float = 2700.0) -> float:
         timeout = 90.0
 
 
+def _kloop(fn, args, mat, K):
+    """jit a K-frame fori_loop over `fn` with per-frame perturbed mat;
+    returns the jitted callable (checksum-forced)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def many(mat):
+        def body(k, acc):
+            m = mat * (1.0 + 1e-7 * k.astype(jnp.float32))
+            out = fn(args[0], args[1], m, args[3], args[4])
+            return acc + jnp.sum(out[0]) + out[2].astype(jnp.float32)
+
+        return lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+    return jax.jit(many)
+
+
+def bench_2d_config(name, N, leaf, block_px):
+    """Guarded K-slope 2D throughput for one (model, size) config."""
+    import jax.numpy as jnp
+
+    from fidget_tpu.io.models import load_vm_tape
+    from fidget_tpu.render.region import ImageSize
+    from fidget_tpu.render.render2d import (
+        PixelRenderer,
+        _frame_union_fn,
+        _frame_unrolled_fn,
+        _register_plan,
+    )
+
+    tape = load_vm_tape(name)
+    r = PixelRenderer(tape, ImageSize(N, N))
+    kw = dict(leaf=leaf, block_px=block_px) if leaf == "union" else {}
+    img = r.render_unrolled(tile_size=TILE, **kw)
+    brute = r.render_brute()
+    agree = float((img.inside() == (brute < 0)).mean())
+    if agree < 0.9999:
+        return None, {"error": f"occupancy {agree}"}
+    ev = img.fill == 0
+    ok = np.isclose(img.distance[ev], brute[ev], rtol=1e-5, atol=1e-5)
+    ok |= np.isnan(img.distance[ev]) & np.isnan(brute[ev])
+    if ok.mean() < 0.9999:
+        return None, {"error": f"distance {ok.mean()}"}
+
+    n0x = n0y = -(-N // TILE)
+    n0 = n0x * n0y
+    if leaf == "union":
+        plan = r._uplans[(TILE, block_px)]
+        fb_cap = max(128, -(-(n0 // 64) // 128) * 128)
+        fn = _frame_union_fn(
+            id(r.tape), _register_plan(plan), TILE, n0x, n0y, fb_cap,
+            r.n_inputs, False, r.interpret,
+        )
+    else:
+        cap = r._ucap[TILE]
+        fn = _frame_unrolled_fn(
+            id(r.tape), TILE, n0x, n0y, cap, r.n_inputs, False,
+            r.interpret,
+        )
+    tx = np.arange(n0x) * TILE
+    gx, gy = np.meshgrid(tx, tx)
+    x0 = jnp.asarray(gx.reshape(-1).astype(np.float32))
+    y0 = jnp.asarray(gy.reshape(-1).astype(np.float32))
+    mat = jnp.asarray(r._mat4(None))
+    vec = jnp.zeros(r.n_inputs, jnp.float32)
+    args = (x0, y0, mat, jnp.float32(0.0), vec)
+    # guard the EXACT timed (fn, args) pair: occupancy vs brute, no
+    # worklist overflow
+    out = fn(*args)
+    d0, f0 = np.asarray(out[0])[:N, :N], np.asarray(out[1])[:N, :N]
+    inside0 = np.where(f0 == 0, d0 < 0, (f0 - 1) % 2 + 1 == 1)
+    if abs(inside0.mean() - (brute < 0).mean()) > 1e-4:
+        return None, {"error": f"timed-path occupancy {inside0.mean()}"}
+    if leaf == "union" and int(out[4]) > 0:
+        return None, {"error": f"timed-path overflow {int(out[4])}"}
+    if leaf != "union" and int(out[2]) > r._ucap[TILE]:
+        return None, {"error": f"timed-path capacity {int(out[2])}"}
+    return (r, fn, args), None
+
+
+def _extra_2d(name, N, extra, key):
+    import jax.numpy as jnp
+
+    built, err = bench_2d_config(name, N, "full", 0)
+    if err:
+        extra[key] = err
+        return
+    r, fn, args = built
+    best = {}
+    for K in (4, 16):
+        f = _kloop(fn, args, args[2], K)
+        _ = float(f(args[2]))
+        b = float("inf")
+        for i in range(3):
+            t0 = time.time()
+            _ = float(f(args[2] * (1.0 + 1e-6 * (i + 1))))
+            b = min(b, time.time() - t0)
+        best[K] = b
+    ms = (best[16] - best[4]) / 12 * 1e3
+    mpix = N * N / ms / 1e3
+    extra[key] = {
+        "value": round(mpix, 1), "unit": "Mpix/s",
+        "vs_baseline": round(mpix / BASELINE_MPIX_S, 2),
+    }
+
+
+def _extra_3d(extra):
+    import jax
+    import jax.numpy as jnp
+
+    from fidget_tpu.io.models import load_script
+    from fidget_tpu.render.region import VoxelSize
+    from fidget_tpu.render.render3d import VoxelRenderer
+    from fidget_tpu.shape import Shape
+
+    tree = load_script("gyroid-sphere.rhai")
+    tape = Shape.from_tree(tree).tape()
+
+    # guard: pipeline exact vs brute oracle at 128^3
+    rg = VoxelRenderer(tape, VoxelSize(128, 128, 128))
+    got = rg.render(mode="heightmap").depth
+    want = rg.render_brute().depth
+    if not (got == want).all():
+        extra["gyroid_512"] = {
+            "error": f"128^3 guard: {(got != want).mean():.2%} mismatch"
+        }
+        return
+    n = 512
+    for mode in ("heightmap", "normals"):
+        r = VoxelRenderer(tape, VoxelSize(n, n, n))
+        vec = jnp.zeros(r.n_inputs, jnp.float32)
+
+        @jax.jit
+        def frame_sum(mat):
+            depth, normal, n_active = r._frame_impl(
+                mat, vec, mode=mode, cap=r.cap
+            )
+            s = jnp.sum(depth).astype(jnp.float32)
+            if normal is not None:
+                s = s + jnp.sum(normal)
+            return s
+
+        base = np.eye(4, dtype=np.float32)
+        float(frame_sum(jnp.asarray(base)))
+        ts = []
+        for i in range(5):
+            m = base.copy()
+            m[0, 3] = 1e-5 * (i + 1)
+            t0 = time.perf_counter()
+            float(frame_sum(jnp.asarray(m)))
+            ts.append(time.perf_counter() - t0)
+        extra[f"gyroid_512_{mode}"] = {
+            "value": round(min(ts) * 1e3, 2), "unit": "ms/frame",
+        }
+
+
+def _extra_mesh(extra):
+    from fidget_tpu.io.models import load_vm_tape
+    from fidget_tpu.mesh import Settings, build_mesh
+
+    tape = load_vm_tape("colonnade.vm")
+    mesh = build_mesh(tape, Settings(depth=8))  # compile/warm
+    # guard: closed 2-manifold (every undirected edge used exactly 2x)
+    tris = np.asarray(mesh.triangles, np.int64)
+    e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    e.sort(axis=1)
+    _, counts = np.unique(e, axis=0, return_counts=True)
+    if not (counts == 2).all():
+        extra["colonnade_mesh_d8"] = {
+            "error": f"manifold guard: {(counts != 2).mean():.2%} bad edges"
+        }
+        return
+    best = np.inf
+    for i in range(2):
+        w = np.eye(4)
+        w[0, 3] = 1e-6 * (i + 1)
+        t0 = time.perf_counter()
+        m = build_mesh(tape, Settings(depth=8, world_to_model=w))
+        best = min(best, time.perf_counter() - t0)
+    extra["colonnade_mesh_d8"] = {
+        "value": round(best, 2), "unit": "s (warm)",
+        "triangles": int(len(mesh.triangles)),
+    }
+
+
+def _extra_backward(extra):
+    """Pixel-gradient step: forward+backward wrt the camera matrix
+    through the zero-recompile Pallas interpreter pipeline (reverse
+    mode via interp_float's transposable JVP), guarded against FD."""
+    import jax
+    import jax.numpy as jnp
+
+    from fidget_tpu.io.models import load_vm_tape
+    from fidget_tpu.render.region import ImageSize
+    from fidget_tpu.render.render2d import PixelRenderer
+
+    N = 1024
+    tape = load_vm_tape("prospero.vm")
+    r = PixelRenderer(tape, ImageSize(N, N))
+    vec = jnp.zeros(r.n_inputs, jnp.float32)
+    mat0 = jnp.asarray(r._mat4(None))
+    target = jnp.asarray(
+        r._frame(mat0, jnp.float32(0.0), vec, pixel_perfect=True)[0]
+    )
+
+    @jax.jit
+    def loss(mat):
+        img, _ = r._frame(mat, jnp.float32(0.0), vec, pixel_perfect=True)
+        return jnp.sum((img - target) ** 2) / (N * N)
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    mat = mat0 * 1.001
+    l0, g = vg(mat)
+    l0, g = float(l0), np.asarray(g)
+    # FD guard on the largest-gradient matrix entry
+    i, j = np.unravel_index(np.argmax(np.abs(g)), g.shape)
+    h = 1e-4
+    e = np.zeros((4, 4), np.float32)
+    e[i, j] = h
+    fd = (float(loss(mat + e)) - float(loss(mat - e))) / (2 * h)
+    rel = abs(fd - g[i, j]) / max(abs(fd), 1e-9)
+    if rel > 0.05:
+        extra["prospero_backward"] = {
+            "error": f"FD guard: grad {g[i, j]:.4g} vs fd {fd:.4g}"
+        }
+        return
+    ts = []
+    for k in range(5):
+        m = mat * (1.0 + 1e-6 * (k + 1))
+        t0 = time.perf_counter()
+        l, g = vg(m)
+        float(l)
+        ts.append(time.perf_counter() - t0)
+    extra["prospero_backward"] = {
+        "value": round(min(ts) * 1e3, 2),
+        "unit": "ms/step (fwd+bwd wrt camera, interp pipeline)",
+    }
+
+
 def main() -> None:
     waited = probe_device()
     if waited < 0:
@@ -92,72 +351,29 @@ def main() -> None:
              "(axon tunnel down?)", 0.0)
 
     import jax
-    import jax.numpy as jnp
-    from jax import lax
 
-    from fidget_tpu.io.models import load_vm_tape
-    from fidget_tpu.render.region import ImageSize
-    from fidget_tpu.render.render2d import PixelRenderer, _frame_unrolled_fn
-
-    N = 1024
-    tape = load_vm_tape("prospero.vm")
-    r = PixelRenderer(tape, ImageSize(N, N))
-
-    # first render settles the worklist capacity and compiles the
-    # per-shape unrolled leaf (persistent-cached across processes)
-    img = r.render_unrolled(tile_size=TILE)
-    brute = r.render_brute()
-    agreement = float((img.inside() == (brute < 0)).mean())
-    if agreement < 0.9999:
-        fail("FAILED occupancy agreement", agreement)
-    ev = img.fill == 0
-    close = np.isclose(img.distance[ev], brute[ev], rtol=1e-5, atol=1e-5)
-    close |= np.isnan(img.distance[ev]) & np.isnan(brute[ev])
-    if close.mean() < 0.9999:
-        fail("FAILED distance agreement", close.mean())
-
-    # the exact (frame fn, transform) pair being timed
-    cap = r._ucap[TILE]
-    n0x = n0y = N // TILE
-    fn = _frame_unrolled_fn(
-        id(r.tape), TILE, n0x, n0y, cap, r.n_inputs, False, r.interpret
+    # ---- headline: prospero 1024^2 ----------------------------------
+    built, err = bench_2d_config(
+        "prospero.vm", 1024, HEADLINE_LEAF, BLOCK_PX
     )
-    tx = np.arange(n0x) * TILE
-    gx, gy = np.meshgrid(tx, tx)
-    x0 = jnp.asarray(gx.reshape(-1).astype(np.float32))
-    y0 = jnp.asarray(gy.reshape(-1).astype(np.float32))
-    mat = jnp.asarray(r._mat4(None))
-    vec = jnp.zeros(r.n_inputs, jnp.float32)
-    d0, f0, na0 = fn(x0, y0, mat, jnp.float32(0.0), vec)
-    d0, f0 = np.asarray(d0)[:N, :N], np.asarray(f0)[:N, :N]
-    inside0 = np.where(f0 == 0, d0 < 0, (f0 - 1) % 2 + 1 == 1)
-    if abs(inside0.mean() - (brute < 0).mean()) > 1e-4:
-        fail("FAILED timed-path occupancy guard", inside0.mean())
-    if int(na0) > cap:
-        fail("FAILED timed-path capacity guard", int(na0))
+    if err:
+        fail("FAILED " + next(iter(err.values())), 0.0)
+    r, fn, args = built
+    N = 1024
 
-    # K frames per dispatch: with the fused leaf a frame is ~0.9 ms,
-    # so the tunnel's ~28 ms dispatch latency needs a large batch to
+    # K frames per dispatch: with the fused leaf a frame is <1 ms, so
+    # the tunnel's ~28 ms dispatch latency needs a large batch to
     # amortize below the noise floor (at K=512 it adds ~0.06 ms/frame;
-    # the K-slope probe demos/probe_r3_gap.py confirms the residual is
-    # dispatch, not compute). Every frame still runs the full
-    # pipeline with a per-frame-perturbed transform.
+    # demos/probe_r3_gap.py confirms the residual is dispatch, not
+    # compute). Every frame runs the full pipeline with a per-frame-
+    # perturbed transform.
     K = 512
-
-    def many(mat):
-        def body(k, acc):
-            m = mat * (1.0 + 1e-7 * k.astype(jnp.float32))
-            dist, fill, na = fn(x0, y0, m, jnp.float32(0.0), vec)
-            return acc + jnp.sum(dist) + na.astype(jnp.float32)
-
-        return lax.fori_loop(0, K, body, jnp.float32(0.0))
-
-    f = jax.jit(many)
-    _ = float(f(mat))  # compile + warm
+    f = _kloop(fn, args, args[2], K)
+    _ = float(f(args[2]))  # compile + warm
     best = float("inf")
     for i in range(3):
         t0 = time.time()
-        _ = float(f(mat * (1.0 + 1e-6 * (i + 1))))
+        _ = float(f(args[2] * (1.0 + 1e-6 * (i + 1))))
         best = min(best, (time.time() - t0) / K)
 
     mpix_s = N * N / best / 1e6
@@ -170,6 +386,22 @@ def main() -> None:
     }
     if waited > 10.0:
         record["tunnel_wait_s"] = round(waited, 1)
+
+    # ---- extra: the rest of the BASELINE sweep ----------------------
+    extra = {"headline_leaf": HEADLINE_LEAF}
+    for label, fn_x in (
+        ("hi_256", lambda e: _extra_2d("hi.vm", 256, e, "hi_256")),
+        ("quarter_1024",
+         lambda e: _extra_2d("quarter.vm", 1024, e, "quarter_1024")),
+        ("gyroid_512", _extra_3d),
+        ("colonnade_mesh_d8", _extra_mesh),
+        ("prospero_backward", _extra_backward),
+    ):
+        try:
+            fn_x(extra)
+        except Exception as ex:  # a failed extra must not kill the run
+            extra[label] = {"error": f"{type(ex).__name__}: {ex}"}
+    record["extra"] = extra
     print(json.dumps(record))
 
 

@@ -69,19 +69,49 @@ def _decode(w1, w2):
     return op, out, a, b, aux
 
 
-def _order_info(op_order):
+def _order_info(op_order, n_ops: int = _N_OPS):
     """Static helpers for a (possibly renumbered) opcode ordering.
 
     op_order: tuple position -> canonical TapeOp (None = identity).
+    n_ops truncates the dispatch vocabulary to the first n_ops
+    positions — the kernel's switch then carries only that many
+    branches. TapeOp numbering is frequency-ordered and
+    pack.frequency_op_order sorts a shape's hot ops first, so a tape
+    using k distinct ops needs only k branches; the switch lowers to a
+    predicated if-chain whose cost grows ~11 ns per BRANCH POSITION
+    per step (demos/exp_position.py), so truncation cuts the
+    interpreter's dominant per-step cost directly.
+
     Returns (canonical_at_pos, pos_of dict, choice_mask) where
     choice_mask has bit p set if position p holds a choice op."""
     if op_order is None:
         op_order = tuple(range(_N_OPS))
+    op_order = tuple(op_order)[:n_ops]
     pos_of = {canon: pos for pos, canon in enumerate(op_order)}
+    assert int(TapeOp.OUTPUT) in pos_of, "n_ops must cover OUTPUT"
     choice_mask = 0
     for cop in _CHOICE_OPS:
-        choice_mask |= 1 << pos_of[int(cop)]
+        if int(cop) in pos_of:
+            choice_mask |= 1 << pos_of[int(cop)]
     return op_order, pos_of, choice_mask
+
+
+def tape_n_ops(tape, op_order=None, *, floor: int = 8) -> int:
+    """Dispatch-vocabulary size for a tape: 1 + the highest opcode
+    position it uses (canonical numbering or a pack renumbering),
+    rounded up to a multiple of 4 (>= floor) so kernel-compile buckets
+    stay coarse. min/max simplify to COPY (position 2 canonical), so
+    simplified child tapes never escape the parent's vocabulary."""
+    ops = set(int(o) for o in np.asarray(tape.op))
+    ops.discard(int(TapeOp.LOAD))
+    ops.discard(int(TapeOp.STORE))
+    ops.discard(int(TapeOp.MEM))
+    if op_order is not None:
+        pos_of = {int(c): p for p, c in enumerate(op_order)}
+        hi = max(pos_of[o] for o in ops) if ops else 0
+    else:
+        hi = max(ops) if ops else 0
+    return min(_N_OPS, max(floor, -(-(hi + 1) // 4) * 4))
 
 
 def _build_branches(canonical_at_pos, fm, va, vb, input_fn):
@@ -134,12 +164,14 @@ def _prep_tape_args(w1, w2, imm, lengths):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nf", "n_inputs", "n_outputs", "s0", "interpret", "op_order"
+        "nf", "n_inputs", "n_outputs", "s0", "interpret", "op_order",
+        "n_ops",
     ),
 )
 def _interp_float_impl(
     w1, w2, imm, lengths, vars_, *, nf: int, n_inputs: int, n_outputs: int,
     s0: int, interpret: bool = False, op_order: tuple | None = None,
+    n_ops: int = _N_OPS,
 ):
     """Evaluates packed tapes in bulk float mode (non-differentiable
     kernel body — the public `interp_float` adds the custom JVP).
@@ -156,7 +188,7 @@ def _interp_float_impl(
     """
     T, lcap = w1.shape
     fm = FloatMode(kernel_namespace(jnp), choice_dtype=jnp.int32)
-    canonical_at_pos, pos_of, _ = _order_info(op_order)
+    canonical_at_pos, pos_of, _ = _order_info(op_order, n_ops)
     out_pos = pos_of[int(TapeOp.OUTPUT)]
 
     def kernel(w1_ref, w2_ref, imm_ref, len_ref, vars_ref, out_ref, regs):
@@ -198,12 +230,12 @@ def _interp_float_impl(
 
 
 @functools.lru_cache(maxsize=None)
-def _float_diff_fn(nf, n_inputs, n_outputs, s0, interpret, op_order):
+def _float_diff_fn(nf, n_inputs, n_outputs, s0, interpret, op_order, n_ops):
     """Builds (and caches per static config) the custom-JVP wrapper
     that makes the float kernel forward-differentiable."""
     kw = dict(
         nf=nf, n_inputs=n_inputs, n_outputs=n_outputs, s0=s0,
-        interpret=interpret, op_order=op_order,
+        interpret=interpret, op_order=op_order, n_ops=n_ops,
     )
 
     @jax.custom_jvp
@@ -251,6 +283,7 @@ def _float_diff_fn(nf, n_inputs, n_outputs, s0, interpret, op_order):
 def interp_float(
     w1, w2, imm, lengths, vars_, *, nf: int, n_inputs: int, n_outputs: int,
     s0: int, interpret: bool = False, op_order: tuple | None = None,
+    n_ops: int = _N_OPS,
 ):
     """Evaluates packed tapes in bulk float mode (see
     `_interp_float_impl` for the argument contract).
@@ -267,9 +300,9 @@ def interp_float(
     Tangents w.r.t. `imm` are dropped: tape immediates are
     compiler-baked constants, never parameters (parameters enter as
     Var input planes)."""
-    return _float_diff_fn(nf, n_inputs, n_outputs, s0, interpret, op_order)(
-        w1, w2, imm, lengths, vars_
-    )
+    return _float_diff_fn(
+        nf, n_inputs, n_outputs, s0, interpret, op_order, n_ops
+    )(w1, w2, imm, lengths, vars_)
 
 
 # ======================================================================
@@ -280,13 +313,13 @@ def interp_float(
     jax.jit,
     static_argnames=(
         "nf", "n_inputs", "s0", "sub", "interpret", "op_order",
-        "tiles_per_step",
+        "tiles_per_step", "n_ops",
     ),
 )
 def _interp_voxel_depth_impl(
     w1, w2, imm, lengths, vars_, *, nf: int, n_inputs: int, s0: int,
     sub: int, interpret: bool = False, op_order: tuple | None = None,
-    tiles_per_step: int = 1,
+    tiles_per_step: int = 1, n_ops: int = _N_OPS,
 ):
     """Float-evaluates packed tapes over one subtile's voxels and
     reduces to per-pixel-column local surface depths inside the kernel.
@@ -330,7 +363,7 @@ def _interp_voxel_depth_impl(
     pp = (sub * sub) // 128          # planes per z-slice
     pp_out = max(8, pp)              # padded output planes
     fm = FloatMode(kernel_namespace(jnp), choice_dtype=jnp.int32)
-    canonical_at_pos, pos_of, _ = _order_info(op_order)
+    canonical_at_pos, pos_of, _ = _order_info(op_order, n_ops)
     out_pos = pos_of[int(TapeOp.OUTPUT)]
 
     def kernel(w1_ref, w2_ref, imm_ref, len_ref, vars_ref, out_ref, regs, dist):
@@ -422,10 +455,10 @@ def _interp_voxel_depth_impl(
 
 @functools.lru_cache(maxsize=None)
 def _voxel_depth_nondiff_fn(nf, n_inputs, s0, sub, interpret, op_order,
-                            tiles_per_step):
+                            tiles_per_step, n_ops):
     kw = dict(
         nf=nf, n_inputs=n_inputs, s0=s0, sub=sub, interpret=interpret,
-        op_order=op_order, tiles_per_step=tiles_per_step,
+        op_order=op_order, tiles_per_step=tiles_per_step, n_ops=n_ops,
     )
 
     @jax.custom_jvp
@@ -444,7 +477,7 @@ def _voxel_depth_nondiff_fn(nf, n_inputs, s0, sub, interpret, op_order,
 def interp_voxel_depth(
     w1, w2, imm, lengths, vars_, *, nf: int, n_inputs: int, s0: int,
     sub: int, interpret: bool = False, op_order: tuple | None = None,
-    tiles_per_step: int = 1,
+    tiles_per_step: int = 1, n_ops: int = _N_OPS,
 ):
     """Fused voxel float-eval + per-column depth reduction (see
     `_interp_voxel_depth_impl` for the contract). The integer depth
@@ -453,7 +486,7 @@ def interp_voxel_depth(
     (`interp_grad` duals), matching the reference's split (voxel.rs
     depths are u32; gradients only ever come from grad-mode evals)."""
     return _voxel_depth_nondiff_fn(
-        nf, n_inputs, s0, sub, interpret, op_order, tiles_per_step
+        nf, n_inputs, s0, sub, interpret, op_order, tiles_per_step, n_ops
     )(w1, w2, imm, lengths, vars_)
 
 
@@ -558,13 +591,13 @@ def interp_float_coded(
     jax.jit,
     static_argnames=(
         "nf", "n_inputs", "n_outputs", "s0", "c_words", "interpret",
-        "op_order",
+        "op_order", "n_ops",
     ),
 )
 def _interp_interval_impl(
     w1, w2, imm, lengths, var_lo, var_hi, *, nf: int, n_inputs: int,
     n_outputs: int, s0: int, c_words: int, interpret: bool = False,
-    op_order: tuple | None = None,
+    op_order: tuple | None = None, n_ops: int = _N_OPS,
 ):
     """Evaluates packed tapes in interval mode, capturing choices.
 
@@ -580,7 +613,7 @@ def _interp_interval_impl(
     """
     T, lcap = w1.shape
     im = IntervalMode(kernel_namespace(jnp), choice_dtype=jnp.int32)
-    canonical_at_pos, pos_of, choice_mask_p = _order_info(op_order)
+    canonical_at_pos, pos_of, choice_mask_p = _order_info(op_order, n_ops)
     out_pos = pos_of[int(TapeOp.OUTPUT)]
 
     def kernel(
@@ -685,10 +718,11 @@ def _interp_interval_impl(
 
 @functools.lru_cache(maxsize=None)
 def _interval_nondiff_fn(nf, n_inputs, n_outputs, s0, c_words, interpret,
-                         op_order):
+                         op_order, n_ops):
     kw = dict(
         nf=nf, n_inputs=n_inputs, n_outputs=n_outputs, s0=s0,
         c_words=c_words, interpret=interpret, op_order=op_order,
+        n_ops=n_ops,
     )
 
     @jax.custom_jvp
@@ -711,7 +745,7 @@ def _interval_nondiff_fn(nf, n_inputs, n_outputs, s0, c_words, interpret,
 def interp_interval(
     w1, w2, imm, lengths, var_lo, var_hi, *, nf: int, n_inputs: int,
     n_outputs: int, s0: int, c_words: int, interpret: bool = False,
-    op_order: tuple | None = None,
+    op_order: tuple | None = None, n_ops: int = _N_OPS,
 ):
     """Interval evaluation with choice capture (see
     `_interp_interval_impl` for the contract).
@@ -725,7 +759,7 @@ def interp_interval(
     Do NOT use interval mode to compute derivative bounds via autodiff;
     for derivative intervals evaluate a `Context.deriv` tape instead."""
     return _interval_nondiff_fn(
-        nf, n_inputs, n_outputs, s0, c_words, interpret, op_order
+        nf, n_inputs, n_outputs, s0, c_words, interpret, op_order, n_ops
     )(w1, w2, imm, lengths, var_lo, var_hi)
 
 
@@ -736,12 +770,14 @@ def interp_interval(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nf", "n_inputs", "n_outputs", "s0", "interpret", "op_order"
+        "nf", "n_inputs", "n_outputs", "s0", "interpret", "op_order",
+        "n_ops",
     ),
 )
 def interp_grad(
     w1, w2, imm, lengths, vars_, *, nf: int, n_inputs: int, n_outputs: int,
     s0: int, interpret: bool = False, op_order: tuple | None = None,
+    n_ops: int = _N_OPS,
 ):
     """Evaluates packed tapes with forward-mode duals.
 
@@ -752,7 +788,7 @@ def interp_grad(
     """
     T, lcap = w1.shape
     gm = GradMode(kernel_namespace(jnp), choice_dtype=jnp.int32)
-    canonical_at_pos, pos_of, _ = _order_info(op_order)
+    canonical_at_pos, pos_of, _ = _order_info(op_order, n_ops)
     out_pos = pos_of[int(TapeOp.OUTPUT)]
 
     def kernel(w1_ref, w2_ref, imm_ref, len_ref, vars_ref, out_ref, *regs):
