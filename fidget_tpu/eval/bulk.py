@@ -30,6 +30,8 @@ import numpy as np
 from ..compiler.pack import frequency_op_order, pack_tapes
 from ..compiler.tape import Tape
 from .pallas_interp import (
+    _N_OPS,
+    tape_n_ops,
     default_interpret,
     interp_float,
     interp_grad,
@@ -67,17 +69,17 @@ def _bcast_in(w1, w2, imm, lengths, used, T):
 @functools.partial(
     jax.jit,
     static_argnames=("T", "nf", "n_inputs", "n_outputs", "s0", "signs",
-                     "interpret", "op_order"),
+                     "interpret", "op_order", "n_ops"),
 )
 def _float_core(
     w1, w2, imm, lengths, vars_, used, *, T, nf, n_inputs, n_outputs, s0,
-    signs, interpret, op_order=None,
+    signs, interpret, op_order=None, n_ops=_N_OPS,
 ):
     w1b, w2b, immb, lens = _bcast_in(w1, w2, imm, lengths, used, T)
     out = interp_float(
         w1b, w2b, immb, lens, vars_,
         nf=nf, n_inputs=n_inputs, n_outputs=n_outputs, s0=s0,
-        interpret=interpret, op_order=op_order,
+        interpret=interpret, op_order=op_order, n_ops=n_ops,
     )  # [T, O, s0, 128]
     out = jnp.moveaxis(out, 1, 0)
     return (out < 0.0) if signs else out
@@ -86,17 +88,19 @@ def _float_core(
 @functools.partial(
     jax.jit,
     static_argnames=("T", "nf", "n_inputs", "n_outputs", "s0", "c_words",
-                     "classify", "capture", "interpret", "op_order"),
+                     "classify", "capture", "interpret", "op_order",
+                     "n_ops"),
 )
 def _interval_core(
     w1, w2, imm, lengths, lo_p, hi_p, used, *, T, nf, n_inputs, n_outputs,
-    s0, c_words, classify, capture, interpret, op_order=None,
+    s0, c_words, classify, capture, interpret, op_order=None, n_ops=_N_OPS,
 ):
     w1b, w2b, immb, lens = _bcast_in(w1, w2, imm, lengths, used, T)
     olo, ohi, choices = interp_interval(
         w1b, w2b, immb, lens, lo_p, hi_p,
         nf=nf, n_inputs=n_inputs, n_outputs=n_outputs, s0=s0,
         c_words=c_words, interpret=interpret, op_order=op_order,
+        n_ops=n_ops,
     )
     olo = jnp.moveaxis(olo, 1, 0)
     ohi = jnp.moveaxis(ohi, 1, 0)
@@ -111,17 +115,17 @@ def _interval_core(
 @functools.partial(
     jax.jit,
     static_argnames=("T", "nf", "n_inputs", "n_outputs", "s0", "interpret",
-                     "op_order"),
+                     "op_order", "n_ops"),
 )
 def _grad_core(
     w1, w2, imm, lengths, vars_, used, *, T, nf, n_inputs, n_outputs, s0,
-    interpret, op_order=None,
+    interpret, op_order=None, n_ops=_N_OPS,
 ):
     w1b, w2b, immb, lens = _bcast_in(w1, w2, imm, lengths, used, T)
     g = interp_grad(
         w1b, w2b, immb, lens, vars_,
         nf=nf, n_inputs=n_inputs, n_outputs=n_outputs, s0=s0,
-        interpret=interpret, op_order=op_order,
+        interpret=interpret, op_order=op_order, n_ops=n_ops,
     )  # [T, O, 4, s0, 128]
     return jnp.moveaxis(g, (1, 2), (0, 1))  # [O, 4, T, s0, 128]
 
@@ -150,6 +154,14 @@ class BulkEvaluator:
             self.op_order = frequency_op_order(tape)
             self.packed = pack_tapes([tape], op_order=self.op_order)
             self.nf = tape.reg_count + tape.mem_count
+        # dispatch-vocabulary truncation: the kernel switch carries
+        # only the branch positions this tape can reach (the ~11 ns/
+        # branch/step if-chain is the interpreter's dominant cost);
+        # interpret mode keeps the full vocabulary so CPU-test kernels
+        # stay shared across shapes
+        self.n_ops = (
+            _N_OPS if self.interpret else tape_n_ops(tape, self.op_order)
+        )
         # padded to >= 1 so constant-only tapes still build var planes
         self.n_inputs = max(1, len(tape.var_map))
         self.n_outputs = tape.output_count
@@ -236,6 +248,7 @@ class BulkEvaluator:
             *self._tape_args(), jnp.asarray(vars_np), jnp.int32(used),
             T=T, nf=self.nf, n_inputs=self.n_inputs,
             n_outputs=self.n_outputs, s0=s0, signs=signs,
+            n_ops=self.n_ops,
             interpret=self.interpret, op_order=self.op_order,
         )
         return np.asarray(out).reshape(self.n_outputs, -1)[:, :n]
@@ -261,6 +274,7 @@ class BulkEvaluator:
             T=T, nf=self.nf, n_inputs=self.n_inputs,
             n_outputs=self.n_outputs, s0=s0, c_words=self.c_words,
             classify=classify, capture=capture, interpret=self.interpret,
+            n_ops=self.n_ops,
             op_order=self.op_order,
         )
         if capture:
@@ -308,6 +322,6 @@ class BulkEvaluator:
             *self._tape_args(), jnp.asarray(vars_np), jnp.int32(used),
             T=T, nf=self.nf, n_inputs=self.n_inputs,
             n_outputs=self.n_outputs, s0=s0, interpret=self.interpret,
-            op_order=self.op_order,
+            op_order=self.op_order, n_ops=self.n_ops,
         )
         return np.asarray(g).reshape(self.n_outputs, 4, -1)[:, :, :n]

@@ -137,11 +137,14 @@ def _eval_rows_interp(tape, packed, mat, rows, W: int, z, params: dict,
         for p in planes
     ]
     vars_ = jnp.stack(flat)[None]  # [1, V, s0, 128]
+    from ..eval.pallas_interp import _N_OPS, tape_n_ops
+
     nf = tape.reg_count + tape.mem_count
     out = interp_float(
         jnp.asarray(packed.w1), jnp.asarray(packed.w2),
         jnp.asarray(packed.imm), jnp.asarray(packed.lengths), vars_,
         nf=nf, n_inputs=V, n_outputs=1, s0=s0, interpret=interpret,
+        n_ops=_N_OPS if interpret else tape_n_ops(tape),
     )
     return out[0, 0].reshape(-1)[:K].reshape(R, W)
 

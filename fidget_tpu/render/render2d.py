@@ -48,9 +48,11 @@ from ..compiler.tape import Tape
 from ..core.var import Var
 from ..eval.arith import FloatMode, IntervalMode
 from ..eval.pallas_interp import (
+    _N_OPS,
     default_interpret,
     interp_float,
     interp_interval,
+    tape_n_ops,
 )
 from ..eval.simplify_device import DeviceSimplifier, DynamicSimplifier
 from ..eval.unrolled import eval_tape
@@ -135,12 +137,13 @@ class _TracedBind:
     op_order = None
 
     def __init__(self, w1, w2, imm, lens, axis_idx, Lcap, nf, V,
-                 c_words, interpret, leaf_coded):
+                 c_words, interpret, leaf_coded, n_ops=_N_OPS):
         self.arena = (w1, w2, imm, lens)
         self.axis_idx = axis_idx
         self.Lcap, self.nf, self.V = Lcap, nf, V
         self.c_words, self.interpret = c_words, interpret
         self.leaf_coded = leaf_coded
+        self.n_ops = n_ops
         self._per_tile = None
         self._root_active = None
 
@@ -218,7 +221,7 @@ class _TracedBind:
         return interp_float(
             w1c, w2c, immc, lensc, vars_,
             nf=self.nf, n_inputs=self.V, n_outputs=1, s0=s0l,
-            interpret=self.interpret,
+            interpret=self.interpret, n_ops=self.n_ops,
         )[:, 0]
 
 
@@ -236,6 +239,7 @@ class _ConstBind:
         self.nf, self.V = r.nf, r.n_inputs
         self.c_words, self.interpret = r.c_words, r.interpret
         self.op_order = r.op_order
+        self.n_ops = r.nops_s
         self.two_level = r.two_level
 
     def set_axes(self, planes, triples):
@@ -259,6 +263,7 @@ class _ConstBind:
             w1c, w2c, immc, lensc, vars_,
             nf=self.nf, n_inputs=self.V, n_outputs=1, s0=s0l,
             interpret=self.interpret, op_order=self.op_order,
+            n_ops=self.n_ops,
         )[:, 0]
 
     def second_level(self, w1s, w2s, imms, lens0a, x0, y0,
@@ -282,7 +287,7 @@ class _ConstBind:
             w1s, w2s, imms, lens0a, var_lo1, var_hi1,
             nf=self.nf, n_inputs=self.V, n_outputs=1, s0=r.s0s,
             c_words=self.c_words, interpret=self.interpret,
-            op_order=self.op_order,
+            op_order=self.op_order, n_ops=self.n_ops,
         )
         slo = olo1[:, 0].reshape(n0, -1)[:, :m]
         shi = ohi1[:, 0].reshape(n0, -1)[:, :m]
@@ -365,6 +370,7 @@ def _frame_core(
         w1r, w2r, immr, lensr, var_lo, var_hi,
         nf=b.nf, n_inputs=V, n_outputs=1, s0=s0r,
         c_words=b.c_words, interpret=b.interpret, op_order=b.op_order,
+        n_ops=getattr(b, "n_ops", _N_OPS),
     )
     rlo = olo[0, 0].reshape(-1)[:n0]
     rhi = ohi[0, 0].reshape(-1)[:n0]
@@ -444,6 +450,7 @@ def _frame_single_fn(
     T0: int, n0x: int, n0y: int, Lcap: int, nf: int, V: int,
     c_words: int, pixel_perfect: bool, interpret: bool,
     stop_after: str | None = None, leaf_coded: bool = False,
+    n_ops: int = _N_OPS,
 ):
     """Builds (and caches) one jitted single-level 2D frame per shape
     bucket — `_frame_core` under a `_TracedBind` (tape words and axis
@@ -454,7 +461,7 @@ def _frame_single_fn(
     def frame(w1, w2, imm, lens, x0, y0, axis_idx, mat, z, var_vec):
         b = _TracedBind(
             w1, w2, imm, lens, axis_idx, Lcap, nf, V, c_words,
-            interpret, leaf_coded,
+            interpret, leaf_coded, n_ops,
         )
         return _frame_core(
             b, T0, T0, n0x, x0, y0, mat, z, var_vec,
@@ -590,6 +597,7 @@ def _cull_sizing_stage(
         rep(packed.lengths), var_lo, var_hi,
         nf=nf, n_inputs=V, n_outputs=1, s0=s0c,
         c_words=c_words, interpret=interpret, op_order=op_order,
+        n_ops=_N_OPS if interpret else tape_n_ops(tape),
     )
     rlo = olo[:, 0].reshape(-1)[:n0]
     rhi = ohi[:, 0].reshape(-1)[:n0]
@@ -1091,6 +1099,10 @@ class PixelRenderer:
         self.Lcap_b = max(64, 1 << (len(tape) - 1).bit_length())
         self.nf_b = _ceil_to(max(self.nf, 64), 64)
         self.cw_b = max(1, 1 << (self.c_words - 1).bit_length())
+        # dispatch-vocabulary bucket: interpret mode keeps the full
+        # switch so CPU-test kernels stay shared; on hardware the
+        # kernels drop branch positions this tape cannot reach
+        self.nops_b = _N_OPS if self.interpret else tape_n_ops(tape)
         self.packed_b = pack_tapes([tape], capacity=self.Lcap_b)
         if not self.two_level:
             self.axis_idx = np.array(
@@ -1113,6 +1125,13 @@ class PixelRenderer:
 
             self._op_order = frequency_op_order(self.tape)
         return self._op_order
+
+    @property
+    def nops_s(self):
+        """Vocabulary size under the per-shape opcode renumbering."""
+        if self.interpret:
+            return _N_OPS
+        return tape_n_ops(self.tape, self.op_order)
 
     @property
     def packed(self):
@@ -1242,6 +1261,7 @@ class PixelRenderer:
             fn = _frame_single_fn(
                 self.T0, self.n0x, self.n0y, self.Lcap_b, self.nf_b,
                 self.n_inputs, self.cw_b, pixel_perfect, self.interpret,
+                n_ops=self.nops_b,
             )
             p = self.packed_b
             img, fill = fn(

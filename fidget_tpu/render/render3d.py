@@ -57,11 +57,13 @@ from ..compiler.pack import pack_tapes
 from ..compiler.tape import Tape
 from ..eval.arith import IntervalMode
 from ..eval.pallas_interp import (
+    _N_OPS,
     default_interpret,
     interp_float,
     interp_grad,
     interp_interval,
     interp_voxel_depth,
+    tape_n_ops,
 )
 from ..eval.simplify_device import DeviceSimplifier, DynamicSimplifier
 from ..shape import Shape, ShapeVars
@@ -99,6 +101,9 @@ class _ConstBind3:
         self.nf, self.V = r.nf, r.n_inputs
         self.c_words, self.interpret = r.c_words, r.interpret
         self.op_order = r.op_order
+        self.n_ops = (
+            _N_OPS if r.interpret else tape_n_ops(r.tape, r.op_order)
+        )
         self.axis_of = r.axis_of
         self.simplifier = r.simplifier
         self.vox_g = r.vox_g
@@ -325,7 +330,7 @@ class _Pipeline3:
                 w1r, w2r, immr, lensr, var_lo, var_hi,
                 nf=b.nf, n_inputs=b.V, n_outputs=1, s0=s0r,
                 c_words=b.c_words, interpret=b.interpret,
-                op_order=b.op_order,
+                op_order=b.op_order, n_ops=getattr(b, "n_ops", _N_OPS),
             )
             rlo = olo[0, 0].reshape(-1)[:nt]
             rhi = ohi[0, 0].reshape(-1)[:nt]
@@ -467,7 +472,7 @@ class _Pipeline3:
                 s["w1s"], s["w2s"], s["imms"], lens1, var_lo1, var_hi1,
                 nf=b.nf, n_inputs=b.V, n_outputs=1,
                 s0=self.s0s, c_words=b.c_words, interpret=b.interpret,
-                op_order=b.op_order,
+                op_order=b.op_order, n_ops=getattr(b, "n_ops", _N_OPS),
             )
             slo = olo1[:, 0].reshape(ntxy, -1)[:, :m]
             shi = ohi1[:, 0].reshape(ntxy, -1)[:, :m]
@@ -594,6 +599,7 @@ class _Pipeline3:
                 nf=b.nf, n_inputs=b.V, s0=self.s0v,
                 sub=sub, interpret=b.interpret, op_order=b.op_order,
                 tiles_per_step=getattr(b, "vox_g", 1),
+                n_ops=getattr(b, "n_ops", _N_OPS),
             )[:, :pp].reshape(cap_s, sub, sub)
             dcand = jnp.where(
                 (local > 0) & valid[:, None, None],
@@ -605,7 +611,7 @@ class _Pipeline3:
                 w1_leaf, w2_leaf, imm_leaf, len_leaf, vars_v,
                 nf=b.nf, n_inputs=b.V, n_outputs=1,
                 s0=self.s0v, interpret=b.interpret,
-                op_order=b.op_order,
+                op_order=b.op_order, n_ops=getattr(b, "n_ops", _N_OPS),
             )[:, 0].reshape(cap_s, -1)[:, : sub**3]
             inside = (dv < 0.0) & valid[:, None]
             inside = inside.reshape(cap_s, sub, sub, sub)
@@ -726,6 +732,7 @@ class _Pipeline3:
                 w1f, w2f, immf, lensn, vars_n,
                 nf=b.nf, n_inputs=V, n_outputs=1, s0=s0n,
                 interpret=interpret, op_order=b.op_order,
+                n_ops=getattr(b, "n_ops", _N_OPS),
             )[:, 0]  # [Tn, 4, s0n, 128]
             grads = g.reshape(
                 Tn, 4, s0n * 128
@@ -745,7 +752,7 @@ class _Pipeline3:
 def _frame3_bucketed_fn(
     W: int, H: int, D: int, ts: int, sub: int,
     Lcap: int, nf: int, cw: int, V: int,
-    mode: str, cap: int, interpret: bool,
+    mode: str, cap: int, interpret: bool, n_ops: int = _N_OPS,
 ):
     """Builds (and caches) one jitted 3D frame per shape *bucket*: the
     arena words and axis indices are traced operands (the 2D
@@ -757,7 +764,8 @@ def _frame3_bucketed_fn(
 
     def frame(w1, w2, imm, lens, axis_idx, matM, var_vec):
         b = _TracedBind(
-            w1, w2, imm, lens, axis_idx, Lcap, nf, V, cw, interpret, False,
+            w1, w2, imm, lens, axis_idx, Lcap, nf, V, cw, interpret,
+            False, n_ops,
         )
         return geo.frame_tiles(
             b, matM, var_vec,
@@ -943,6 +951,7 @@ class VoxelRenderer:
         self.Lcap_b = max(64, 1 << (len(tape) - 1).bit_length())
         self.nf_b = _ceil_to(max(self.nf, 64), 64)
         self.cw_b = max(1, 1 << (self.c_words - 1).bit_length())
+        self.nops_b = _N_OPS if self.interpret else tape_n_ops(tape)
         self.packed_b = pack_tapes([tape], capacity=self.Lcap_b)
         self.axis_idx = np.array(
             [
@@ -1300,6 +1309,7 @@ class VoxelRenderer:
                     self.W, self.H, self.D, self.ts, self.sub,
                     self.Lcap_b, self.nf_b, self.cw_b, self.n_inputs,
                     mode, min(self.cap, self.nsub), self.interpret,
+                    self.nops_b,
                 )
                 p = self.packed_b
                 depth, normal, n_active = fn(
