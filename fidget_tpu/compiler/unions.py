@@ -103,8 +103,8 @@ def build_union_plan(
     axis_of: dict,
     *,
     block_px: int = 256,
-    headroom: float = 1.15,
-    headroom_slots: int = 32,
+    headroom: float = 1.08,
+    headroom_slots: int = 8,
 ) -> UnionPlan:
     """Builds a UnionPlan by host interval evaluation at one camera.
 
@@ -175,11 +175,12 @@ def build_union_plan(
         u_rows.append(pack_choices(u[:, None])[0])
         block_prog[in_block] = p
         # capacity: headroom over the plan-time active count, but never
-        # more than the block's own tile count (both rounded to 64)
+        # more than the block's own tile count (both rounded to 32 —
+        # slot padding multiplies straight into leaf arithmetic)
         caps.append(
             min(
-                -(-int(cnt * headroom + headroom_slots) // 64) * 64,
-                -(-int(in_block.sum()) // 64) * 64,
+                -(-int(cnt * headroom + headroom_slots) // 32) * 32,
+                -(-int(in_block.sum()) // 32) * 32,
             )
         )
         act_counts.append(cnt)

@@ -783,6 +783,39 @@ def _unrolled_cull_capture_stage(tape_key, T0, x0, y0, mat, z, var_vec):
     return his[0] < 0.0, los[0] > 0.0, words
 
 
+def _unrolled_cull_violation_stage(
+    tape_key, T0, x0, y0, mat, z, var_vec, u_tile,
+):
+    """Unrolled root interval pass with a FUSED per-tile union-validity
+    test: returns (root_in, root_out, viol) where viol is True for
+    tiles whose choice trace escapes their block union (u_tile [n0, cw]
+    packed reference codes). One running bool accumulator instead of
+    materialized choice words — the capture variant cost +0.38 ms of
+    the 0.9 ms prospero frame (demos/exp_union_stages.py)."""
+    tape, packed, axis_of, nf, c_words = _TAPE_REGISTRY[tape_key]
+    im = IntervalMode(jnp)
+    mxi, myi, mzi = transform_intervals(
+        im, mat, (x0, x0 + T0), (y0, y0 + T0), (z, z)
+    )
+    V = max(1, len(tape.var_map))
+    like = x0
+    inputs = []
+    for i in range(V):
+        c = jnp.broadcast_to(var_vec[i], like.shape).astype(jnp.float32)
+        inputs.append((c, c))
+    for kind, ivl in (("x", mxi), ("y", myi), ("z", mzi)):
+        idx = axis_of.get(kind)
+        if idx is not None:
+            inputs[idx] = (
+                jnp.broadcast_to(ivl[0], like.shape),
+                jnp.broadcast_to(ivl[1], like.shape),
+            )
+    los, his, viol = eval_tape_interval_fast(
+        tape, inputs, u_words=u_tile
+    )
+    return his[0] < 0.0, los[0] > 0.0, viol
+
+
 #: UnionPlan registry for the union-leaf jitted frames (plans are
 #: unhashable; the cached frame builders key on id(plan) and entries
 #: pin the plan so ids stay stable). FIFO-bounded like _TAPE_REGISTRY.
@@ -848,23 +881,18 @@ def _frame_union_fn(
     has_prog = bp >= 0
 
     def frame(x0, y0, mat, z, var_vec):
-        # ---- stage 1: cull + choice capture --------------------------
-        root_in, root_out, words = _unrolled_cull_capture_stage(
-            tape_key, T0, x0, y0, mat, z, var_vec
+        # ---- stage 1: cull + FUSED union-validity test ---------------
+        root_in, root_out, viol = _unrolled_cull_violation_stage(
+            tape_key, T0, x0, y0, mat, z, var_vec,
+            jnp.asarray(u_tile),
         )
         act = ~(root_in | root_out)
         if pixel_perfect:
             act = jnp.ones_like(act)
         n_active = act.sum()
+        valid = jnp.asarray(has_prog) & ~viol
 
-        # ---- stage 2: validity routing -------------------------------
-        valid = jnp.asarray(has_prog)
-        if P:
-            for w, tw in enumerate(words):
-                uw = jnp.asarray(u_tile[:, w])
-                valid = valid & ((tw | uw) == uw)
-
-        # ---- stage 3: per-program compaction (block-major perm) ------
+        # ---- stage 2: per-program compaction (block-major perm) ------
         act_p = act[jnp.asarray(perm)]
         valid_p = valid[jnp.asarray(perm)]
         m_own = act_p & valid_p
@@ -883,28 +911,22 @@ def _frame_union_fn(
         n_fb = m_fb.sum()
         n_over = (m_own & ~ok_own).sum() + (m_fb & ~ok_fb).sum()
 
-        # scatter compacted coordinates (provably unique dests: culled/
-        # overflow tiles land past total and are dropped)
+        # ONE index scatter (original-tile-id + 1), coordinates come by
+        # gather — three payload scatters measured +0.27 ms vs this
+        # (demos/exp_union_stages.py; same trick as the full-leaf path)
         dest_u = jnp.where(
             ok, dest, total + jnp.arange(n0, dtype=jnp.int32)
         )
-        x0_p = x0[jnp.asarray(perm)]
-        y0_p = y0[jnp.asarray(perm)]
-        sx = (
-            jnp.zeros(total, jnp.float32)
+        o1 = (
+            jnp.zeros(total, jnp.int32)
             .at[dest_u]
-            .set(x0_p, mode="drop", unique_indices=True)
+            .set(jnp.asarray(perm, dtype=np.int32) + 1, mode="drop",
+                 unique_indices=True)
         )
-        sy = (
-            jnp.zeros(total, jnp.float32)
-            .at[dest_u]
-            .set(y0_p, mode="drop", unique_indices=True)
-        )
-        vs = (
-            jnp.zeros(total, bool)
-            .at[dest_u]
-            .set(True, mode="drop", unique_indices=True)
-        )
+        vs = o1 > 0
+        order = jnp.maximum(o1 - 1, 0)
+        sx = x0[order]
+        sy = y0[order]
 
         # ---- stage 4: leaf — one unrolled segment per union program --
         segs = []
