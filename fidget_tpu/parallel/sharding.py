@@ -130,10 +130,15 @@ def _eval_rows_interp(tape, packed, mat, rows, W: int, z, params: dict,
             planes[i] = jnp.full_like(mx, z)
         else:
             planes[i] = jnp.full_like(mx, params[v])
+    # pad lanes REPLICATE the last real pixel: zero-padding can land on
+    # a field kink (e.g. sqrt at the origin) whose infinite Jacobian
+    # turns the padded lanes' zero cotangent into NaN in reverse mode
     pad = s0 * 128 - K
     flat = [
-        jnp.concatenate([p.reshape(-1), jnp.zeros(pad, jnp.float32)])
-        .reshape(s0, 128)
+        jnp.concatenate(
+            [p.reshape(-1),
+             jnp.broadcast_to(p.reshape(-1)[-1], (pad,))]
+        ).reshape(s0, 128)
         for p in planes
     ]
     vars_ = jnp.stack(flat)[None]  # [1, V, s0, 128]
