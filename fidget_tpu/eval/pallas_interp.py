@@ -274,6 +274,16 @@ def _float_diff_fn(nf, n_inputs, n_outputs, s0, interpret, op_order, n_ops):
             g = interp_grad(w1, w2, imm, lengths, duals, **kw)
             cols.append(g[:, :, 1:1 + kk])
         J = lax.stop_gradient(jnp.concatenate(cols, axis=2))
+        # Kink/singularity columns (sqrt/abs/recip at their critical
+        # points) carry NaN/inf partials; contracted against a ZERO
+        # tangent they would turn irrelevant directions into NaN (the
+        # reference has no reverse mode to define this — its grad-slice
+        # consumers handle NaN explicitly). Clamp non-finite partials
+        # to 0: derivatives on the measure-zero kink set read as 0
+        # rather than poisoning every parameter through the psum.
+        # The isfinite mask is primal data, so the contraction stays
+        # LINEAR in dvars and JAX can transpose it for jax.grad.
+        J = jnp.where(jnp.isfinite(J), J, 0.0)
         tangent_out = (J * dvars[:, None]).sum(axis=2)
         return primal_out, tangent_out
 

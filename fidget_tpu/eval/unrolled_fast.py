@@ -61,8 +61,9 @@ def eval_tape_interval_fast(
     tape-validity test.
 
     u_words (mutually exclusive with capture=True) switches to
-    VIOLATION mode: a [..., cw] uint32 array of reference 2-bit codes
-    per lane (same packing); the return is (los, his, viol) where
+    VIOLATION mode: a [cw, lanes] uint32 array of reference 2-bit
+    codes per lane (same packing, word-major so each word is a
+    contiguous lane row); the return is (los, his, viol) where
     viol[lane] is True iff ANY choice's captured code has a bit
     outside the reference code — i.e. the lane's trace is NOT a
     subset, so a tape simplified under the reference codes would be
@@ -127,22 +128,24 @@ def eval_tape_interval_fast(
         if u_words is not None:
             # violation mode: fold the per-lane subset test against
             # the reference codes u (2-bit, same packing) directly
-            # into ONE running bool — materializing 2-bit words as
-            # ceil(C/16) live int32 accumulators measured +0.38 ms on
-            # prospero's cull (demos/exp_union_stages.py); the single
-            # accumulator keeps the interval chain fused.
-            w = j // 16
-            if u_cur[1] != w:
-                u_cur[0] = u_words[:, w]
-                u_cur[1] = w
-            u_bits = (u_cur[0] >> np.uint32(2 * (j % 16))) & np.uint32(3)
-            c = jnp.where(
+            # into ONE running bool + one in-flight packed word —
+            # materializing all ceil(C/16) words as live accumulators
+            # measured +0.38 ms on prospero's cull
+            # (demos/exp_union_stages.py). Per choice: 3 int ops;
+            # per completed word: one contiguous u row read and one
+            # subset compare ((acc | u) == u).
+            s = 2 * (j % 16)
+            contrib = jnp.where(
                 left,
-                np.uint32(1),
-                jnp.where(right, np.uint32(2), np.uint32(3)),
+                np.uint32(1 << s),
+                jnp.where(right, np.uint32(2 << s), np.uint32(3 << s)),
             )
-            v = (c & ~u_bits) != 0
-            viol = v if viol is None else (viol | v)
+            u_cur[0] = contrib if s == 0 else (u_cur[0] | contrib)
+            if j % 16 == 15 or j == tape.choice_count - 1:
+                # u_words is [cw, lanes] word-major: contiguous rows
+                u = u_words[j // 16]
+                v = (u_cur[0] | u) != u
+                viol = v if viol is None else (viol | v)
             return
         if not capture:
             return

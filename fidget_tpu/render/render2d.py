@@ -788,10 +788,10 @@ def _unrolled_cull_violation_stage(
 ):
     """Unrolled root interval pass with a FUSED per-tile union-validity
     test: returns (root_in, root_out, viol) where viol is True for
-    tiles whose choice trace escapes their block union (u_tile [n0, cw]
-    packed reference codes). One running bool accumulator instead of
-    materialized choice words — the capture variant cost +0.38 ms of
-    the 0.9 ms prospero frame (demos/exp_union_stages.py)."""
+    tiles whose choice trace escapes their block union (u_tile [cw, n0]
+    word-major packed reference codes). One running bool accumulator
+    instead of materialized choice words — the capture variant cost
+    +0.38 ms of the 0.9 ms prospero frame (demos/exp_union_stages.py)."""
     tape, packed, axis_of, nf, c_words = _TAPE_REGISTRY[tape_key]
     im = IntervalMode(jnp)
     mxi, myi, mzi = transform_intervals(
@@ -884,7 +884,7 @@ def _frame_union_fn(
         # ---- stage 1: cull + FUSED union-validity test ---------------
         root_in, root_out, viol = _unrolled_cull_violation_stage(
             tape_key, T0, x0, y0, mat, z, var_vec,
-            jnp.asarray(u_tile),
+            jnp.asarray(np.ascontiguousarray(u_tile.T)),
         )
         act = ~(root_in | root_out)
         if pixel_perfect:
