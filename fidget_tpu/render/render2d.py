@@ -862,47 +862,70 @@ def _frame_union_fn(
     total = fb_base + fb_cap
 
     # ---- static routing/compaction tables ----------------------------
+    # The WHOLE pipeline runs in block-major (permuted) tile order:
+    # the traced tile coordinates are gathered by the static `perm`
+    # once at the top, so per-program tiles are contiguous and the
+    # routing needs no runtime permutation gathers (two bool gathers
+    # here measured inside a +0.43 ms compact stage,
+    # demos/exp_union_stages3.py); only the final assembly unpermutes
+    # (one static-index int gather it needed anyway).
     bp = plan.block_prog  # [n0] int32, -1 = no program for this block
     order_key = np.where(bp < 0, P, bp)
     perm = np.argsort(order_key, kind="stable")
     inv_perm = np.argsort(perm)
     prog_perm = order_key[perm]
     seg_start = np.searchsorted(prog_perm, np.arange(max(P, 1)))
+    seg_end = np.searchsorted(prog_perm, np.arange(max(P, 1)) + 1)
+    seg_len = (seg_end - seg_start).astype(np.int64)
+    n_prog_tiles = int(seg_end[P - 1]) if P else 0
     safe_prog = np.minimum(prog_perm, max(P - 1, 0))
-    seg_start_of_tile = seg_start[safe_prog]
     base_of_tile = base[safe_prog]
     cap_of_tile = caps[safe_prog] if P else np.zeros(n0, np.int64)
-    # per-tile union words (constant): u_tile[t, w] for validity tests
+    # per-tile union words in PERMUTED order, word-major
     u_tile = (
-        plan.u_packed[np.maximum(bp, 0)]
+        plan.u_packed[np.maximum(bp, 0)][perm]
         if P
         else np.zeros((n0, 1), np.uint32)
     )
-    has_prog = bp >= 0
+    has_prog = (bp >= 0)[perm]
 
     def frame(x0, y0, mat, z, var_vec):
+        # block-major order throughout: permute the tile coords once
+        xp = x0[jnp.asarray(perm)]
+        yp = y0[jnp.asarray(perm)]
+
         # ---- stage 1: cull + FUSED union-validity test ---------------
         root_in, root_out, viol = _unrolled_cull_violation_stage(
-            tape_key, T0, x0, y0, mat, z, var_vec,
+            tape_key, T0, xp, yp, mat, z, var_vec,
             jnp.asarray(np.ascontiguousarray(u_tile.T)),
         )
         act = ~(root_in | root_out)
         if pixel_perfect:
             act = jnp.ones_like(act)
         n_active = act.sum()
-        valid = jnp.asarray(has_prog) & ~viol
 
-        # ---- stage 2: per-program compaction (block-major perm) ------
-        act_p = act[jnp.asarray(perm)]
-        valid_p = valid[jnp.asarray(perm)]
-        m_own = act_p & valid_p
+        # ---- stage 2: per-program compaction -------------------------
+        m_own = act & jnp.asarray(has_prog) & ~viol
         c = jnp.cumsum(m_own.astype(jnp.int32))
-        c_pad = jnp.concatenate([jnp.zeros(1, jnp.int32), c])
-        start_cnt = c_pad[jnp.asarray(seg_start_of_tile)]
+        # per-program start counts: c at the 16 static segment ends,
+        # expanded by static-length broadcasts (a per-tile gather of
+        # c_pad[seg_start] was part of the +0.43 ms compact stage)
+        if P:
+            ends = c[jnp.asarray(seg_end - 1)]
+            sc = jnp.concatenate([jnp.zeros(1, jnp.int32), ends])
+            parts = [
+                jnp.broadcast_to(sc[p], (int(seg_len[p]),))
+                for p in range(P)
+            ]
+            if n_prog_tiles < n0:
+                parts.append(jnp.zeros(n0 - n_prog_tiles, jnp.int32))
+            start_cnt = jnp.concatenate(parts)
+        else:
+            start_cnt = jnp.zeros(n0, jnp.int32)
         rank = c - 1 - start_cnt
         ok_own = m_own & (rank < jnp.asarray(cap_of_tile))
         dest_own = jnp.asarray(base_of_tile).astype(jnp.int32) + rank
-        m_fb = act_p & ~valid_p
+        m_fb = act & ~m_own
         cf = jnp.cumsum(m_fb.astype(jnp.int32)) - 1
         ok_fb = m_fb & (cf < fb_cap)
         dest_fb = fb_base + cf
@@ -911,8 +934,8 @@ def _frame_union_fn(
         n_fb = m_fb.sum()
         n_over = (m_own & ~ok_own).sum() + (m_fb & ~ok_fb).sum()
 
-        # ONE index scatter (original-tile-id + 1), coordinates come by
-        # gather — three payload scatters measured +0.27 ms vs this
+        # ONE index scatter (permuted-position + 1), coordinates come
+        # by gather — three payload scatters measured +0.27 ms vs this
         # (demos/exp_union_stages.py; same trick as the full-leaf path)
         dest_u = jnp.where(
             ok, dest, total + jnp.arange(n0, dtype=jnp.int32)
@@ -920,13 +943,13 @@ def _frame_union_fn(
         o1 = (
             jnp.zeros(total, jnp.int32)
             .at[dest_u]
-            .set(jnp.asarray(perm, dtype=np.int32) + 1, mode="drop",
+            .set(jnp.arange(1, n0 + 1, dtype=jnp.int32), mode="drop",
                  unique_indices=True)
         )
         vs = o1 > 0
         order = jnp.maximum(o1 - 1, 0)
-        sx = x0[order]
-        sy = y0[order]
+        sx = xp[order]
+        sy = yp[order]
 
         # ---- stage 4: leaf — one unrolled segment per union program --
         segs = []
@@ -949,19 +972,22 @@ def _frame_union_fn(
         dist_all = jnp.concatenate(segs, axis=0)
 
         # ---- stage 5: scatter back + assemble ------------------------
+        # everything above ran block-major; unpermute per-tile results
+        # with the one static-index gather the assembly needed anyway
         slot_p = jnp.where(ok, dest, total)
-        slot_of = slot_p[jnp.asarray(inv_perm)]
-        dist_pad = jnp.concatenate(
-            [dist_all, jnp.zeros((1, pp), jnp.float32)], axis=0
-        )
-        dist = dist_pad[slot_of].reshape(n0y, n0x, T0, T0)
-        img = dist.transpose(0, 2, 1, 3).reshape(n0y * T0, n0x * T0)
-        fill_tile = jnp.where(
+        fill_p = jnp.where(
             act,
             np.int8(FILL_NONE),
             jnp.where(root_in, np.int8(FILL_INSIDE),
                       np.int8(FILL_OUTSIDE)),
         ).astype(jnp.int8)
+        slot_of = slot_p[jnp.asarray(inv_perm)]
+        fill_tile = fill_p[jnp.asarray(inv_perm)]
+        dist_pad = jnp.concatenate(
+            [dist_all, jnp.zeros((1, pp), jnp.float32)], axis=0
+        )
+        dist = dist_pad[slot_of].reshape(n0y, n0x, T0, T0)
+        img = dist.transpose(0, 2, 1, 3).reshape(n0y * T0, n0x * T0)
         fill = jnp.repeat(
             jnp.repeat(fill_tile.reshape(n0y, n0x), T0, 0), T0, 1
         )
