@@ -45,9 +45,11 @@ import numpy as np
 
 BASELINE_MPIX_S = 18.1  # fidget demos/README.md: 14.489 ms @ 512^2
 TILE = 8
-#: headline leaf mode: "union" = per-block union-simplified tapes
-#: (demos/exp_union_leaf.py measured winner), "full" = whole tape
-HEADLINE_LEAF = "full"
+#: headline leaf mode: "union" = per-block union-simplified tapes —
+#: 0.851 ms/frame (1233 Mpix/s) vs the full-tape leaf's 0.966
+#: (demos/exp_union_leaf.py, v4 frame; exp_union_stages3.py carries
+#: the stage-by-stage cost model)
+HEADLINE_LEAF = "union"
 BLOCK_PX = 256
 
 
