@@ -237,7 +237,17 @@ def _solve_qef(AtA, Atb, mass):
     the batch — LAPACK's batched SVD was the single largest host cost
     of a depth-8 mesh build (0.66 s of 5.2 s). Truncation matches the
     reference: drop directions below 1e-3 of the largest eigenvalue
-    (EIGENVALUE_CUTOFF_RELATIVE, fidget-mesh/src/qef.rs:96)."""
+    (EIGENVALUE_CUTOFF_RELATIVE, fidget-mesh/src/qef.rs:96).
+
+    Dispatches to the native C++ twin (native/mesh_kernels.cpp) when
+    the toolchain is available: the host runs topology on ONE core,
+    where numpy's ~150 full-array temporaries cost ~10x over the
+    per-element register form (same formulas, same SVD-parity test)."""
+    from .. import native
+
+    nv = native.qef_solve_batch(AtA, Atb, mass)
+    if nv is not None:
+        return nv
     AtA = AtA.astype(np.float64, copy=False)
     # rhs = Atb - AtA @ mass, componentwise (einsum's per-call batch
     # overhead dominated the depth-8 profile)

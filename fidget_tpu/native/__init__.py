@@ -128,3 +128,62 @@ def compile_vm(text: str, reg_limit: int = 255) -> Tape | None:
         )
     finally:
         lib.fidget_free_tape(ptr)
+
+
+# ----------------------------------------------------------------------
+# mesh host kernels (batched QEF solve)
+
+_MESH_SRC = pathlib.Path(__file__).with_name("mesh_kernels.cpp")
+_MESH_LIB = None
+_MESH_TRIED = False
+
+
+def _load_mesh():
+    """Builds (if needed) and loads the mesh-kernel library."""
+    global _MESH_LIB, _MESH_TRIED
+    if _MESH_TRIED:
+        return _MESH_LIB
+    _MESH_TRIED = True
+    try:
+        src = _MESH_SRC.read_bytes()
+        tag = hashlib.sha256(src).hexdigest()[:16]
+        out = _build_dir() / f"mesh_kernels_{tag}.so"
+        if not out.exists():
+            out.parent.mkdir(parents=True, exist_ok=True)
+            tmp = out.with_suffix(".so.tmp")
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                 str(_MESH_SRC), "-o", str(tmp)],
+                check=True, capture_output=True, timeout=120,
+            )
+            os.replace(tmp, out)
+        lib = ctypes.CDLL(str(out))
+        pd = ctypes.POINTER(ctypes.c_double)
+        lib.fidget_qef_solve.restype = None
+        lib.fidget_qef_solve.argtypes = [ctypes.c_int64, pd, pd, pd, pd]
+        _MESH_LIB = lib
+    except Exception:
+        _MESH_LIB = None
+    return _MESH_LIB
+
+
+def qef_solve_batch(AtA, Atb, mass):
+    """Native batched truncated QEF solve; None when unavailable.
+
+    Same contract as mesh/collapse._solve_qef's numpy body (which is
+    the fallback): [n,3,3], [n,3], [n,3] float64 -> [n,3] float64."""
+    lib = _load_mesh()
+    if lib is None:
+        return None
+    AtA = np.ascontiguousarray(AtA, np.float64)
+    Atb = np.ascontiguousarray(Atb, np.float64)
+    mass = np.ascontiguousarray(mass, np.float64)
+    n = len(mass)
+    out = np.empty((n, 3), np.float64)
+    pd = ctypes.POINTER(ctypes.c_double)
+    lib.fidget_qef_solve(
+        ctypes.c_int64(n),
+        AtA.ctypes.data_as(pd), Atb.ctypes.data_as(pd),
+        mass.ctypes.data_as(pd), out.ctypes.data_as(pd),
+    )
+    return out
