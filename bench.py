@@ -222,11 +222,18 @@ def _extra_3d(extra):
     from fidget_tpu.render.render3d import VoxelRenderer
     from fidget_tpu.shape import Shape
 
+    from jax import lax
+
     tree = load_script("gyroid-sphere.rhai")
     tape = Shape.from_tree(tree).tape()
+    # the measured-fastest 3D config: fully-unrolled leaf AND proofs
+    # (the 3D fidget-JIT analog; demos/exp_voxel_batch.py G=unrolled2)
+    kw = dict(
+        tile_size=64, sub_size=16, leaf="unrolled", proofs="unrolled",
+    )
 
-    # guard: pipeline exact vs brute oracle at 128^3
-    rg = VoxelRenderer(tape, VoxelSize(128, 128, 128))
+    # guard: pipeline exact vs brute oracle at 128^3, same config
+    rg = VoxelRenderer(tape, VoxelSize(128, 128, 128), **kw)
     got = rg.render(mode="heightmap").depth
     want = rg.render_brute().depth
     if not (got == want).all():
@@ -235,31 +242,35 @@ def _extra_3d(extra):
         }
         return
     n = 512
+    K3 = 32
     for mode in ("heightmap", "normals"):
-        r = VoxelRenderer(tape, VoxelSize(n, n, n))
+        r = VoxelRenderer(tape, VoxelSize(n, n, n), **kw)
         vec = jnp.zeros(r.n_inputs, jnp.float32)
 
-        @jax.jit
-        def frame_sum(mat):
-            depth, normal, n_active = r._frame_impl(
-                mat, vec, mode=mode, cap=r.cap
-            )
-            s = jnp.sum(depth).astype(jnp.float32)
-            if normal is not None:
-                s = s + jnp.sum(normal)
-            return s
+        def many(mat):
+            def body(k, acc):
+                m = mat * (1.0 + 1e-7 * k.astype(jnp.float32))
+                depth, normal, n_active = r._frame_impl(
+                    m, vec, mode=mode, cap=r.cap
+                )
+                s = acc + jnp.sum(depth).astype(jnp.float32)
+                if normal is not None:
+                    s = s + jnp.sum(normal)
+                return s
 
-        base = np.eye(4, dtype=np.float32)
-        float(frame_sum(jnp.asarray(base)))
-        ts = []
-        for i in range(5):
-            m = base.copy()
-            m[0, 3] = 1e-5 * (i + 1)
+            return lax.fori_loop(0, K3, body, jnp.float32(0.0))
+
+        f = jax.jit(many)
+        base = jnp.asarray(np.eye(4, dtype=np.float32))
+        float(f(base))
+        best = float("inf")
+        for i in range(3):
+            m = base * (1.0 + 1e-6 * (i + 1))
             t0 = time.perf_counter()
-            float(frame_sum(jnp.asarray(m)))
-            ts.append(time.perf_counter() - t0)
+            float(f(m))
+            best = min(best, (time.perf_counter() - t0) / K3)
         extra[f"gyroid_512_{mode}"] = {
-            "value": round(min(ts) * 1e3, 2), "unit": "ms/frame",
+            "value": round(best * 1e3, 2), "unit": "ms/frame",
         }
 
 
@@ -268,7 +279,9 @@ def _extra_mesh(extra):
     from fidget_tpu.mesh import Settings, build_mesh
 
     tape = load_vm_tape("colonnade.vm")
-    mesh = build_mesh(tape, Settings(depth=8))  # compile/warm
+    # eval="unrolled" = the device-resident fused fine pipeline (the
+    # measured-fastest config; the interp path is the zero-compile one)
+    mesh = build_mesh(tape, Settings(depth=8, eval="unrolled"))
     # guard: closed 2-manifold (every undirected edge used exactly 2x)
     tris = np.asarray(mesh.triangles, np.int64)
     e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
@@ -284,7 +297,9 @@ def _extra_mesh(extra):
         w = np.eye(4)
         w[0, 3] = 1e-6 * (i + 1)
         t0 = time.perf_counter()
-        m = build_mesh(tape, Settings(depth=8, world_to_model=w))
+        m = build_mesh(
+            tape, Settings(depth=8, world_to_model=w, eval="unrolled")
+        )
         best = min(best, time.perf_counter() - t0)
     extra["colonnade_mesh_d8"] = {
         "value": round(best, 2), "unit": "s (warm)",
@@ -305,7 +320,11 @@ def _extra_backward(extra):
 
     N = 1024
     tape = load_vm_tape("prospero.vm")
-    r = PixelRenderer(tape, ImageSize(N, N))
+    # 32-px tiles: the dual kernel's VMEM scratch is 4 register files
+    # of [nf, s0, 128] f32 — at the default 128-px leaf (s0=128) that
+    # is ~32 MB and Mosaic refuses it on real hardware (BENCH r5 run
+    # 1); s0=8 fits comfortably
+    r = PixelRenderer(tape, ImageSize(N, N), tile_size=32)
     vec = jnp.zeros(r.n_inputs, jnp.float32)
     mat0 = jnp.asarray(r._mat4(None))
     target = jnp.asarray(

@@ -795,6 +795,13 @@ def interp_grad(
       vars_: [T, V, 4, S0, 128] f32 dual planes (v, dx, dy, dz).
     Returns:
       [T, O, 4, S0, 128] f32 dual outputs.
+
+    VMEM budget: the kernel holds FOUR register files of
+    [nf, s0, 128] f32 in scratch (~nf*s0*2 KB); Mosaic's scoped-vmem
+    limit is 16 MB on v5e, so nf * s0 must stay under ~4096 — drive
+    grads through <=32-px leaf tiles (s0 <= 8) for 255-register
+    tapes. Interpret mode does not enforce this; the real-TPU parity
+    sweep does (demos/tpu_parity.py).
     """
     T, lcap = w1.shape
     gm = GradMode(kernel_namespace(jnp), choice_dtype=jnp.int32)
