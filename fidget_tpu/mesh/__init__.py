@@ -946,21 +946,39 @@ def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
     nm = normals[e_of]
     w = np.isfinite(nm).all(axis=1) & (np.linalg.norm(nm, axis=1) > 0)
 
-    # segment-sum via bincount: ~10x faster than the unbuffered
-    # np.add.at scatter at large vertex counts (one pass per component)
-    def vsum(vals):
-        return np.bincount(vid, weights=vals, minlength=NV)
+    # segment-sum: one native C++ pass when available (the host is
+    # single-core; 14 numpy bincount passes measured ~220 ms at
+    # depth-8 edge counts), bincount fallback otherwise (~10x faster
+    # than the unbuffered np.add.at either way)
+    from .. import native
 
-    msum = np.stack([vsum(pt[:, k]) for k in range(3)], axis=1)
-    mcnt = np.bincount(vid, minlength=NV).astype(np.float64)
-    nw = np.where(w[:, None], nm, 0.0)
-    bw = (nw * pt).sum(axis=1)
-    AtA = np.empty((NV, 3, 3))
-    for i in range(3):
-        for j in range(i, 3):
-            AtA[:, i, j] = AtA[:, j, i] = vsum(nw[:, i] * nw[:, j])
-    Atb = np.stack([vsum(nw[:, k] * bw) for k in range(3)], axis=1)
-    btb = vsum(bw * bw)
+    acc = native.qef_accumulate_batch(vid, pt, nm, w, NV)
+    if acc is not None:
+        msum = acc[:, 0:3]
+        mcnt = acc[:, 3]
+        AtA = np.empty((NV, 3, 3))
+        AtA[:, 0, 0] = acc[:, 4]
+        AtA[:, 0, 1] = AtA[:, 1, 0] = acc[:, 5]
+        AtA[:, 0, 2] = AtA[:, 2, 0] = acc[:, 6]
+        AtA[:, 1, 1] = acc[:, 7]
+        AtA[:, 1, 2] = AtA[:, 2, 1] = acc[:, 8]
+        AtA[:, 2, 2] = acc[:, 9]
+        Atb = acc[:, 10:13]
+        btb = acc[:, 13]
+    else:
+        def vsum(vals):
+            return np.bincount(vid, weights=vals, minlength=NV)
+
+        msum = np.stack([vsum(pt[:, k]) for k in range(3)], axis=1)
+        mcnt = np.bincount(vid, minlength=NV).astype(np.float64)
+        nw = np.where(w[:, None], nm, 0.0)
+        bw = (nw * pt).sum(axis=1)
+        AtA = np.empty((NV, 3, 3))
+        for i in range(3):
+            for j in range(i, 3):
+                AtA[:, i, j] = AtA[:, j, i] = vsum(nw[:, i] * nw[:, j])
+        Atb = np.stack([vsum(nw[:, k] * bw) for k in range(3)], axis=1)
+        btb = vsum(bw * bw)
     mass = msum / np.maximum(mcnt, 1.0)[:, None]
 
     # batched truncated-SVD solve about the mass point (qef.rs:67-80) —

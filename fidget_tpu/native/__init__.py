@@ -187,3 +187,28 @@ def qef_solve_batch(AtA, Atb, mass):
         mass.ctypes.data_as(pd), out.ctypes.data_as(pd),
     )
     return out
+
+
+def qef_accumulate_batch(vid, pt, nm, w, NV):
+    """Native per-vertex QEF accumulation; None when unavailable.
+
+    vid [E] int64, pt/nm [E,3] f64, w [E] bool -> [NV, 14] f64 with
+    columns (msum xyz, count, AtA 00/01/02/11/12/22, Atb xyz, btb)."""
+    lib = _load_mesh()
+    if lib is None or not hasattr(lib, "fidget_qef_accumulate"):
+        return None
+    vid = np.ascontiguousarray(vid, np.int64)
+    pt = np.ascontiguousarray(pt, np.float64)
+    nm = np.ascontiguousarray(nm, np.float64)
+    w = np.ascontiguousarray(w, np.uint8)
+    E = len(vid)
+    out = np.empty((NV, 14), np.float64)
+    pd = ctypes.POINTER(ctypes.c_double)
+    lib.fidget_qef_accumulate(
+        ctypes.c_int64(E), ctypes.c_int64(NV),
+        vid.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        pt.ctypes.data_as(pd), nm.ctypes.data_as(pd),
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(pd),
+    )
+    return out

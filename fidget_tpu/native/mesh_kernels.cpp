@@ -170,3 +170,37 @@ void fidget_qef_solve(int64_t n, const double* AtA, const double* Atb,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Batched per-vertex QEF accumulation: one pass over E edge-sample
+// instances replacing 14 numpy bincount passes (the host runs on one
+// core). Column layout of out [NV, 14]:
+//   0-2  sum(pt)      3  count
+//   4-9  AtA (a00, a01, a02, a11, a12, a22)   (weighted rows only)
+//   10-12 Atb          13 btb
+//   vid:  [E] vertex id per instance
+//   pt:   [E, 3] intersection points
+//   nm:   [E, 3] unit normals
+//   w:    [E] 1 = normal valid (weighted), 0 = mass-point only
+void fidget_qef_accumulate(int64_t E, int64_t NV, const int64_t* vid,
+                           const double* pt, const double* nm,
+                           const uint8_t* w, double* out) {
+    for (int64_t i = 0; i < NV * 14; ++i) out[i] = 0.0;
+    for (int64_t e = 0; e < E; ++e) {
+        const int64_t v = vid[e];
+        if (v < 0 || v >= NV) continue;
+        double* o = out + 14 * v;
+        const double px = pt[3 * e], py = pt[3 * e + 1], pz = pt[3 * e + 2];
+        o[0] += px; o[1] += py; o[2] += pz; o[3] += 1.0;
+        if (!w[e]) continue;
+        const double nx = nm[3 * e], ny = nm[3 * e + 1], nz = nm[3 * e + 2];
+        const double b = nx * px + ny * py + nz * pz;
+        o[4] += nx * nx; o[5] += nx * ny; o[6] += nx * nz;
+        o[7] += ny * ny; o[8] += ny * nz; o[9] += nz * nz;
+        o[10] += nx * b; o[11] += ny * b; o[12] += nz * b;
+        o[13] += b * b;
+    }
+}
+
+}  // extern "C"
