@@ -27,6 +27,9 @@ import os
 import sys
 import time
 
+#: PARITY_INTERPRET=1 validates the harness mechanics on CPU
+_INTERP = os.environ.get("PARITY_INTERPRET") == "1"
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
@@ -65,7 +68,7 @@ def run_op_matrix(report):
     out = np.asarray(interp_float(
         packed.w1, packed.w2, packed.imm, packed.lengths,
         K._vars_float(), nf=packed.nf, n_inputs=2, n_outputs=1, s0=S0,
-        interpret=False,
+        interpret=_INTERP,
     ))
     fm = FloatMode(kernel_namespace(np))
     fails = []
@@ -89,7 +92,7 @@ def run_op_matrix(report):
     olo, ohi, _ = interp_interval(
         packed.w1, packed.w2, packed.imm, packed.lengths, var_lo, var_hi,
         nf=packed.nf, n_inputs=2, n_outputs=1, s0=S0, c_words=1,
-        interpret=False,
+        interpret=_INTERP,
     )
     glo = np.asarray(olo)
     ghi = np.asarray(ohi)
@@ -118,7 +121,7 @@ def run_op_matrix(report):
             duals[t_i, i, 1 if v == Var.X else 2] = one
     g = np.asarray(interp_grad(
         packed.w1, packed.w2, packed.imm, packed.lengths, duals,
-        nf=packed.nf, n_inputs=2, n_outputs=1, s0=S0, interpret=False,
+        nf=packed.nf, n_inputs=2, n_outputs=1, s0=S0, interpret=_INTERP,
     ))
     gm = GradMode(kernel_namespace(np))
     fails = []
@@ -146,7 +149,7 @@ def run_golden(report):
         want = np.array(
             [[c == "X" for c in row] for row in golden], bool
         )
-        r = PixelRenderer(tape, ImageSize(32, 32), interpret=False)
+        r = PixelRenderer(tape, ImageSize(32, 32), interpret=_INTERP)
         got_i = r.render().inside()
         got_u = r.render_unrolled(
             tile_size=8, leaf="union", block_px=16
@@ -166,7 +169,7 @@ def run_voxel(report):
 
     tree = load_script("gyroid-sphere.rhai")
     tape = Shape.from_tree(tree).tape()
-    r = VoxelRenderer(tape, VoxelSize(64, 64, 64), interpret=False)
+    r = VoxelRenderer(tape, VoxelSize(64, 64, 64), interpret=_INTERP)
     got = r.render(mode="heightmap").depth
     want = r.render_brute().depth
     report["voxel_64"] = {
