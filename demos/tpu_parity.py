@@ -35,13 +35,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _compare(got, want, label):
+def _compare(got, want, label, detail=None):
     from tests import test_kernel_ops as K
 
     try:
         K._assert_matches(got, want, label)
         return True
     except AssertionError:
+        if detail is not None:
+            g = np.asarray(got).reshape(-1)[: K.NPAIR]
+            w = np.asarray(want).reshape(-1)[: K.NPAIR]
+            m = np.isfinite(g) & np.isfinite(w)
+            rel = np.abs(g[m] - w[m]) / np.maximum(np.abs(w[m]), 1e-20)
+            nan_mismatch = int((np.isnan(g) != np.isnan(w)).sum())
+            detail[label] = {
+                "max_rel": float(rel.max()) if m.any() else None,
+                "nan_mismatch": nan_mismatch,
+            }
         return False
 
 
@@ -72,12 +82,13 @@ def run_op_matrix(report):
     ))
     fm = FloatMode(kernel_namespace(np))
     fails = []
+    detail = {}
     for t_i, (label, tape) in enumerate(CASES):
         with np.errstate(all="ignore"):
             (want,), _ = eval_tape(tape, fm, K._host_inputs(tape, "float"))
-        if not _compare(out[t_i, 0], want, label):
+        if not _compare(out[t_i, 0], want, label, detail):
             fails.append(label)
-    results["float"] = {"cases": T, "fail": fails}
+    results["float"] = {"cases": T, "fail": fails, "detail": detail}
 
     # ---- interval ---------------------------------------------------
     var_lo = np.zeros((T, 2, S0, 128), np.float32)
@@ -98,17 +109,18 @@ def run_op_matrix(report):
     ghi = np.asarray(ohi)
     im = IntervalMode(kernel_namespace(np))
     fails = []
+    detail = {}
     for t_i, (label, tape) in enumerate(CASES):
         with np.errstate(all="ignore"):
             ((wlo, whi),), _ = eval_tape(
                 tape, im, K._host_inputs(tape, "interval")
             )
-        ok = _compare(glo[t_i, 0], wlo, label) and _compare(
-            ghi[t_i, 0], whi, label
+        ok = _compare(glo[t_i, 0], wlo, label, detail) and _compare(
+            ghi[t_i, 0], whi, label, detail
         )
         if not ok:
             fails.append(label)
-    results["interval"] = {"cases": T, "fail": fails}
+    results["interval"] = {"cases": T, "fail": fails, "detail": detail}
 
     # ---- grad -------------------------------------------------------
     duals = np.zeros((T, 2, 4, S0, 128), np.float32)
@@ -125,15 +137,17 @@ def run_op_matrix(report):
     ))
     gm = GradMode(kernel_namespace(np))
     fails = []
+    detail = {}
     for t_i, (label, tape) in enumerate(CASES):
         with np.errstate(all="ignore"):
             (want,), _ = eval_tape(tape, gm, K._host_inputs(tape, "grad"))
         ok = all(
-            _compare(g[t_i, 0, c], want[c], label) for c in range(4)
+            _compare(g[t_i, 0, c], want[c], label, detail)
+            for c in range(4)
         )
         if not ok:
             fails.append(label)
-    results["grad"] = {"cases": T, "fail": fails}
+    results["grad"] = {"cases": T, "fail": fails, "detail": detail}
     report["op_matrix"] = results
 
 
