@@ -94,6 +94,29 @@ def acos(xp, x):
     return xp.where(bad, xp.full_like(res, math.nan), res)
 
 
+def fmod(xp, a, b):
+    """IEEE-faithful-enough fmod for backends without a native one.
+
+    Mosaic lowers fmod as ``a - trunc(a/b) * b``, which (i) returns
+    NaN for finite a with b = +-inf (trunc(0) * inf) and (ii) can be
+    off by one multiple of b when a/b rounds across an integer
+    (1.0 % 0.1 -> 0 instead of 0.0999999) — both caught by the
+    real-TPU parity sweep (PARITY_TPU_r05 run 1). This version
+    corrects the +-1-multiple error (result must have |r| < |b| and
+    the sign of a, like IEEE fmod) and pins the b = +-inf row; the
+    residual vs exact fmod is one rounding of a - q*b, i.e. sub-ulp
+    absolute, within the canonical suite's atol."""
+    ab = xp.abs(b)
+    q = xp.floor(a / ab)
+    r = a - q * ab
+    r = xp.where(r < 0, r + ab, r)
+    r = xp.where(r >= ab, r - ab, r)
+    # Euclidean [0, |b|) -> fmod (sign of a): shift negative-a lanes
+    r = xp.where((a < 0) & (r > 0), r - ab, r)
+    inf_b = xp.isinf(b) & ~xp.isinf(a) & ~xp.isnan(a)
+    return xp.where(inf_b, a, r)
+
+
 class KernelNamespace:
     """Array-namespace proxy substituting kernel-safe transcendentals.
 
@@ -118,6 +141,9 @@ class KernelNamespace:
 
     def arccos(self, x):
         return acos(self._xp, x)
+
+    def fmod(self, a, b):
+        return fmod(self._xp, a, b)
 
 
 def kernel_namespace(xp) -> KernelNamespace:
