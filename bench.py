@@ -38,6 +38,7 @@ headline fields.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -410,6 +411,27 @@ def main() -> None:
              "(axon tunnel down?)", 0.0)
 
     import jax
+
+    # ---- guard 0: the real-TPU canonical op matrix ------------------
+    # (73 ops x float/interval/grad through the Mosaic kernels vs the
+    # host oracles — a kernel-parity regression fails the scored
+    # bench; infra errors only annotate). Cached kernels make this a
+    # few seconds warm.
+    parity = {}
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from demos.tpu_parity import run_op_matrix
+
+        run_op_matrix(parity)
+        fails = [
+            f
+            for mode in parity.get("op_matrix", {}).values()
+            for f in mode["fail"]
+        ]
+        if fails:
+            fail("FAILED op-matrix parity: " + ",".join(fails[:5]), 0.0)
+    except (ImportError, OSError):
+        pass  # harness unavailable: not a kernel regression
 
     # ---- headline: prospero 1024^2 ----------------------------------
     built, err = bench_2d_config(
