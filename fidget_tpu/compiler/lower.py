@@ -152,7 +152,15 @@ class _Alloc:
 def lower(
     ctx: Context, roots: list[int], reg_limit: int = 255
 ) -> Tape:
-    """Lowers graph nodes into a register `Tape` (forward eval order)."""
+    """Lowers graph nodes into a register `Tape` (forward eval order).
+
+    >>> from fidget_tpu import Context, lower
+    >>> ctx = Context()
+    >>> root = ctx.add(ctx.x(), ctx.constant(1.0))
+    >>> tape = lower(ctx, [root])
+    >>> (tape.output_count, tape.reg_count, len(tape.var_map))
+    (1, 1, 1)
+    """
     order = ctx.topological_order(roots)
     # Uses per node (constants are immediates and never materialized,
     # except when a root is itself a constant)

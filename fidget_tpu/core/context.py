@@ -58,6 +58,32 @@ class Context:
 
     Node handles are plain integers indexing into the arena. Handles are
     only meaningful for the context that created them.
+
+    Build a unit circle's signed distance and evaluate it at the
+    origin through the lowered tape (the reference's doc example,
+    fidget-core/src/context/mod.rs:227-233):
+
+    >>> import numpy as np
+    >>> from fidget_tpu import Context, lower
+    >>> from fidget_tpu.eval.arith import FloatMode
+    >>> from fidget_tpu.eval.unrolled import eval_tape
+    >>> ctx = Context()
+    >>> r = ctx.sqrt(ctx.add(ctx.square(ctx.x()), ctx.square(ctx.y())))
+    >>> circle = ctx.sub(r, ctx.constant(1.0))
+    >>> tape = lower(ctx, [circle])
+    >>> (out,), _ = eval_tape(
+    ...     tape, FloatMode(np),
+    ...     [np.float32(0.0), np.float32(0.0)],  # x, y
+    ... )
+    >>> float(out)
+    -1.0
+
+    Identical subtrees deduplicate and constants fold at build time:
+
+    >>> ctx.add(ctx.x(), ctx.x()) == ctx.add(ctx.x(), ctx.x())
+    True
+    >>> ctx.get_const(ctx.mul(ctx.constant(2.0), ctx.constant(3.0)))
+    6.0
     """
 
     def __init__(self) -> None:
@@ -359,6 +385,14 @@ class Context:
         (context/mod.rs:1252-1464): abs picks ±1 by sign, min/max pick the
         strictly-smaller/greater side, floor/ceil/round/compare/not have
         zero derivative, and mod reconstructs the euclidean quotient.
+
+        >>> from fidget_tpu import Context, Var
+        >>> ctx = Context()
+        >>> ctx.get_const(ctx.deriv(ctx.constant(3.0), Var.X))
+        0.0
+        >>> d = ctx.deriv(ctx.square(ctx.x()), Var.X)  # 2*x
+        >>> "mul" in ctx.export(d)
+        True
         """
         zero = self.constant(0.0)
         memo: dict[int, int] = {}
@@ -485,7 +519,16 @@ class Context:
         """Parses the `.vm` flat-text format.
 
         Each line is `name opcode [args...]`; `#` starts a comment. The
-        last node defined is the root.
+        last node defined is the root
+        (grammar: fidget-core/src/context/mod.rs:861-922).
+
+        >>> ctx, root = Context.from_text(
+        ...     "a var-x\\nb const 2.0\\nc mul a b"
+        ... )
+        >>> print(ctx.export(root))  # doctest: +NORMALIZE_WHITESPACE
+        n1 const 2.0
+        n0 var-x
+        n2 mul n0 n1
         """
         if not isinstance(text, str):
             text = text.read()

@@ -32,7 +32,19 @@ _REMAP_AFFINE = "remap_affine"
 
 
 class Tree:
-    """An immutable expression tree node."""
+    """An immutable expression tree node.
+
+    Operator-overloaded shape building (fidget's `Tree`,
+    fidget-core/src/context/tree.rs:13-40):
+
+    >>> from fidget_tpu import Context, Tree
+    >>> x, y, z = Tree.axes()
+    >>> sphere = (x.square() + y.square() + z.square()).sqrt() - 1.0
+    >>> ctx = Context()
+    >>> root = ctx.import_tree(sphere)
+    >>> "sqrt" in ctx.export(root)
+    True
+    """
 
     __slots__ = ("kind", "data")
 

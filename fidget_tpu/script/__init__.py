@@ -1081,5 +1081,13 @@ def engine() -> Engine:
 
 
 def eval_script(src: str) -> ScriptResult:
-    """Evaluates a script and returns the traced shapes."""
+    """Evaluates a script and returns the traced shapes.
+
+    >>> from fidget_tpu.script import eval_script
+    >>> res = eval_script(
+    ...     "let c = circle(#{ center: [0, 0], radius: 1 }); draw(c);"
+    ... )
+    >>> len(res.shapes)
+    1
+    """
     return engine().run(src)

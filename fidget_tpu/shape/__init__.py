@@ -70,6 +70,13 @@ class Shape:
     Mirrors fidget's `Shape<F>` (fidget-core/src/shape/mod.rs:44-176):
     the transform maps *evaluation-space* points to *model-space* points
     fed to the expression, and composes under `apply_transform`.
+
+    >>> from fidget_tpu import Tree
+    >>> from fidget_tpu.shape import Shape
+    >>> x, y, z = Tree.axes()
+    >>> s = Shape.from_tree((x.square() + y.square()).sqrt() - 0.5)
+    >>> s.tape().output_count
+    1
     """
 
     def __init__(

@@ -10,6 +10,13 @@ dataclass field metadata drives auto-registration in the script engine
 
 Semantics match the reference exactly (distance functions, transform
 composition order, degree angles, balanced n-ary min/max trees).
+
+>>> from fidget_tpu.shapes import Circle, Move, Union
+>>> a = Circle(center=(0.0, 0.0), radius=1.0)
+>>> b = Move(shape=a.to_tree(), offset=(2.0, 0.0, 0.0))
+>>> u = Union(input=[a.to_tree(), b.to_tree()])
+>>> u.to_tree().kind
+'binary'
 """
 
 from __future__ import annotations
