@@ -928,9 +928,15 @@ class VoxelRenderer:
         self.s2w = g.s2w
 
         if cap is None:
-            # generous default: surface ~ O(columns), slack 8x, rounded
-            # to a power of two so capacity retries hit few variants
-            cap = max(256, 8 * self.nx2 * self.ny2)
+            # surface ~ O(columns): one subtile slot per XY column.
+            # The former 8x slack made cap_s equal the FULL stratum at
+            # 512^3 — zero arithmetic saving from culling (gyroid
+            # peaks at 779 active of 4096 per stratum; the leaf
+            # evaluates every slot). Undersizing costs one overflow
+            # retry + recompile, once per shape, persistent-cached —
+            # the graceful-degradation pattern shared with the 2D
+            # worklists.
+            cap = max(256, self.nx2 * self.ny2)
         cap = 1 << (int(cap) - 1).bit_length()
         self.cap = min(cap, self.nsub)
 
