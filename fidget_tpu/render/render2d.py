@@ -1443,6 +1443,46 @@ class PixelRenderer:
                         "n_fallback": int(n_fb),
                         **plan.stats(),
                     }
+                    # STALENESS auto-refresh: a drifting camera sends
+                    # a growing share of tiles to the full-tape
+                    # fallback (correct but slower — it mirrors the
+                    # reference invalidating its cached simplification
+                    # on trace change, render/mod.rs:122-129). Above
+                    # 5% fallback, rebuild the plan for the CURRENT
+                    # camera in a background thread and swap it in
+                    # once its frame is compiled; frames keep flowing
+                    # through the stale plan meanwhile.
+                    self._uplan_refresh = getattr(
+                        self, "_uplan_refresh", {}
+                    )
+                    if (
+                        int(n_fb) > max(16, int(n_active) * 0.05)
+                        and not self._uplan_refresh.get(pk)
+                    ):
+                        self._uplan_refresh[pk] = True
+
+                        def rebuild(mat_np=mat_np, z=z, vec_np=vec_np):
+                            try:
+                                p2 = build_union_plan(
+                                    self.tape, T0, n0x, n0y, mat_np,
+                                    z, vec_np, self.axis_of,
+                                    block_px=block_px,
+                                )
+                                f2 = _frame_union_fn(
+                                    key, _register_plan(p2), T0, n0x,
+                                    n0y, fb_cap, self.n_inputs,
+                                    pixel_perfect, self.interpret,
+                                )
+                                f2.lower(
+                                    x0, y0, mat, jnp.float32(z), vec
+                                ).compile()
+                                self._uplans[pk] = p2
+                            finally:
+                                self._uplan_refresh[pk] = False
+
+                        threading.Thread(
+                            target=rebuild, daemon=True
+                        ).start()
                     return Image2D(
                         np.asarray(img)[: self.H, : self.W],
                         np.asarray(fill)[: self.H, : self.W],

@@ -107,3 +107,28 @@ def test_plan_capacity_overflow_rebuilds():
     r.render_unrolled(m_in, tile_size=8, leaf="union", block_px=32)
     img = r.render_unrolled(tile_size=8, leaf="union", block_px=32)
     _check_exact(img, r.render_brute())
+
+
+def test_union_plan_auto_refresh():
+    """Camera drift pushing >5% of active tiles to the fallback must
+    trigger a background plan rebuild at the new camera; once swapped,
+    the same view renders with zero fallback (the reference's
+    re-simplify-on-trace-change, render/mod.rs:122-129)."""
+    import time
+
+    tape = load_vm_tape("hi.vm")
+    r = PixelRenderer(tape, ImageSize(128, 128))
+    r.render_unrolled(tile_size=8, leaf="union", block_px=32)
+    m = np.array(
+        [[0.6, 0.15, 0.2], [-0.15, 0.6, -0.1], [0, 0, 1]], np.float32
+    )
+    img = r.render_unrolled(m, tile_size=8, leaf="union", block_px=32)
+    assert r.union_stats["n_fallback"] > 16  # stale plan -> fallback
+    _check_exact(img, r.render_brute(m))     # ... but still exact
+    for _ in range(240):
+        if not r._uplan_refresh.get((8, 32)):
+            break
+        time.sleep(0.5)
+    img2 = r.render_unrolled(m, tile_size=8, leaf="union", block_px=32)
+    assert r.union_stats["n_fallback"] == 0  # refreshed plan fits
+    _check_exact(img2, r.render_brute(m))
