@@ -837,6 +837,7 @@ def _register_plan(plan) -> int:
 def _frame_union_fn(
     tape_key: int, plan_key: int, T0: int, n0x: int, n0y: int,
     fb_cap: int, V: int, pixel_perfect: bool, interpret: bool,
+    stop_after: str | None = None,
 ):
     """Builds the union-leaf unrolled frame: interval cull WITH choice
     capture, per-tile validity routing against the plan's block-union
@@ -903,6 +904,8 @@ def _frame_union_fn(
         if pixel_perfect:
             act = jnp.ones_like(act)
         n_active = act.sum()
+        if stop_after == "cull":
+            return act, viol
 
         # ---- stage 2: per-program compaction -------------------------
         m_own = act & jnp.asarray(has_prog) & ~viol
@@ -933,6 +936,8 @@ def _frame_union_fn(
         dest = jnp.where(ok_own, dest_own, dest_fb)
         n_fb = m_fb.sum()
         n_over = (m_own & ~ok_own).sum() + (m_fb & ~ok_fb).sum()
+        if stop_after == "compact":
+            return dest, ok, n_active
 
         # ONE index scatter (permuted-position + 1), coordinates come
         # by gather — three payload scatters measured +0.27 ms vs this
@@ -950,6 +955,8 @@ def _frame_union_fn(
         order = jnp.maximum(o1 - 1, 0)
         sx = xp[order]
         sy = yp[order]
+        if stop_after == "scatter":
+            return sx, sy, vs
 
         # ---- stage 4: leaf — one unrolled segment per union program --
         segs = []
@@ -970,6 +977,8 @@ def _frame_union_fn(
             )
         )
         dist_all = jnp.concatenate(segs, axis=0)
+        if stop_after == "leaf":
+            return (dist_all,)
 
         # ---- stage 5: scatter back + assemble ------------------------
         # everything above ran block-major; unpermute per-tile results
