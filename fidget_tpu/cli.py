@@ -151,9 +151,10 @@ def run2d(args) -> int:
             img = None
         elif args.eval == "unrolled":
             # tiled-unrolled path (the --eval=jit analog): interval
-            # culling + whole-tape XLA leaf — the fastest 2D mode
+            # culling + block-union simplified leaf tapes with the
+            # full-tape fallback — the fastest 2D mode
             img = r.render_unrolled(
-                mat, pixel_perfect=(args.mode == "sdf")
+                mat, pixel_perfect=(args.mode == "sdf"), leaf="union"
             )
             d = img.distance
         elif args.eval == "dense":
