@@ -481,3 +481,45 @@ def test_sphere_var_closed_form():
             assert (
                 err[filled] < eps
             ).all(), f"max depth error {err[filled].max()} >= {eps}"
+
+
+def test_sphere_var_closed_form():
+    """Mirrors the reference's analytic voxel test
+    (fidget/tests/voxel_render.rs:13-60): a sphere with a Var radius
+    rendered at 32^3 under two view scales; every non-saturated
+    column's depth must match the closed form within a 2-voxel
+    epsilon, and empty columns must lie outside the radius."""
+    ctx = Context()
+    rv = Var.new()
+    x, y, z = ctx.x(), ctx.y(), ctx.z()
+    r2 = ctx.add(ctx.square(x), ctx.add(ctx.square(y), ctx.square(z)))
+    tape = lower(ctx, [ctx.sub(ctx.sqrt(r2), ctx.input(rv))])
+
+    size = 32
+    for scale in (1.0, 0.5):
+        w2m = np.diag([scale, scale, scale, 1.0]).astype(np.float32)
+        for radius in (0.5, 0.75):
+            r = VoxelRenderer(
+                tape, VoxelSize(size, size, size), tile_size=16,
+                sub_size=8, interpret=True, specialize=False,
+            )
+            img = r.render(
+                w2m, vars={rv: radius}, mode="heightmap"
+            )
+            eps = 2.0 / size / scale * 2.0
+            s2w = np.asarray(r.s2w)
+            ys_, xs_ = np.mgrid[0:size, 0:size].astype(np.float64)
+            depth = img.depth.astype(np.float64)
+            sat = depth >= size
+            pos = np.stack(
+                [xs_, ys_, depth, np.ones_like(xs_)], axis=-1
+            ) @ s2w.T * scale
+            empty = (depth == 0) & ~sat
+            rxy = np.sqrt(pos[..., 0] ** 2 + pos[..., 1] ** 2)
+            assert (rxy[empty] >= radius - eps).all()
+            hit = (depth > 0) & ~sat
+            rr = np.sqrt((pos[hit][:, :3] ** 2).sum(axis=1))
+            np.testing.assert_allclose(
+                rr, radius, atol=eps,
+                err_msg=f"scale={scale} radius={radius}",
+            )
