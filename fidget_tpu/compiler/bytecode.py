@@ -86,7 +86,16 @@ def repack_map(tape: Tape) -> dict[int, int]:
 
 
 def encode(tape: Tape) -> np.ndarray:
-    """Packs a `Tape` into canonical bytecode words (uint32 array)."""
+    """Packs a `Tape` into canonical bytecode words (uint32 array).
+    >>> from fidget_tpu import Context, lower
+    >>> from fidget_tpu.compiler.bytecode import decode, encode
+    >>> ctx = Context()
+    >>> root = ctx.min(ctx.x(), ctx.add(ctx.y(), ctx.constant(0.5)))
+    >>> tape = lower(ctx, [root])
+    >>> rt = decode(encode(tape), tape.var_map)
+    >>> (len(rt), rt.choice_count) == (len(tape), tape.choice_count)
+    True
+    """
     m = repack_map(tape)
 
     def reg(r: int) -> int:

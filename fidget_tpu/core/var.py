@@ -42,7 +42,15 @@ Var.Z = Var("z")
 
 @dataclass
 class VarMap:
-    """Insertion-ordered map from `Var` to a dense argument index."""
+    """Insertion-ordered map from `Var` to a dense argument index.
+
+    >>> from fidget_tpu import Var, VarMap
+    >>> vm = VarMap()
+    >>> vm.insert(Var.Y), vm.insert(Var.X), vm.insert(Var.Y)
+    (0, 1, 0)
+    >>> vm[Var.X]
+    1
+    """
 
     _map: dict[Var, int] = field(default_factory=dict)
 

@@ -7,9 +7,11 @@ import doctest
 
 import pytest
 
+import fidget_tpu.compiler.bytecode
 import fidget_tpu.compiler.lower
 import fidget_tpu.core.context
 import fidget_tpu.core.tree
+import fidget_tpu.core.var
 import fidget_tpu.script
 import fidget_tpu.shape
 import fidget_tpu.shapes
@@ -17,7 +19,9 @@ import fidget_tpu.shapes
 MODULES = [
     fidget_tpu.core.context,
     fidget_tpu.core.tree,
+    fidget_tpu.core.var,
     fidget_tpu.compiler.lower,
+    fidget_tpu.compiler.bytecode,
     fidget_tpu.shape,
     fidget_tpu.shapes,
     fidget_tpu.script,
