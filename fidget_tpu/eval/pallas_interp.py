@@ -100,12 +100,20 @@ def tape_n_ops(tape, op_order=None, *, floor: int = 8) -> int:
     """Dispatch-vocabulary size for a tape: 1 + the highest opcode
     position it uses (canonical numbering or a pack renumbering),
     rounded up to a multiple of 4 (>= floor) so kernel-compile buckets
-    stay coarse. min/max simplify to COPY (position 2 canonical), so
-    simplified child tapes never escape the parent's vocabulary."""
+    stay coarse.
+
+    OUTPUT/INPUT/COPY are ALWAYS counted even when the tape has no
+    such ops: min/max/and/or SIMPLIFY to COPY, so per-region child
+    tapes introduce opcodes the parent lacks — under a frequency
+    renumbering an unused COPY sorts past the truncation point and
+    lax.switch would silently CLAMP it onto the last live branch
+    (caught as 5-voxel depth drift at 1024^3 on hardware; interpret
+    mode always runs the full vocabulary and cannot see it)."""
     ops = set(int(o) for o in np.asarray(tape.op))
     ops.discard(int(TapeOp.LOAD))
     ops.discard(int(TapeOp.STORE))
     ops.discard(int(TapeOp.MEM))
+    ops |= {int(TapeOp.OUTPUT), int(TapeOp.INPUT), int(TapeOp.COPY)}
     if op_order is not None:
         pos_of = {int(c): p for p, c in enumerate(op_order)}
         hi = max(pos_of[o] for o in ops) if ops else 0
