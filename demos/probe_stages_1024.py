@@ -4,10 +4,16 @@ Two phases:
 1. 512^3: stages vs the fused scan driver (both known-good sizes) —
    depth must match exactly.
 2. 1024^3 gyroid heightmap through stages (the size where BOTH fused
-   drivers hit XLA:TPU program-level faults, demos/probe_1024.py).
-   Success = no worker crash + nonzero fill + the 1024^3 depth map,
-   block-reduced 2x, is consistent with the 512^3 render (same world
-   geometry, depths scale by 2).
+   drivers once hit XLA:TPU program-level faults, demos/probe_1024.py).
+   Success = no worker crash + nonzero fill + occupancy consistent
+   with the 512^3 render after a 2x block reduce. The cross-resolution
+   DEPTH comparison is reported but not asserted: near-vertical gyroid
+   sheets legitimately shift multiple voxels between resolutions
+   (measured p99 ~5 vox at r4 HEAD and r5 alike — it is a property of
+   the metric, not a driver bug).
+3. 1024^3 SPHERE heightmap vs the closed form with a 2-voxel epsilon —
+   exact full-resolution ground truth (the voxel_render.rs strategy),
+   which is the hard correctness assert at this size.
 
 Run alone (holds the chip): python demos/probe_stages_1024.py
 """
@@ -86,7 +92,33 @@ def main():
           f"depth |err| p99={np.percentile(err, 99):.1f} vox "
           f"(subvoxel sampling differences expected at edges)", flush=True)
     assert occ_agree > 0.99, "1024^3 occupancy inconsistent with 512^3"
-    assert np.percentile(err, 99) <= 2.0, "1024^3 depths inconsistent"
+
+    # --- phase 3: 1024^3 sphere vs closed form (exact truth) ---------
+    from fidget_tpu import Context, lower
+
+    ctx = Context()
+    x, y, z = ctx.x(), ctx.y(), ctx.z()
+    r2 = ctx.add(ctx.square(x), ctx.add(ctx.square(y), ctx.square(z)))
+    sph = lower(ctx, [ctx.sub(ctx.sqrt(r2), ctx.constant(0.8))])
+    rs = VoxelRenderer(
+        sph, VoxelSize(n, n, n), tile_size=64, sub_size=16,
+        strata="stages",
+    )
+    t0 = time.time()
+    ds = np.asarray(rs.render(mode="heightmap").depth).astype(np.float64)
+    print(f"1024^3 sphere render: {time.time() - t0:.1f}s", flush=True)
+    s2w = np.asarray(rs.s2w)
+    ys_, xs_ = np.mgrid[0:n, 0:n].astype(np.float64)
+    pos = np.stack([xs_, ys_, ds, np.ones_like(xs_)], axis=-1) @ s2w.T
+    eps = 2.0 * 2.0 / n
+    hit = (ds > 0) & (ds < n)
+    rr = np.sqrt((pos[hit][:, :3] ** 2).sum(axis=1))
+    p100 = np.abs(rr - 0.8).max()
+    print(f"sphere |r-0.8| max={p100:.5f} (eps {eps:.5f})", flush=True)
+    assert p100 <= eps, "1024^3 sphere depths inconsistent w/ closed form"
+    empty = ds == 0
+    rxy = np.sqrt(pos[..., 0] ** 2 + pos[..., 1] ** 2)
+    assert (rxy[empty] >= 0.8 - eps).all()
     print("OK: 1024^3 stages render validated", flush=True)
 
 
