@@ -213,3 +213,30 @@ def test_grad_kernel_matches_host():
                 rtol=1e-5,
                 atol=1e-6,
             )
+
+
+def test_tape_n_ops_covers_simplified_children():
+    """Simplification rewrites min/max/and/or into COPY; the dispatch
+    vocabulary must therefore always cover OUTPUT/INPUT/COPY even
+    when the parent tape has none (a frequency renumbering would
+    otherwise sort an unused COPY past the truncation point and
+    lax.switch would silently clamp it onto the wrong branch — only
+    visible on hardware, where interpret mode never runs)."""
+    from fidget_tpu import Context, lower
+    from fidget_tpu.compiler.pack import frequency_op_order
+    from fidget_tpu.compiler.tape import TapeOp
+    from fidget_tpu.eval.pallas_interp import tape_n_ops
+    from fidget_tpu.io.models import has_model, load_vm_tape
+
+    tapes = []
+    ctx = Context()
+    tapes.append(lower(ctx, [ctx.min(ctx.x(), ctx.y())]))  # no COPY
+    if has_model("colonnade.vm"):
+        tapes.append(load_vm_tape("colonnade.vm"))
+    for tape in tapes:
+        for order in (None, frequency_op_order(tape)):
+            n_ops = tape_n_ops(tape, order)
+            oo = order or tuple(range(31))
+            pos_of = {int(c): p for p, c in enumerate(oo)}
+            for op in (TapeOp.OUTPUT, TapeOp.INPUT, TapeOp.COPY):
+                assert pos_of[int(op)] < n_ops, (op, n_ops)
