@@ -220,62 +220,68 @@ def _extra_2d(name, N, extra, key):
 def _extra_3d(extra):
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
-    from fidget_tpu.io.models import load_script
+    from fidget_tpu.io.models import load_script, load_vm_tape
     from fidget_tpu.render.region import VoxelSize
     from fidget_tpu.render.render3d import VoxelRenderer
     from fidget_tpu.shape import Shape
 
-    from jax import lax
-
+    # gyroid-sphere is the BASELINE config; colonnade is the
+    # reference's own voxel bench model (fidget/benches/voxel.rs:6-12)
     tree = load_script("gyroid-sphere.rhai")
-    tape = Shape.from_tree(tree).tape()
+    models = [
+        ("gyroid_512", Shape.from_tree(tree).tape()),
+        ("colonnade_512", load_vm_tape("colonnade.vm")),
+    ]
     # the measured-fastest 3D config: fully-unrolled leaf AND proofs
     # (the 3D fidget-JIT analog; demos/exp_voxel_batch.py G=unrolled2)
     kw = dict(
         tile_size=64, sub_size=16, leaf="unrolled", proofs="unrolled",
     )
-
-    # guard: pipeline exact vs brute oracle at 128^3, same config
-    rg = VoxelRenderer(tape, VoxelSize(128, 128, 128), **kw)
-    got = rg.render(mode="heightmap").depth
-    want = rg.render_brute().depth
-    if not (got == want).all():
-        extra["gyroid_512"] = {
-            "error": f"128^3 guard: {(got != want).mean():.2%} mismatch"
-        }
-        return
     n = 512
     K3 = 32
-    for mode in ("heightmap", "normals"):
-        r = VoxelRenderer(tape, VoxelSize(n, n, n), **kw)
-        vec = jnp.zeros(r.n_inputs, jnp.float32)
+    for name, tape in models:
+        # guard: pipeline exact vs brute oracle at 128^3, same config
+        rg = VoxelRenderer(tape, VoxelSize(128, 128, 128), **kw)
+        got = rg.render(mode="heightmap").depth
+        want = rg.render_brute().depth
+        if not (got == want).all():
+            extra[name] = {
+                "error":
+                    f"128^3 guard: {(got != want).mean():.2%} mismatch"
+            }
+            continue
+        for mode in ("heightmap", "normals"):
+            r = VoxelRenderer(tape, VoxelSize(n, n, n), **kw)
+            r.render(mode=mode)  # settles worklist capacity (retries)
+            vec = jnp.zeros(r.n_inputs, jnp.float32)
 
-        def many(mat):
-            def body(k, acc):
-                m = mat * (1.0 + 1e-7 * k.astype(jnp.float32))
-                depth, normal, n_active = r._frame_impl(
-                    m, vec, mode=mode, cap=r.cap
-                )
-                s = acc + jnp.sum(depth).astype(jnp.float32)
-                if normal is not None:
-                    s = s + jnp.sum(normal)
-                return s
+            def many(mat):
+                def body(k, acc):
+                    m = mat * (1.0 + 1e-7 * k.astype(jnp.float32))
+                    depth, normal, n_active = r._frame_impl(
+                        m, vec, mode=mode, cap=r.cap
+                    )
+                    s = acc + jnp.sum(depth).astype(jnp.float32)
+                    if normal is not None:
+                        s = s + jnp.sum(normal)
+                    return s
 
-            return lax.fori_loop(0, K3, body, jnp.float32(0.0))
+                return lax.fori_loop(0, K3, body, jnp.float32(0.0))
 
-        f = jax.jit(many)
-        base = jnp.asarray(np.eye(4, dtype=np.float32))
-        float(f(base))
-        best = float("inf")
-        for i in range(3):
-            m = base * (1.0 + 1e-6 * (i + 1))
-            t0 = time.perf_counter()
-            float(f(m))
-            best = min(best, (time.perf_counter() - t0) / K3)
-        extra[f"gyroid_512_{mode}"] = {
-            "value": round(best * 1e3, 2), "unit": "ms/frame",
-        }
+            f = jax.jit(many)
+            base = jnp.asarray(np.eye(4, dtype=np.float32))
+            float(f(base))
+            best = float("inf")
+            for i in range(3):
+                m = base * (1.0 + 1e-6 * (i + 1))
+                t0 = time.perf_counter()
+                float(f(m))
+                best = min(best, (time.perf_counter() - t0) / K3)
+            extra[f"{name}_{mode}"] = {
+                "value": round(best * 1e3, 2), "unit": "ms/frame",
+            }
 
 
 def _extra_mesh(extra):
