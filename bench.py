@@ -254,14 +254,18 @@ def _extra_3d(extra):
             continue
         for mode in ("heightmap", "normals"):
             r = VoxelRenderer(tape, VoxelSize(n, n, n), **kw)
-            r.render(mode=mode)  # settles worklist capacity (retries)
+            # settles worklist capacity (retries) AND builds the
+            # per-stratum capacity schedule for the timed frames
+            r.render(mode=mode)
+            sched = r._sched
             vec = jnp.zeros(r.n_inputs, jnp.float32)
 
             def many(mat):
                 def body(k, acc):
                     m = mat * (1.0 + 1e-7 * k.astype(jnp.float32))
                     depth, normal, n_active = r._frame_impl(
-                        m, vec, mode=mode, cap=r.cap
+                        m, vec, mode=mode, cap=r.cap,
+                        strata_caps=sched,
                     )
                     s = acc + jnp.sum(depth).astype(jnp.float32)
                     if normal is not None:

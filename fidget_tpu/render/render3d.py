@@ -153,6 +153,17 @@ def _unrolled_interval3(b, im, mat, var_vec, xi, yi, zi):
     return los[0], his[0]
 
 
+def _rle(values):
+    """Run-length encode a sequence: yields (value, run_length)."""
+    out = []
+    for v in values:
+        if out and out[-1][0] == v:
+            out[-1][1] += 1
+        else:
+            out.append([v, 1])
+    return [(v, n) for v, n in out]
+
+
 def _compact_stratum(act_flat, *, nl, ny2, nx2, cap_s, xp):
     """Nearest-first compaction of a stratum's active flags into a
     fixed-capacity worklist: returns the selection order, its validity
@@ -292,6 +303,7 @@ class _Pipeline3:
     def frame_tiles(
         self, b, matM, var_vec, x0, y0, z0, *, mode: str, cap: int,
         stop_after: str | None = None,
+        strata_caps: tuple | None = None,
     ):
         """The shardable pipeline core over an arbitrary y-slab of root
         tiles: x0/y0/z0 are traced *global* tile corners in
@@ -382,15 +394,49 @@ class _Pipeline3:
         if stop_after == "strata_xs":
             return xs, mat, jnp.min(y0)
 
-        def stratum(floor, s):
-            return self.stratum_body(
-                b, floor, s, mat=mat, var_vec=var_vec, y_base=y_base,
-                nty=nty, cap_s=cap_s,
-            )
-
         floor0 = jnp.zeros((H, W), jnp.int32)
-        depth, n_active_s = jax.lax.scan(stratum, floor0, xs)
-        n_active = n_active_s.max()
+        if strata_caps is None:
+            def stratum(floor, s):
+                return self.stratum_body(
+                    b, floor, s, mat=mat, var_vec=var_vec,
+                    y_base=y_base, nty=nty, cap_s=cap_s,
+                )
+
+            depth, n_active_s = jax.lax.scan(stratum, floor0, xs)
+            n_active = n_active_s.max()
+        else:
+            # PER-STRATUM capacity schedule (nearest-first, len ntz):
+            # a uniform cap sizes every stratum for the worst one —
+            # the BASELINE gyroid peaks at 2392 active subtiles in its
+            # middle strata but its end strata hold 160, so uniform
+            # 4096 evaluates the full volume and culling saves
+            # nothing. Consecutive equal caps group into one lax.scan
+            # segment (static shapes; the chain stays ONE XLA
+            # program), the 3D analog of the 2D union pipeline's
+            # static per-block slabs. Returned `n_active` is the max
+            # OVERFLOW (count - cap, 0 = every stratum fit); the host
+            # rebuilds the schedule when it goes positive.
+            assert len(strata_caps) == self.ntz
+            floor = floor0
+            overs = []
+            k0 = 0
+            for cap_k, seg in _rle(strata_caps):
+                cs = min(int(cap_k), nsub_s)
+                xs_seg = {
+                    key: v[k0:k0 + seg] for key, v in xs.items()
+                }
+
+                def stratum_seg(fl, s, cs=cs):
+                    return self.stratum_body(
+                        b, fl, s, mat=mat, var_vec=var_vec,
+                        y_base=y_base, nty=nty, cap_s=cs,
+                    )
+
+                floor, na = jax.lax.scan(stratum_seg, floor, xs_seg)
+                overs.append(jnp.maximum(na - cs, 0).max())
+                k0 += seg
+            depth = floor
+            n_active = jnp.stack(overs).max()
 
         if mode == "heightmap":
             return depth, None, n_active
@@ -968,7 +1014,8 @@ class VoxelRenderer:
         )
 
         self._frame = jax.jit(
-            self._frame_impl, static_argnames=("mode", "cap")
+            self._frame_impl,
+            static_argnames=("mode", "cap", "strata_caps")
         )
 
     # ------------------------------------------------------------------
@@ -1011,10 +1058,12 @@ class VoxelRenderer:
     def _frame_tiles(
         self, matM, var_vec, x0, y0, z0, *, mode: str, cap: int,
         stop_after: str | None = None,
+        strata_caps: tuple | None = None,
     ):
         return self.geo.frame_tiles(
             _ConstBind3(self), matM, var_vec, x0, y0, z0,
             mode=mode, cap=cap, stop_after=stop_after,
+            strata_caps=strata_caps,
         )
 
     def _stratum_body(self, floor, s, *, mat, var_vec, y_base, nty, cap_s):
@@ -1030,17 +1079,87 @@ class VoxelRenderer:
 
     # ------------------------------------------------------------------
 
-    def _frame_impl(self, matM, var_vec, *, mode: str, cap: int):
+    def _frame_impl(self, matM, var_vec, *, mode: str, cap: int,
+                    strata_caps: tuple | None = None):
         """matM: traced world->model 4x4 (incl. shape transform);
         var_vec: f32 [V] custom-variable values; cap: static worklist
         capacity (a jit cache key, so capacity retries only compile the
-        new variant)."""
+        new variant). strata_caps (static, nearest-first, len ntz)
+        switches to the per-stratum capacity schedule — the returned
+        third element is then the max OVERFLOW, 0 = all strata fit."""
         return self._frame_tiles(
             matM, var_vec,
             jnp.asarray(self.tile_x0), jnp.asarray(self.tile_y0),
             jnp.asarray(self.tile_z0),
-            mode=mode, cap=cap,
+            mode=mode, cap=cap, strata_caps=strata_caps,
         )
+
+    # ------------------------------------------------------------------
+
+    def _host_strata_counts(self, matM_np, vec_np) -> np.ndarray:
+        """Per-stratum interval-active subtile counts, NEAREST-first
+        (the scan order), from a host NumPy interval evaluation of
+        every subtile box. SOUND upper bound on the device worklist
+        sizes: the device additionally prunes by root-tile proofs and
+        the occlusion floor, which only shrink counts."""
+        from ..eval.arith import IntervalMode as IM
+        from ..eval.unrolled import eval_tape
+        from .transform import transform_intervals
+
+        im = IM(np)
+        sub = self.sub
+        nx2, ny2, nz2 = self.nx2, self.ny2, self.nz2
+        zz, yy, xx = np.meshgrid(
+            np.arange(nz2), np.arange(ny2), np.arange(nx2),
+            indexing="ij",
+        )
+        xlo = (xx.reshape(-1) * sub).astype(np.float32)
+        ylo = (yy.reshape(-1) * sub).astype(np.float32)
+        zlo = (zz.reshape(-1) * sub).astype(np.float32)
+        mat = (
+            np.asarray(matM_np, np.float32) @ self.s2w.astype(np.float32)
+        )
+        mxi, myi, mzi = transform_intervals(
+            im, mat, (xlo, xlo + sub), (ylo, ylo + sub), (zlo, zlo + sub)
+        )
+        V = self.n_inputs
+        inputs = []
+        for i in range(V):
+            c = np.broadcast_to(
+                np.float32(vec_np[i]), xlo.shape
+            ).astype(np.float32)
+            inputs.append((c, c))
+        for kind, ivl in (("x", mxi), ("y", myi), ("z", mzi)):
+            idx = self.axis_of.get(kind)
+            if idx is not None:
+                inputs[idx] = (
+                    np.broadcast_to(ivl[0], xlo.shape).astype(np.float32),
+                    np.broadcast_to(ivl[1], xlo.shape).astype(np.float32),
+                )
+        with np.errstate(all="ignore"):
+            (out,), _ = eval_tape(self.tape, im, inputs)
+        lo, hi = out
+        act = (~((hi < 0.0) | (lo > 0.0))).reshape(nz2, ny2, nx2)
+        nl = self.nl
+        counts = np.array([
+            int(act[s * nl:(s + 1) * nl].sum()) for s in range(self.ntz)
+        ])
+        return counts[::-1]  # nearest (largest z) first
+
+    def strata_schedule(
+        self, matM_np, vec_np, *, headroom: float = 1.15,
+        quantum: int = 256,
+    ) -> tuple:
+        """Builds a per-stratum capacity schedule from host counts."""
+        nsub_s = self.nl * self.ny2 * self.nx2
+        counts = self._host_strata_counts(matM_np, vec_np)
+        caps = []
+        for c in counts:
+            want = int(c * headroom) + 32
+            caps.append(
+                min(max(64, -(-want // quantum) * quantum), nsub_s)
+            )
+        return tuple(caps)
 
     # ------------------------------------------------------------------
 
@@ -1266,8 +1385,29 @@ class VoxelRenderer:
 
         assert mode in ("normals", "heightmap")
         assert warmup in ("block", "interp")
-        matM = jnp.asarray(self._mat4(world_to_model))
-        vec = jnp.asarray(self._var_vec(vars))
+        matM_np = self._mat4(world_to_model)
+        vec_np = self._var_vec(vars)
+        matM = jnp.asarray(matM_np)
+        vec = jnp.asarray(vec_np)
+        # scheduled path: per-stratum capacities from host interval
+        # counts (specialized scan driver only). Overflow on any
+        # stratum (camera/vars drift) drops the schedule; a fresh one
+        # is built from the new counts below.
+        sched = getattr(self, "_sched", None)
+        if (
+            sched is not None and self.specialize
+            and warmup == "block" and self._strata_mode() == "scan"
+        ):
+            check_cancel(cancel)
+            depth, normal, n_over = self._frame(
+                matM, vec, mode=mode, cap=self.cap, strata_caps=sched
+            )
+            if int(n_over) == 0:
+                return Image3D(
+                    np.asarray(depth),
+                    None if normal is None else np.asarray(normal),
+                )
+            self._sched = None  # stale; uniform path below re-sizes
         for _ in range(max_retries + 1):
             check_cancel(cancel)
             smode = self._strata_mode()
@@ -1334,6 +1474,14 @@ class VoxelRenderer:
             self.cap = min(
                 1 << (int(n_active) - 1).bit_length(), self.nsub
             )
+        if (
+            getattr(self, "_sched", None) is None
+            and self.specialize and warmup == "block"
+            and self._strata_mode() == "scan"
+        ):
+            # build the per-stratum schedule for SUBSEQUENT frames
+            # (compiles its variant on first use, persistent-cached)
+            self._sched = self.strata_schedule(matM_np, vec_np)
         return Image3D(
             np.asarray(depth),
             None if normal is None else np.asarray(normal),

@@ -523,3 +523,39 @@ def test_sphere_var_closed_form():
                 rr, radius, atol=eps,
                 err_msg=f"scale={scale} radius={radius}",
             )
+
+
+def test_strata_schedule_matches_uniform():
+    """The per-stratum capacity schedule (segmented lax.scan chain)
+    must produce bit-identical depths to the uniform-cap scan, and
+    render() must adopt it after the first frame."""
+    import jax.numpy as jnp
+
+    tape = gyroid_sphere_tape()
+    n = 64
+    r = VoxelRenderer(
+        tape, VoxelSize(n, n, n), tile_size=32, sub_size=8,
+        interpret=True,
+    )
+    img1 = r.render(mode="heightmap")   # uniform; builds the schedule
+    assert r._sched is not None and len(r._sched) == r.ntz
+    img2 = r.render(mode="heightmap")   # scheduled path
+    np.testing.assert_array_equal(img1.depth, img2.depth)
+    # explicit scheduled call agrees and reports zero overflow
+    matM = jnp.asarray(r._mat4(None))
+    vec = jnp.asarray(r._var_vec(None))
+    depth, _, n_over = r._frame_impl(
+        matM, vec, mode="heightmap", cap=r.cap, strata_caps=r._sched
+    )
+    assert int(n_over) == 0
+    np.testing.assert_array_equal(np.asarray(depth), img1.depth)
+    # a deliberately starved schedule must report overflow, and
+    # render() must recover by rebuilding
+    tiny = tuple(64 for _ in r._sched)
+    _, _, n_over2 = r._frame_impl(
+        matM, vec, mode="heightmap", cap=r.cap, strata_caps=tiny
+    )
+    assert int(n_over2) > 0
+    r._sched = tiny
+    img3 = r.render(mode="heightmap")
+    np.testing.assert_array_equal(img3.depth, img1.depth)
