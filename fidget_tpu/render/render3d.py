@@ -1148,9 +1148,14 @@ class VoxelRenderer:
 
     def strata_schedule(
         self, matM_np, vec_np, *, headroom: float = 1.15,
-        quantum: int = 256,
+        quantum: int = 256, max_segments: int = 4,
     ) -> tuple:
-        """Builds a per-stratum capacity schedule from host counts."""
+        """Builds a per-stratum capacity schedule from host counts.
+
+        Each lax.scan SEGMENT (run of equal caps) compiles its own
+        stratum body, so adjacent runs greedily merge (raising the
+        smaller cap) until at most `max_segments` remain — trading a
+        few padded slots for a bounded program size."""
         nsub_s = self.nl * self.ny2 * self.nx2
         counts = self._host_strata_counts(matM_np, vec_np)
         caps = []
@@ -1159,7 +1164,29 @@ class VoxelRenderer:
             caps.append(
                 min(max(64, -(-want // quantum) * quantum), nsub_s)
             )
-        return tuple(caps)
+        runs = [[c, 1] for c in caps]
+        i = 0
+        while i + 1 < len(runs):  # coalesce equal neighbours
+            if runs[i][0] == runs[i + 1][0]:
+                runs[i][1] += runs[i + 1][1]
+                del runs[i + 1]
+            else:
+                i += 1
+        while len(runs) > max_segments:
+            best, cost = None, None
+            for i in range(len(runs) - 1):
+                (c0, n0), (c1, n1) = runs[i], runs[i + 1]
+                hi = max(c0, c1)
+                delta = (hi - c0) * n0 + (hi - c1) * n1
+                if cost is None or delta < cost:
+                    best, cost = i, delta
+            (c0, n0), (c1, n1) = runs[best], runs[best + 1]
+            runs[best] = [max(c0, c1), n0 + n1]
+            del runs[best + 1]
+        out = []
+        for c, n in runs:
+            out.extend([c] * n)
+        return tuple(out)
 
     # ------------------------------------------------------------------
 
