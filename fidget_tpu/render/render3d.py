@@ -1434,7 +1434,9 @@ class VoxelRenderer:
                     np.asarray(depth),
                     None if normal is None else np.asarray(normal),
                 )
-            self._sched = None  # stale; uniform path below re-sizes
+            # stale; the uniform path below re-sizes and rebuilds
+            self._sched = None
+            self._sched_checked = False
         for _ in range(max_retries + 1):
             check_cancel(cancel)
             smode = self._strata_mode()
@@ -1503,12 +1505,28 @@ class VoxelRenderer:
             )
         if (
             getattr(self, "_sched", None) is None
+            and not getattr(self, "_sched_checked", False)
             and self.specialize and warmup == "block"
             and self._strata_mode() == "scan"
         ):
+            self._sched_checked = True
             # build the per-stratum schedule for SUBSEQUENT frames
-            # (compiles its variant on first use, persistent-cached)
-            self._sched = self.strata_schedule(matM_np, vec_np)
+            # (compiles its variant on first use, persistent-cached).
+            # Each entry clamps to the SETTLED uniform cap: the host
+            # counts ignore the occlusion floor, so on heavily
+            # self-occluding scenes (colonnade) they can exceed what
+            # the device ever enqueues — and the settle proved every
+            # stratum fits `self.cap`. Both are sound upper bounds,
+            # so their min is too.
+            sched = tuple(
+                min(c, self.cap)
+                for c in self.strata_schedule(matM_np, vec_np)
+            )
+            # only adopt a schedule that actually saves slots
+            if sum(sched) < self.ntz * min(
+                self.cap, self.nl * self.ny2 * self.nx2
+            ):
+                self._sched = sched
         return Image3D(
             np.asarray(depth),
             None if normal is None else np.asarray(normal),
