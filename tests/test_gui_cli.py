@@ -216,3 +216,19 @@ def test_editor_service():
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_cli_render2d_eval_unrolled(tmp_path):
+    """--eval unrolled routes through the union leaf end-to-end."""
+    from fidget_tpu.cli import main
+    from fidget_tpu.io.models import find_model, has_model
+
+    if not has_model("hi.vm"):
+        pytest.skip("model assets unavailable")
+    png = tmp_path / "u.png"
+    rc = main(
+        ["render2d", str(find_model("hi.vm")), "-s", "64",
+         "--eval", "unrolled", "--mode", "mono", "-o", str(png)]
+    )
+    assert rc == 0
+    assert png.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
