@@ -973,6 +973,10 @@ class VoxelRenderer:
         self.vox_dx, self.vox_dy, self.vox_dz = g.vox_dx, g.vox_dy, g.vox_dz
         self.s2w = g.s2w
 
+        #: per-stratum capacity schedule (built after the first
+        #: settled render when it saves slots; None = uniform cap)
+        self._sched = None
+        self._sched_checked = False
         if cap is None:
             # surface ~ O(columns): one subtile slot per XY column.
             # The former 8x slack made cap_s equal the FULL stratum at
@@ -1148,7 +1152,7 @@ class VoxelRenderer:
 
     def strata_schedule(
         self, matM_np, vec_np, *, headroom: float = 1.15,
-        quantum: int = 256, max_segments: int = 4,
+        quantum: int = 64, max_segments: int = 4,
     ) -> tuple:
         """Builds a per-stratum capacity schedule from host counts.
 

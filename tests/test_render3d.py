@@ -531,14 +531,19 @@ def test_strata_schedule_matches_uniform():
     render() must adopt it after the first frame."""
     import jax.numpy as jnp
 
-    tape = gyroid_sphere_tape()
+    # a small sphere: outer z-strata hold almost no active subtiles,
+    # so the schedule is guaranteed to beat the uniform cap
+    tape = sphere_tape(0.5)
     n = 64
     r = VoxelRenderer(
-        tape, VoxelSize(n, n, n), tile_size=32, sub_size=8,
+        tape, VoxelSize(n, n, n), tile_size=16, sub_size=8,
         interpret=True,
     )
     img1 = r.render(mode="heightmap")   # uniform; builds the schedule
     assert r._sched is not None and len(r._sched) == r.ntz
+    assert sum(r._sched) < r.ntz * min(
+        r.cap, r.nl * r.ny2 * r.nx2
+    )
     img2 = r.render(mode="heightmap")   # scheduled path
     np.testing.assert_array_equal(img1.depth, img2.depth)
     # explicit scheduled call agrees and reports zero overflow
@@ -551,7 +556,7 @@ def test_strata_schedule_matches_uniform():
     np.testing.assert_array_equal(np.asarray(depth), img1.depth)
     # a deliberately starved schedule must report overflow, and
     # render() must recover by rebuilding
-    tiny = tuple(64 for _ in r._sched)
+    tiny = tuple(8 for _ in r._sched)
     _, _, n_over2 = r._frame_impl(
         matM, vec, mode="heightmap", cap=r.cap, strata_caps=tiny
     )
