@@ -484,6 +484,11 @@ def main() -> None:
         ("hi_256", lambda e: _extra_2d("hi.vm", 256, e, "hi_256")),
         ("quarter_1024",
          lambda e: _extra_2d("quarter.vm", 1024, e, "quarter_1024")),
+        # the upper end of the reference's 256-2048 size sweep
+        # (fidget/benches/pixel.rs:37-70); full-tape leaf (a 65k-tile
+        # union constant table is not worth the compile memory)
+        ("prospero_2048",
+         lambda e: _extra_2d("prospero.vm", 2048, e, "prospero_2048")),
         ("gyroid_512", _extra_3d),
         ("colonnade_mesh_d8", _extra_mesh),
         ("prospero_backward", _extra_backward),
