@@ -159,6 +159,17 @@ def solve(
     interactive constraint dragging — repeated solves with the same
     equations and changing values — compiles once and then never
     retraces.
+
+    Solve a - 1 = 0 with `a` free (the reference's doc example,
+    fidget-solver/src/lib.rs):
+
+    >>> from fidget_tpu import Tree, Var
+    >>> from fidget_tpu.solver import Parameter, solve
+    >>> a = Var.new()
+    >>> eq = Tree.var(a) - 1.0
+    >>> out = solve([eq], {a: Parameter.Free(0.0)})
+    >>> round(float(out[a]), 4)
+    1.0
     """
     free = [v for v, p in vars.items() if p.free]
     fixed = [v for v, p in vars.items() if not p.free]

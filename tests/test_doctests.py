@@ -15,6 +15,7 @@ import fidget_tpu.core.var
 import fidget_tpu.script
 import fidget_tpu.shape
 import fidget_tpu.shapes
+import fidget_tpu.solver
 
 MODULES = [
     fidget_tpu.core.context,
@@ -25,6 +26,7 @@ MODULES = [
     fidget_tpu.shape,
     fidget_tpu.shapes,
     fidget_tpu.script,
+    fidget_tpu.solver,
 ]
 
 
