@@ -805,12 +805,25 @@ def interp_grad(
       [T, O, 4, S0, 128] f32 dual outputs.
 
     VMEM budget: the kernel holds FOUR register files of
-    [nf, s0, 128] f32 in scratch (~nf*s0*2 KB); Mosaic's scoped-vmem
-    limit is 16 MB on v5e, so nf * s0 must stay under ~4096 — drive
-    grads through <=32-px leaf tiles (s0 <= 8) for 255-register
-    tapes. Interpret mode does not enforce this; the real-TPU parity
-    sweep does (demos/tpu_parity.py).
+    [nf, s0, 128] f32 in scratch (~nf*s0*2 KB) against Mosaic's
+    16 MB scoped-vmem limit (interpret mode does not enforce it; the
+    real-TPU parity sweep caught the overflow, BUGREPORT.md). Lanes
+    are independent, so when nf * s0 would blow the budget this
+    wrapper transparently splits the s0 axis into fitting chunks and
+    concatenates — grads work at any leaf tile size.
     """
+    nf_s0_limit = (12 << 20) // (4 * 4 * 128 * max(nf, 1))  # ~12 MB
+    s0_max = max(8, (nf_s0_limit // 8) * 8)
+    if s0 > s0_max:
+        outs = []
+        for off in range(0, s0, s0_max):
+            w = min(s0_max, s0 - off)
+            outs.append(interp_grad(
+                w1, w2, imm, lengths, vars_[..., off:off + w, :],
+                nf=nf, n_inputs=n_inputs, n_outputs=n_outputs, s0=w,
+                interpret=interpret, op_order=op_order, n_ops=n_ops,
+            ))
+        return jnp.concatenate(outs, axis=3)
     T, lcap = w1.shape
     gm = GradMode(kernel_namespace(jnp), choice_dtype=jnp.int32)
     canonical_at_pos, pos_of, _ = _order_info(op_order, n_ops)

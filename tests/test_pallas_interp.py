@@ -240,3 +240,41 @@ def test_tape_n_ops_covers_simplified_children():
             pos_of = {int(c): p for p, c in enumerate(oo)}
             for op in (TapeOp.OUTPUT, TapeOp.INPUT, TapeOp.COPY):
                 assert pos_of[int(op)] < n_ops, (op, n_ops)
+
+
+def test_interp_grad_s0_chunking():
+    """Large nf*s0 transparently splits the lane axis into VMEM-sized
+    chunks (the dual kernel holds four register files in scratch; the
+    unchunked form OOMs Mosaic's scoped-vmem limit on hardware,
+    BUGREPORT.md r5 #1). Chunked output must equal per-slice calls."""
+    import jax.numpy as jnp
+
+    from fidget_tpu.compiler.pack import pack_tapes
+    from fidget_tpu.eval.pallas_interp import interp_grad
+    from fidget_tpu.io.models import has_model, load_vm_tape
+
+    if not has_model("prospero.vm"):
+        pytest.skip("model assets unavailable")
+    tape = load_vm_tape("prospero.vm")
+    packed = pack_tapes([tape])
+    nf = packed.nf
+    s0 = 128  # the 128-px leaf's lane block: nf*s0 far past budget
+    assert nf * s0 > (12 << 20) // (4 * 4 * 128)
+    rng = np.random.default_rng(0)
+    V = max(1, len(tape.var_map))
+    duals = rng.normal(size=(1, V, 4, s0, 128)).astype(np.float32)
+    full = np.asarray(interp_grad(
+        packed.w1, packed.w2, packed.imm, packed.lengths,
+        jnp.asarray(duals), nf=nf, n_inputs=V, n_outputs=1, s0=s0,
+        interpret=True,
+    ))
+    half = s0 // 2
+    parts = [
+        np.asarray(interp_grad(
+            packed.w1, packed.w2, packed.imm, packed.lengths,
+            jnp.asarray(duals[..., o:o + half, :]),
+            nf=nf, n_inputs=V, n_outputs=1, s0=half, interpret=True,
+        ))
+        for o in (0, half)
+    ]
+    np.testing.assert_array_equal(full, np.concatenate(parts, axis=3))
