@@ -775,7 +775,32 @@ def interp_interval(
     That makes the whole interpreter render pipeline `jax.jvp`-able:
     tangents flow through the leaf float kernel and die at the proofs.
     Do NOT use interval mode to compute derivative bounds via autodiff;
-    for derivative intervals evaluate a `Context.deriv` tape instead."""
+    for derivative intervals evaluate a `Context.deriv` tape instead.
+
+    VMEM: two register files in scratch; like `interp_grad`, lane
+    blocks past the scoped-vmem budget transparently split along s0
+    (choices chunk consistently — packing is per-lane)."""
+    nf_s0_limit = (12 << 20) // (2 * 4 * 128 * max(nf, 1))
+    s0_max = max(8, (nf_s0_limit // 8) * 8)
+    if s0 > s0_max:
+        los, his, chs = [], [], []
+        for off in range(0, s0, s0_max):
+            w = min(s0_max, s0 - off)
+            lo, hi, ch = interp_interval(
+                w1, w2, imm, lengths,
+                var_lo[..., off:off + w, :], var_hi[..., off:off + w, :],
+                nf=nf, n_inputs=n_inputs, n_outputs=n_outputs, s0=w,
+                c_words=c_words, interpret=interpret,
+                op_order=op_order, n_ops=n_ops,
+            )
+            los.append(lo)
+            his.append(hi)
+            chs.append(ch)
+        return (
+            jnp.concatenate(los, axis=2),
+            jnp.concatenate(his, axis=2),
+            jnp.concatenate(chs, axis=2),
+        )
     return _interval_nondiff_fn(
         nf, n_inputs, n_outputs, s0, c_words, interpret, op_order, n_ops
     )(w1, w2, imm, lengths, var_lo, var_hi)

@@ -278,3 +278,49 @@ def test_interp_grad_s0_chunking():
         for o in (0, half)
     ]
     np.testing.assert_array_equal(full, np.concatenate(parts, axis=3))
+
+
+def test_interp_interval_s0_chunking():
+    """The interval kernel (two register files + choice planes)
+    chunks the lane axis past the VMEM budget exactly like the dual
+    kernel; outputs AND packed choices must equal per-slice calls."""
+    import jax.numpy as jnp
+
+    from fidget_tpu.compiler.pack import pack_tapes
+    from fidget_tpu.eval.pallas_interp import interp_interval
+    from fidget_tpu.io.models import has_model, load_vm_tape
+
+    if not has_model("prospero.vm"):
+        pytest.skip("model assets unavailable")
+    tape = load_vm_tape("prospero.vm")
+    packed = pack_tapes([tape])
+    nf = packed.nf
+    s0 = 128
+    assert nf * s0 > (12 << 20) // (2 * 4 * 128)
+    cw = max(1, -(-tape.choice_count // 16))
+    rng = np.random.default_rng(1)
+    V = max(1, len(tape.var_map))
+    lo = rng.uniform(-1, 1, (1, V, s0, 128)).astype(np.float32)
+    hi = lo + rng.uniform(0, 0.5, lo.shape).astype(np.float32)
+    kw = dict(nf=nf, n_inputs=V, n_outputs=1, c_words=cw, interpret=True)
+    flo, fhi, fch = interp_interval(
+        packed.w1, packed.w2, packed.imm, packed.lengths,
+        jnp.asarray(lo), jnp.asarray(hi), s0=s0, **kw,
+    )
+    half = s0 // 2
+    plo, phi, pch = [], [], []
+    for o in (0, half):
+        a, b, c = interp_interval(
+            packed.w1, packed.w2, packed.imm, packed.lengths,
+            jnp.asarray(lo[..., o:o + half, :]),
+            jnp.asarray(hi[..., o:o + half, :]), s0=half, **kw,
+        )
+        plo.append(np.asarray(a))
+        phi.append(np.asarray(b))
+        pch.append(np.asarray(c))
+    np.testing.assert_array_equal(
+        np.asarray(flo), np.concatenate(plo, axis=2))
+    np.testing.assert_array_equal(
+        np.asarray(fhi), np.concatenate(phi, axis=2))
+    np.testing.assert_array_equal(
+        np.asarray(fch), np.concatenate(pch, axis=2))
