@@ -101,7 +101,13 @@ class _GestureMixin:
 @dataclass
 class View2(_GestureMixin):
     """World-to-model camera: uniform scale then translation
-    (fidget-gui/src/lib.rs:55-150)."""
+    (fidget-gui/src/lib.rs:55-150).
+
+    >>> import numpy as np
+    >>> v = View2(center=np.array([1.0, 0.0]), scale=2.0)
+    >>> v.world_to_model()[0].tolist()  # x row: scale then shift
+    [2.0, 0.0, 1.0]
+    """
 
     center: np.ndarray = field(
         default_factory=lambda: np.zeros(2, np.float64)

@@ -770,7 +770,18 @@ def _get_evaluator(tape, interpret, unrolled):
 
 
 def build_mesh(tape: Tape | Shape, settings: Settings | None = None) -> Mesh:
-    """Builds an MDC mesh of the surface inside the world ±1 cube."""
+    """Builds an MDC mesh of the surface inside the world ±1 cube.
+
+    >>> from fidget_tpu import Shape, Tree
+    >>> from fidget_tpu.mesh import Settings, build_mesh
+    >>> x, y, z = Tree.axes()
+    >>> s = Shape.from_tree(
+    ...     (x.square() + y.square() + z.square()).sqrt() - 0.6
+    ... )
+    >>> m = build_mesh(s, Settings(depth=3, interpret=True))
+    >>> len(m.triangles) > 0 and m.vertices.shape[1] == 3
+    True
+    """
     settings = settings or Settings()
     if settings.eval not in ("interp", "unrolled"):
         raise ValueError(

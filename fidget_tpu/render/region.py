@@ -17,6 +17,16 @@ import numpy as np
 
 @dataclass(frozen=True)
 class ImageSize:
+    """2D render target size; screen pixels map into the ±1 world
+    square with the reference's Y-flip convention
+    (fidget-core/src/render/region.rs:6-57).
+
+    >>> import numpy as np
+    >>> m = ImageSize(4, 4).screen_to_world()
+    >>> (m @ np.array([1.5, 1.5, 1.0]))[:2].tolist()  # near center
+    [-0.25, -0.25]
+    """
+
     width: int
     height: int
 

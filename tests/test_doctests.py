@@ -12,6 +12,9 @@ import fidget_tpu.compiler.lower
 import fidget_tpu.core.context
 import fidget_tpu.core.tree
 import fidget_tpu.core.var
+import fidget_tpu.gui
+import fidget_tpu.mesh
+import fidget_tpu.render.region
 import fidget_tpu.script
 import fidget_tpu.shape
 import fidget_tpu.shapes
@@ -27,6 +30,9 @@ MODULES = [
     fidget_tpu.shapes,
     fidget_tpu.script,
     fidget_tpu.solver,
+    fidget_tpu.mesh,
+    fidget_tpu.render.region,
+    fidget_tpu.gui,
 ]
 
 
